@@ -1,0 +1,61 @@
+"""Engine configuration.
+
+Defaults mirror the reference's settings.py (file:line cited per field) so
+the golden parity tests (FIXTURES.md F2/F4) reproduce the reference's
+verdicts exactly. At validation time the same knobs are reinterpreted on the
+partition axis: FULL_DURATION becomes the lookback window over per-partition
+stat series, STALE_PERIOD the max age of the newest stat point, etc.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EnsembleConfig:
+    """Knobs of the consensus ensemble (reference settings.py)."""
+
+    # settings.py:475 — k of n detectors must trigger
+    consensus: int = 6
+    # settings.py:89 — rolling window seconds
+    full_duration: int = 86400
+    # settings.py:418 — gate: series shorter than this raises TooShort
+    min_tolerable_length: int = 1
+    # settings.py:393 — gate: newest point older than this raises Stale
+    stale_period: int = 500
+    # settings.py:425 — gate: look at this many trailing values for boredom
+    max_tolerable_boredom: int = 100
+    # settings.py:435 — gate: boring iff distinct trailing values == this
+    boredom_set_size: int = 1
+    # settings.py:482 — consensus early-exit (skipped detectors recorded False)
+    run_optimized_workflow: bool = True
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    """Drift-validation settings on the partition axis.
+
+    The unit of analysis is a (group keys..., stat) series whose "timestamps"
+    are partition epochs; ``full_duration`` spans ``lookback`` partitions at
+    ``partition_seconds`` apiece, so the reference's window semantics
+    (first-hour baseline, staleness) translate proportionally.
+    """
+
+    ensemble: EnsembleConfig = field(default_factory=EnsembleConfig)
+    # how many trailing partitions form the drift baseline
+    lookback_partitions: int = 30
+    # seconds represented by one partition step (days(warc_ts) → 86400)
+    partition_seconds: int = 86400
+    # minimum history length before drift checks run (else TOO_SHORT status)
+    min_history: int = 8
+    # cap on per-partition violation example rows (counts stay exact)
+    max_violation_examples: int = 20
+
+
+# Status labels for the pass/fail table (FIXTURES.md F5)
+STATUS_OK = "OK"
+STATUS_FAIL = "FAIL"
+STATUS_TOO_SHORT = "TOO_SHORT"
+STATUS_STALE = "STALE"
+STATUS_BORING = "BORING"

@@ -1,0 +1,255 @@
+"""The nine Skyline consensus detectors, re-implemented as vectorized kernels.
+
+Each kernel takes the ordered series of a single group — ``ts`` (seconds,
+float64) and ``values`` (float64) — plus the anchor time ``now`` and the
+window length ``full_duration``, and returns ``True`` (the latest datapoint
+is anomalous), ``False``, or ``None`` (kernel errored; per the reference's
+error contract every exception is trapped and reported as None —
+`analyzer/algorithms.py:421-456`).
+
+Semantics are byte-parity reimplementations of
+/root/reference/skyline/analyzer/algorithms.py (file:line cited per kernel).
+They are NOT copies: the reference iterates python lists of (ts, value)
+tuples; these kernels are numpy/pandas vectorized and are designed to run
+inside ``groupBy(...).applyInPandas`` so each invocation handles one group's
+whole series in Arrow batches — no per-row Python in the Spark plan.
+
+Wall-clock anchoring in the reference (`algorithms.py:183,379-380` call
+``time()``) is replaced by the explicit ``now`` parameter so verdicts are
+deterministic and testable (FIXTURES.md F2 mocks time the same way the
+reference's own tests do, `tests/algorithms_test.py:45-48`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from .stats_math import adfuller, ks_2samp, t_isf
+
+__all__ = [
+    "ALGORITHMS",
+    "DETECTOR_VERSIONS",
+    "tail_avg",
+    "median_absolute_deviation",
+    "grubbs",
+    "first_hour_average",
+    "stddev_from_average",
+    "stddev_from_moving_average",
+    "mean_subtraction_cumulation",
+    "least_squares",
+    "histogram_bins",
+    "ks_test",
+]
+
+Verdict = Optional[bool]
+
+
+def _kernel(fn: Callable[..., bool]) -> Callable[..., Verdict]:
+    """Reference error contract: any exception → None (`algorithms.py:103-107`)."""
+
+    @functools.wraps(fn)
+    def wrapped(ts: np.ndarray, values: np.ndarray, now: float, full_duration: int) -> Verdict:
+        try:
+            return fn(ts, values, now, full_duration)
+        except Exception:
+            return None
+
+    return wrapped
+
+
+def tail_avg(values: np.ndarray) -> float:
+    """Mean of the last three datapoints; the last value if fewer than 3.
+
+    Reference: `analyzer/algorithms.py:78-89` (IndexError fallback when the
+    series is shorter than 3).
+    """
+    if values.size >= 3:
+        return float(values[-1] + values[-2] + values[-3]) / 3.0
+    return float(values[-1])
+
+
+@_kernel
+def median_absolute_deviation(ts, values, now, full_duration) -> bool:
+    """|last − median| / median(|x − median|) > 6; False when MAD == 0.
+
+    Reference: `analyzer/algorithms.py:92-139`. Uses pandas median (skipna)
+    for parity with ``pandas.Series.median``.
+    """
+    series = pd.Series(values)
+    median = series.median()
+    demedianed = (series - median).abs()
+    median_deviation = demedianed.median()
+    if median_deviation == 0:
+        return False
+    test_statistic = demedianed.iat[-1] / median_deviation
+    return bool(test_statistic > 6)
+
+
+@_kernel
+def grubbs(ts, values, now, full_duration) -> bool:
+    """Grubbs outlier test on the tail average.
+
+    Reference: `analyzer/algorithms.py:142-172`. Population std (scipy.std is
+    ddof=0); False when std == 0; threshold from the Student-t inverse
+    survival function at .05 / (2N) with N−2 dof.
+    """
+    std_dev = float(np.std(values))  # ddof=0, parity with scipy.std
+    if std_dev == 0:
+        return False
+    mean = float(np.mean(values))
+    tail_average = tail_avg(values)
+    z_score = (tail_average - mean) / std_dev
+    n = values.size
+    threshold = t_isf(0.05 / (2.0 * n), n - 2)
+    threshold_sq = threshold * threshold
+    grubbs_score = ((n - 1) / math.sqrt(n)) * math.sqrt(threshold_sq / (n - 2 + threshold_sq))
+    return bool(z_score > grubbs_score)
+
+
+@_kernel
+def first_hour_average(ts, values, now, full_duration) -> bool:
+    """Tail average vs mean/std of the OLDEST hour of the window.
+
+    Reference: `analyzer/algorithms.py:175-194`. Baseline = points with
+    ts < now − (full_duration − 3600); sample std (pandas ddof=1). An empty
+    baseline yields NaN stats → False (NaN comparisons are False), matching
+    the reference's pandas behaviour.
+    """
+    cutoff = now - (full_duration - 3600)
+    baseline = pd.Series(values[ts < cutoff])
+    mean = baseline.mean()
+    std_dev = baseline.std()
+    t = tail_avg(values)
+    return bool(abs(t - mean) > 3 * std_dev)
+
+
+@_kernel
+def stddev_from_average(ts, values, now, full_duration) -> bool:
+    """|tail_avg − mean| > 3 · sample-std of the whole series.
+
+    Reference: `analyzer/algorithms.py:197-216` (pandas ddof=1 std).
+    """
+    series = pd.Series(values)
+    mean = series.mean()
+    std_dev = series.std()
+    t = tail_avg(values)
+    return bool(abs(t - mean) > 3 * std_dev)
+
+
+@_kernel
+def stddev_from_moving_average(ts, values, now, full_duration) -> bool:
+    """|last − EWMA| > 3 · EWM-std at the last point.
+
+    Reference: `analyzer/algorithms.py:219-244`. EWM parameters are pinned:
+    com=50, adjust=True, ignore_na=False, min_periods=0, std bias=False —
+    no Catalyst equivalent exists, so this stays a pandas kernel (SURVEY.md
+    §2.1 #5 watch-list item).
+    """
+    series = pd.Series(values)
+    ewm = series.ewm(ignore_na=False, min_periods=0, adjust=True, com=50)
+    exp_average = ewm.mean()
+    std_dev = ewm.std(bias=False)
+    return bool(abs(series.iat[-1] - exp_average.iat[-1]) > 3 * std_dev.iat[-1])
+
+
+@_kernel
+def mean_subtraction_cumulation(ts, values, now, full_duration) -> bool:
+    """|last − mean(head)| > 3 · std(head) where head = all but the last.
+
+    Reference: `analyzer/algorithms.py:247-273`. The reference coerces falsy
+    values (None and literal 0.0) to 0 — with float input only NaN can stand
+    in for None, and NaN is truthy in python, so the float64 series is used
+    as-is; sample std (ddof=1).
+    """
+    series = pd.Series(values)
+    series = series - series[0 : len(series) - 1].mean()
+    std_dev = series[0 : len(series) - 1].std()
+    return bool(abs(series.iat[-1]) > 3 * std_dev)
+
+
+@_kernel
+def least_squares(ts, values, now, full_duration) -> bool:
+    """OLS trend residual tail test.
+
+    Reference: `analyzer/algorithms.py:276-334`. Fit y = m·x + c with
+    ``np.linalg.lstsq(rcond=-1)`` (rcond pinned for parity); residual
+    population-std; anomalous iff |mean of last 3 residuals| > 3σ AND
+    round(σ) != 0 AND round(t) != 0; False with fewer than 3 residuals.
+    """
+    x = np.asarray(ts, dtype=np.float64)
+    y = np.asarray(values, dtype=np.float64)
+    A = np.vstack([x, np.ones(len(x))]).T
+    m, c = np.linalg.lstsq(A, y, rcond=-1)[0]
+    errors = y - (m * x + c)
+    if errors.size < 3:
+        return False
+    std_dev = float(np.std(errors))  # ddof=0, parity with scipy.std
+    t = float(errors[-1] + errors[-2] + errors[-3]) / 3.0
+    return bool(abs(t) > std_dev * 3 and round(std_dev) != 0 and round(t) != 0)
+
+
+@_kernel
+def histogram_bins(ts, values, now, full_duration) -> bool:
+    """Tail average falls in a 15-bin histogram bin with ≤ 20 members.
+
+    Reference: `analyzer/algorithms.py:337-367`, including the first-bin
+    edge case (t <= bins[0]) and the half-open upper bins.
+    """
+    t = tail_avg(values)
+    counts, bins = np.histogram(values, bins=15)
+    for index, bin_size in enumerate(counts):
+        if bin_size <= 20:
+            if index == 0:
+                if t <= bins[0]:
+                    return True
+            elif bins[index] <= t < bins[index + 1]:
+                return True
+    return False
+
+
+@_kernel
+def ks_test(ts, values, now, full_duration) -> bool:
+    """Distribution drift: last 10 minutes vs the prior 50 minutes.
+
+    Reference: `analyzer/algorithms.py:370-401`. False unless both windows
+    have ≥ 20 points; anomalous iff KS p < .05 AND D > .5 AND the reference
+    window is stationary (ADF p < .05, maxlag 10).
+    """
+    hour_ago = now - 3600
+    ten_minutes_ago = now - 600
+    ref_mask = (ts >= hour_ago) & (ts < ten_minutes_ago)
+    probe_mask = ts >= ten_minutes_ago
+    reference = values[ref_mask]
+    probe = values[probe_mask]
+    if reference.size < 20 or probe.size < 20:
+        return False
+    ks_d, ks_p_value = ks_2samp(reference, probe)
+    if ks_p_value < 0.05 and ks_d > 0.5:
+        _, adf_p, _ = adfuller(reference, 10)
+        if adf_p < 0.05:
+            return True
+    return False
+
+
+# Ensemble order is load-bearing: the persisted ensemble array and the
+# optimized early-exit both depend on it (`settings.py:457-467`).
+ALGORITHMS: dict[str, Callable[..., Verdict]] = {
+    "histogram_bins": histogram_bins,
+    "first_hour_average": first_hour_average,
+    "stddev_from_average": stddev_from_average,
+    "grubbs": grubbs,
+    "ks_test": ks_test,
+    "mean_subtraction_cumulation": mean_subtraction_cumulation,
+    "median_absolute_deviation": median_absolute_deviation,
+    "stddev_from_moving_average": stddev_from_moving_average,
+    "least_squares": least_squares,
+}
+
+# Version tags recorded in the checkpoint table's lineage (north_star:
+# "detector versions" per partition). Bump when kernel semantics change.
+DETECTOR_VERSIONS: dict[str, str] = {name: "1.0.0" for name in ALGORITHMS}

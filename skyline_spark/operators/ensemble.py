@@ -1,0 +1,116 @@
+"""Gates + consensus ensemble — the reference's ``run_selected_algorithm``.
+
+Reimplements `/root/reference/skyline/analyzer/algorithms.py:537-690` as a
+pure function over numpy arrays (one call per group inside
+``applyInPandas``), with the three gates surfaced as *statuses* instead of
+exceptions so they become first-class rows in the pass/fail table
+(SURVEY.md §2.2).
+
+Key parity details:
+- gate order: TooShort → Stale → Boring (`algorithms.py:583-593`)
+- detectors run in the pinned ALGORITHMS order (`settings.py:457-467`)
+- optimized early-exit: once ``count(False) >= n - k + 1`` consensus is
+  unreachable; remaining detectors are *recorded as False* without running
+  (`algorithms.py:637-638,667-668`)
+- consensus: anomalous iff ``ensemble.count(False) <= n - k`` — errored
+  detectors (None) count TOWARD consensus (`algorithms.py:679-687`)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..config import (
+    STATUS_BORING,
+    STATUS_FAIL,
+    STATUS_OK,
+    STATUS_STALE,
+    STATUS_TOO_SHORT,
+    EnsembleConfig,
+)
+from .detectors import ALGORITHMS, Verdict
+
+__all__ = ["EnsembleResult", "run_ensemble", "consensus_anomalous", "gate_status"]
+
+
+@dataclass
+class EnsembleResult:
+    status: str                      # OK | FAIL | TOO_SHORT | STALE | BORING
+    anomalous: bool
+    ensemble: list[Verdict]          # per-detector verdicts in ALGORITHMS order
+    triggered: list[str]             # names of detectors that returned True
+    datapoint: Optional[float]       # the latest value (None when gated)
+
+
+def gate_status(ts: np.ndarray, values: np.ndarray, now: float, cfg: EnsembleConfig) -> Optional[str]:
+    """TooShort/Stale/Boring gates (`algorithms.py:583-593`); None = pass.
+
+    These are also expressed relationally (plans/gates.py) so partitions can
+    be filtered *before* the expensive UDF — this function is the in-kernel
+    authority used for parity tests.
+    """
+    if len(ts) < cfg.min_tolerable_length:
+        return STATUS_TOO_SHORT
+    if now - ts[-1] > cfg.stale_period:
+        return STATUS_STALE
+    tail = values[-cfg.max_tolerable_boredom:]
+    # reference builds set(item[1] for ...) over python floats; NaN-safe here
+    if len(set(tail.tolist())) == cfg.boredom_set_size:
+        return STATUS_BORING
+    return None
+
+
+def consensus_anomalous(ensemble: list[Verdict], consensus: int) -> bool:
+    """Anomalous iff count(False) <= n − k (`algorithms.py:679-687`)."""
+    return ensemble.count(False) <= len(ensemble) - consensus
+
+
+def run_ensemble(
+    ts: np.ndarray,
+    values: np.ndarray,
+    now: float,
+    cfg: EnsembleConfig | None = None,
+    full_duration: int | None = None,
+) -> EnsembleResult:
+    """Gates → ordered detector ensemble (with optional early-exit) → consensus.
+
+    ``full_duration`` overrides the config window (the Mirage second-pass
+    re-check runs the same kernels at a longer resolution —
+    `mirage/mirage_algorithms.py:485-502`, SURVEY.md §2.5).
+    """
+    cfg = cfg or EnsembleConfig()
+    duration = full_duration if full_duration is not None else cfg.full_duration
+    ts = np.asarray(ts, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+
+    status = gate_status(ts, values, now, cfg)
+    if status is not None:
+        return EnsembleResult(status, False, [], [], None)
+
+    names = list(ALGORITHMS)
+    n = len(names)
+    max_false = n - cfg.consensus + 1
+    ensemble: list[Verdict] = []
+    consensus_possible = True
+    for name in names:
+        if consensus_possible:
+            result = ALGORITHMS[name](ts, values, now, duration)
+        else:
+            # skipped detectors are padded False (`algorithms.py:637-638`)
+            result = False
+        ensemble.append(result)
+        if cfg.run_optimized_workflow and ensemble.count(False) >= max_false:
+            consensus_possible = False
+
+    anomalous = consensus_anomalous(ensemble, cfg.consensus)
+    triggered = [name for name, v in zip(names, ensemble) if v is True]
+    return EnsembleResult(
+        status=STATUS_FAIL if anomalous else STATUS_OK,
+        anomalous=anomalous,
+        ensemble=ensemble,
+        triggered=triggered,
+        datapoint=float(values[-1]),
+    )

@@ -1,0 +1,206 @@
+"""Golden detector-parity tests — FIXTURES.md F2/F4.
+
+Reproduces the reference's own oracle (`/root/reference/tests/
+algorithms_test.py:19-77`): 86,401 points 1 s apart, all 1.0 except the final
+point 1000.0, with ``now`` anchored to the last timestamp (the reference
+mocks ``time()`` the same way). Every kernel must match the reference's
+verdict, and the ensemble must reach CONSENSUS with datapoint == 1000.
+"""
+
+import numpy as np
+import pytest
+
+from skyline_spark.config import (
+    STATUS_BORING,
+    STATUS_FAIL,
+    STATUS_OK,
+    STATUS_STALE,
+    STATUS_TOO_SHORT,
+    EnsembleConfig,
+)
+from skyline_spark.operators import detectors
+from skyline_spark.operators.ensemble import gate_status, run_ensemble
+
+NOW = 1_400_000_000.0
+FULL_DURATION = 86400
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """The reference's canonical anomalous series (algorithms_test.py:27-35)."""
+    ts = np.arange(NOW - 86400, NOW + 1, 1.0)
+    values = np.ones(86401)
+    values[-1] = 1000.0
+    return ts, values
+
+
+@pytest.fixture(scope="module")
+def flat():
+    """Agent self-test series: flat 1.0 (analyzer/agent.py:86-104)."""
+    ts = np.arange(NOW - 86400, NOW + 1, 1.0)
+    values = np.ones(86401)
+    return ts, values
+
+
+def test_tail_avg(golden):
+    _, values = golden
+    # (1000 + 1 + 1) / 3 = 334 (algorithms_test.py:37-39)
+    assert detectors.tail_avg(values) == 334
+
+
+def test_tail_avg_short_series():
+    assert detectors.tail_avg(np.array([5.0])) == 5.0
+    assert detectors.tail_avg(np.array([5.0, 7.0])) == 7.0  # falls back to last
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "grubbs",
+        "first_hour_average",
+        "stddev_from_average",
+        "stddev_from_moving_average",
+        "mean_subtraction_cumulation",
+        "least_squares",
+        "histogram_bins",
+    ],
+)
+def test_detector_triggers_on_golden(golden, name):
+    ts, values = golden
+    fn = getattr(detectors, name)
+    assert fn(ts, values, NOW, FULL_DURATION) is True
+
+
+def test_median_absolute_deviation_golden(golden):
+    # MAD of the golden series is 0 (median deviation 0) → False by the
+    # zero-guard (algorithms.py:111-112); the reference test omits MAD too.
+    ts, values = golden
+    assert detectors.median_absolute_deviation(ts, values, NOW, FULL_DURATION) is False
+
+
+def test_ks_test_golden(golden):
+    # probe window (last 10 min) is 599×1.0 + 1000.0 vs reference ~1.0 —
+    # D is small (distributions mostly overlap) → False, as in the reference
+    # (its golden test doesn't assert ks_test for the same reason).
+    ts, values = golden
+    assert detectors.ks_test(ts, values, NOW, FULL_DURATION) is False
+
+
+def test_run_ensemble_golden(golden):
+    ts, values = golden
+    res = run_ensemble(ts, values, NOW)
+    assert res.anomalous is True
+    assert res.status == STATUS_FAIL
+    # ≥ CONSENSUS detectors triggered (algorithms_test.py:76)
+    assert sum(1 for v in res.ensemble if v) >= 6
+    assert res.datapoint == 1000.0
+    assert len(res.ensemble) == 9
+
+
+def test_run_ensemble_order_is_pinned():
+    assert list(detectors.ALGORITHMS) == [
+        "histogram_bins",
+        "first_hour_average",
+        "stddev_from_average",
+        "grubbs",
+        "ks_test",
+        "mean_subtraction_cumulation",
+        "median_absolute_deviation",
+        "stddev_from_moving_average",
+        "least_squares",
+    ]
+
+
+def test_flat_series_not_anomalous(flat):
+    # agent self-test: all 9 run clean, no consensus — but a 100-long flat
+    # tail trips the Boring gate first, exactly like the reference analyzer
+    # would (agent.py runs detectors directly, bypassing gates).
+    ts, values = flat
+    for name, fn in detectors.ALGORITHMS.items():
+        v = fn(ts, values, NOW, FULL_DURATION)
+        assert v is not None, f"{name} errored on flat series"
+        assert v is not True, f"{name} fired on flat series"
+    assert gate_status(ts, values, NOW, EnsembleConfig()) == STATUS_BORING
+
+
+# ---------------------------------------------------------------------------
+# F4 gate + zero-guard fixtures
+# ---------------------------------------------------------------------------
+
+def test_gate_too_short():
+    cfg = EnsembleConfig(min_tolerable_length=5)
+    ts = np.arange(NOW - 3, NOW + 1, 1.0)
+    res = run_ensemble(ts, np.arange(4.0), NOW, cfg)
+    assert res.status == STATUS_TOO_SHORT
+    assert res.ensemble == [] and res.datapoint is None
+
+
+def test_gate_stale():
+    ts = np.arange(NOW - 2000, NOW - 1000, 1.0)  # newest point 1000s old
+    values = np.random.RandomState(1).normal(size=ts.size)
+    res = run_ensemble(ts, values, NOW)
+    assert res.status == STATUS_STALE
+
+
+def test_gate_boring():
+    ts = np.arange(NOW - 200, NOW + 1, 1.0)
+    values = np.concatenate([np.arange(101.0), np.full(100, 7.0)])
+    res = run_ensemble(ts, values, NOW)
+    assert res.status == STATUS_BORING
+
+
+def test_mad_zero_guard():
+    # median deviation 0 but non-constant tail → False, not error (F4 mad_zero)
+    ts = np.arange(NOW - 200, NOW + 1, 1.0)
+    values = np.ones(201)
+    values[-1] = 50.0
+    assert detectors.median_absolute_deviation(ts, values, NOW, FULL_DURATION) is False
+
+
+def test_grubbs_std_zero_guard():
+    ts = np.arange(NOW - 9, NOW + 1, 1.0)
+    values = np.full(10, 3.0)
+    assert detectors.grubbs(ts, values, NOW, FULL_DURATION) is False
+
+
+def test_least_squares_too_few_errors():
+    ts = np.array([NOW - 1, NOW])
+    values = np.array([1.0, 2.0])
+    assert detectors.least_squares(ts, values, NOW, FULL_DURATION) is False
+
+
+def test_detector_error_returns_none():
+    # empty series reaches the kernels only if gates are bypassed; the error
+    # contract says exceptions → None (algorithms.py error contract)
+    empty = np.array([])
+    assert detectors.stddev_from_moving_average(empty, empty, NOW, FULL_DURATION) is None
+
+
+def test_consensus_none_counts_toward_k():
+    # anomalous iff count(False) <= n - k: 5 True + 4 None passes k=6 because
+    # None is not False (algorithms.py:679-687)
+    from skyline_spark.operators.ensemble import consensus_anomalous
+
+    assert consensus_anomalous([True] * 5 + [None] * 4, 6) is True
+    assert consensus_anomalous([True] * 5 + [False] * 4, 6) is False
+    assert consensus_anomalous([True] * 6 + [False] * 3, 6) is True
+
+
+def test_early_exit_pads_false():
+    # a boring-ish but not gate-boring series where nothing fires: optimized
+    # workflow must record 9 verdicts with the tail padded False
+    rng = np.random.RandomState(3)
+    ts = np.arange(NOW - 400, NOW + 1, 1.0)
+    values = rng.normal(100.0, 1.0, ts.size)
+    res = run_ensemble(ts, values, NOW)
+    assert res.status == STATUS_OK
+    assert len(res.ensemble) == 9
+    assert res.anomalous is False
+
+
+def test_optimized_vs_full_same_verdict(golden):
+    ts, values = golden
+    full = run_ensemble(ts, values, NOW, EnsembleConfig(run_optimized_workflow=False))
+    opt = run_ensemble(ts, values, NOW, EnsembleConfig(run_optimized_workflow=True))
+    assert full.anomalous == opt.anomalous
+    assert full.datapoint == opt.datapoint
