@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np
@@ -34,6 +35,7 @@ from .stats_math import adfuller, ks_2samp, t_isf
 __all__ = [
     "ALGORITHMS",
     "DETECTOR_VERSIONS",
+    "DetectorParams",
     "tail_avg",
     "median_absolute_deviation",
     "grubbs",
@@ -49,13 +51,43 @@ __all__ = [
 Verdict = Optional[bool]
 
 
+@dataclass(frozen=True)
+class DetectorParams:
+    """Window parameters of the kernels.
+
+    Defaults are the reference's hardcoded constants; the partition-axis
+    validation plan rescales them (one partition step ≈ one "second"-unit
+    multiple) so the same kernels run on per-partition stat series.
+    """
+
+    # settings.py:89 — length of the rolling window
+    full_duration: int = 86400
+    # algorithms.py:183 — first_hour_average baseline = oldest this-many
+    # seconds of the window (the reference's literal "first hour")
+    baseline_head_seconds: int = 3600
+    # algorithms.py:379-380 — ks_test reference window = [now-ref, now-probe),
+    # probe window = [now-probe, now]
+    ks_reference_seconds: int = 3600
+    ks_probe_seconds: int = 600
+    # algorithms.py:384 — both ks windows need at least this many points
+    ks_min_points: int = 20
+
+
+_REFERENCE_PARAMS = DetectorParams()
+
+
 def _kernel(fn: Callable[..., bool]) -> Callable[..., Verdict]:
     """Reference error contract: any exception → None (`algorithms.py:103-107`)."""
 
     @functools.wraps(fn)
-    def wrapped(ts: np.ndarray, values: np.ndarray, now: float, full_duration: int) -> Verdict:
+    def wrapped(
+        ts: np.ndarray,
+        values: np.ndarray,
+        now: float,
+        params: DetectorParams = _REFERENCE_PARAMS,
+    ) -> Verdict:
         try:
-            return fn(ts, values, now, full_duration)
+            return fn(ts, values, now, params)
         except Exception:
             return None
 
@@ -74,7 +106,7 @@ def tail_avg(values: np.ndarray) -> float:
 
 
 @_kernel
-def median_absolute_deviation(ts, values, now, full_duration) -> bool:
+def median_absolute_deviation(ts, values, now, params) -> bool:
     """|last − median| / median(|x − median|) > 6; False when MAD == 0.
 
     Reference: `analyzer/algorithms.py:92-139`. Uses pandas median (skipna)
@@ -91,7 +123,7 @@ def median_absolute_deviation(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def grubbs(ts, values, now, full_duration) -> bool:
+def grubbs(ts, values, now, params) -> bool:
     """Grubbs outlier test on the tail average.
 
     Reference: `analyzer/algorithms.py:142-172`. Population std (scipy.std is
@@ -112,7 +144,7 @@ def grubbs(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def first_hour_average(ts, values, now, full_duration) -> bool:
+def first_hour_average(ts, values, now, params) -> bool:
     """Tail average vs mean/std of the OLDEST hour of the window.
 
     Reference: `analyzer/algorithms.py:175-194`. Baseline = points with
@@ -120,7 +152,7 @@ def first_hour_average(ts, values, now, full_duration) -> bool:
     baseline yields NaN stats → False (NaN comparisons are False), matching
     the reference's pandas behaviour.
     """
-    cutoff = now - (full_duration - 3600)
+    cutoff = now - (params.full_duration - params.baseline_head_seconds)
     baseline = pd.Series(values[ts < cutoff])
     mean = baseline.mean()
     std_dev = baseline.std()
@@ -129,7 +161,7 @@ def first_hour_average(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def stddev_from_average(ts, values, now, full_duration) -> bool:
+def stddev_from_average(ts, values, now, params) -> bool:
     """|tail_avg − mean| > 3 · sample-std of the whole series.
 
     Reference: `analyzer/algorithms.py:197-216` (pandas ddof=1 std).
@@ -142,7 +174,7 @@ def stddev_from_average(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def stddev_from_moving_average(ts, values, now, full_duration) -> bool:
+def stddev_from_moving_average(ts, values, now, params) -> bool:
     """|last − EWMA| > 3 · EWM-std at the last point.
 
     Reference: `analyzer/algorithms.py:219-244`. EWM parameters are pinned:
@@ -158,7 +190,7 @@ def stddev_from_moving_average(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def mean_subtraction_cumulation(ts, values, now, full_duration) -> bool:
+def mean_subtraction_cumulation(ts, values, now, params) -> bool:
     """|last − mean(head)| > 3 · std(head) where head = all but the last.
 
     Reference: `analyzer/algorithms.py:247-273`. The reference coerces falsy
@@ -173,7 +205,7 @@ def mean_subtraction_cumulation(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def least_squares(ts, values, now, full_duration) -> bool:
+def least_squares(ts, values, now, params) -> bool:
     """OLS trend residual tail test.
 
     Reference: `analyzer/algorithms.py:276-334`. Fit y = m·x + c with
@@ -194,7 +226,7 @@ def least_squares(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def histogram_bins(ts, values, now, full_duration) -> bool:
+def histogram_bins(ts, values, now, params) -> bool:
     """Tail average falls in a 15-bin histogram bin with ≤ 20 members.
 
     Reference: `analyzer/algorithms.py:337-367`, including the first-bin
@@ -213,20 +245,20 @@ def histogram_bins(ts, values, now, full_duration) -> bool:
 
 
 @_kernel
-def ks_test(ts, values, now, full_duration) -> bool:
+def ks_test(ts, values, now, params) -> bool:
     """Distribution drift: last 10 minutes vs the prior 50 minutes.
 
     Reference: `analyzer/algorithms.py:370-401`. False unless both windows
     have ≥ 20 points; anomalous iff KS p < .05 AND D > .5 AND the reference
     window is stationary (ADF p < .05, maxlag 10).
     """
-    hour_ago = now - 3600
-    ten_minutes_ago = now - 600
+    hour_ago = now - params.ks_reference_seconds
+    ten_minutes_ago = now - params.ks_probe_seconds
     ref_mask = (ts >= hour_ago) & (ts < ten_minutes_ago)
     probe_mask = ts >= ten_minutes_ago
     reference = values[ref_mask]
     probe = values[probe_mask]
-    if reference.size < 20 or probe.size < 20:
+    if reference.size < params.ks_min_points or probe.size < params.ks_min_points:
         return False
     ks_d, ks_p_value = ks_2samp(reference, probe)
     if ks_p_value < 0.05 and ks_d > 0.5:

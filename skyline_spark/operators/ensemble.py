@@ -31,7 +31,7 @@ from ..config import (
     STATUS_TOO_SHORT,
     EnsembleConfig,
 )
-from .detectors import ALGORITHMS, Verdict
+from .detectors import ALGORITHMS, DetectorParams, Verdict
 
 __all__ = ["EnsembleResult", "run_ensemble", "consensus_anomalous", "gate_status"]
 
@@ -74,15 +74,19 @@ def run_ensemble(
     now: float,
     cfg: EnsembleConfig | None = None,
     full_duration: int | None = None,
+    params: DetectorParams | None = None,
 ) -> EnsembleResult:
     """Gates → ordered detector ensemble (with optional early-exit) → consensus.
 
-    ``full_duration`` overrides the config window (the Mirage second-pass
-    re-check runs the same kernels at a longer resolution —
-    `mirage/mirage_algorithms.py:485-502`, SURVEY.md §2.5).
+    ``full_duration`` (or a full ``params`` override) re-parameterizes the
+    kernels: the Mirage second-pass re-check runs the same kernels at a longer
+    resolution (`mirage/mirage_algorithms.py:485-502`, SURVEY.md §2.5) and the
+    partition-axis validation plan rescales all windows.
     """
     cfg = cfg or EnsembleConfig()
-    duration = full_duration if full_duration is not None else cfg.full_duration
+    if params is None:
+        duration = full_duration if full_duration is not None else cfg.full_duration
+        params = DetectorParams(full_duration=duration)
     ts = np.asarray(ts, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
 
@@ -97,7 +101,7 @@ def run_ensemble(
     consensus_possible = True
     for name in names:
         if consensus_possible:
-            result = ALGORITHMS[name](ts, values, now, duration)
+            result = ALGORITHMS[name](ts, values, now, params)
         else:
             # skipped detectors are padded False (`algorithms.py:637-638`)
             result = False

@@ -1,0 +1,185 @@
+"""Deterministic synthetic Common-Crawl-style page table (FIXTURES.md F1).
+
+Generates the engine's subject table — ``(url string, warc_ts timestamp,
+html binary, text string, lang string)`` per BASELINE.json ``input_hint`` —
+entirely with Catalyst expressions: every "random" quantity is derived from
+``xxhash64`` of the row id plus a salt, so the same (n_rows, n_days, seed)
+always produces byte-identical data on any cluster size, with no driver-side
+loops and no RNG state. At 10^12-row scale this generator is itself a
+distributed job (``spark.range`` parallelizes the id space).
+
+Skew is built in on purpose: host ranks follow an inverse-square law
+(continuous-Zipf s=1.5 via inverse-CDF, top host ≈ 29% of rows) so the skew
+handling demanded by the north rule is exercised by construction.
+
+Injected defects (FIXTURES.md F1, keyed by day index, tagged in ``_defect``):
+- d3: duplicated url rows            → uniqueness violations
+- d4: lang='xx' on ~5% of rows       → referential violations
+- d5: ~12% NULL text                 → null-rate drift
+- d6: text length ×3                 → length-distribution drift (≥ CONSENSUS)
+- d7: constant text                  → Boring gate (constant column)
+- d8 (= n_days-1): ~99.5% of rows dropped → TooShort gate
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["PAGE_SCHEMA", "synth_pages", "LANGS", "DEFECT_DAYS"]
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# lang mix per FIXTURES.md F1
+LANGS = [("eng", 0.6), ("deu", 0.7), ("fra", 0.8), ("spa", 0.9), ("zho", 1.0)]
+
+DEFECT_DAYS = {"dup": 3, "lang": 4, "null_text": 5, "len_shift": 6, "constant": 7}
+
+_VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "ocean", "river",
+    "forest", "meadow", "stone", "ember", "frost", "gale",
+]
+_WORDS_PER_PARA = 40
+
+
+def _u(seed_col: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1] derived from a hash (never exactly 0)."""
+    return (F.pmod(F.xxhash64(seed_col, F.lit(salt)), F.lit(1_000_000)) + 1) / 1_000_000.0
+
+
+def _host(seed_col: Column, n_hosts: int) -> Column:
+    """Continuous-Zipf(s=1.5) host rank via inverse CDF: rank = ceil(u^-2).
+
+    P(rank=1) = P(u > 1/√2) ≈ 0.293 — the skewed-host fixture.
+    """
+    rank = F.least(F.lit(n_hosts), F.ceil(F.pow(_u(seed_col, "host"), F.lit(-2.0))))
+    return F.concat(F.lit("host-"), F.lpad(rank.cast("string"), 5, "0"), F.lit(".example.org"))
+
+
+def _word_stream(seed_col: Column, n_words: Column, salt: str) -> Column:
+    """Deterministic word sequence: vocab indexed by per-position hashes."""
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    idx = F.sequence(F.lit(0), n_words - 1)
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab, (F.pmod(F.xxhash64(seed_col, F.lit(salt), i), F.lit(len(_VOCAB))) + 1).cast("int")
+    )
+    return F.transform(idx, word)
+
+
+def _paragraphs(words: Column) -> Column:
+    """Group the word array into newline-separated paragraphs of ≤ 40 words."""
+    n_paras = F.ceil(F.size(words) / F.lit(_WORDS_PER_PARA)).cast("int")
+    para = lambda p: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, p * _WORDS_PER_PARA + 1, _WORDS_PER_PARA)
+    )
+    return F.concat_ws("\n", F.transform(F.sequence(F.lit(0), n_paras - 1), para))
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_rows: int = 10_000,
+    n_days: int = 8,
+    base_date: str = "2026-08-01",
+    n_hosts: int = 1000,
+    defects: bool = True,
+    keep_defect_tag: bool = False,
+) -> DataFrame:
+    """Build the deterministic page table (see module docstring)."""
+    df = spark.range(n_rows).withColumnRenamed("id", "_id")
+    rid = F.col("_id")
+
+    day = F.pmod(F.xxhash64(rid, F.lit("day")), F.lit(n_days)).cast("int")
+    second = F.pmod(F.xxhash64(rid, F.lit("sec")), F.lit(86_400))
+    warc_ts = F.to_timestamp(F.lit(base_date)) + F.make_dt_interval(days=day, secs=second.cast("double"))
+
+    lang_u = _u(rid, "lang")
+    lang = F.lit(LANGS[-1][0])
+    for name, cum in reversed(LANGS[:-1]):
+        lang = F.when(lang_u <= cum, F.lit(name)).otherwise(lang)
+
+    url = F.concat(
+        F.lit("https://"), _host(rid, n_hosts), F.lit("/p/"),
+        F.conv(F.abs(F.xxhash64(rid, F.lit("path"))).cast("string"), 10, 16), F.lit("-"),
+        rid.cast("string"),
+    )
+
+    # word count: 20–200 words, quadratic-skewed toward short pages
+    n_words = (F.lit(20) + F.floor(F.pow(_u(rid, "len"), F.lit(2.0)) * 180)).cast("int")
+
+    defect = F.lit(None).cast("string")
+    if defects:
+        n_words = F.when(day == DEFECT_DAYS["len_shift"], n_words * 3).otherwise(n_words)
+        defect = F.when(day == DEFECT_DAYS["len_shift"], F.lit("len_shift")).otherwise(defect)
+
+    text = _paragraphs(_word_stream(rid, n_words, "text"))
+
+    if defects:
+        constant_text = F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(40)), lambda _: F.lit("steady"))
+        )
+        is_constant = (day == DEFECT_DAYS["constant"]) & (_u(rid, "const") <= 0.8)
+        text = F.when(is_constant, constant_text).otherwise(text)
+        defect = F.when(is_constant, F.lit("constant")).otherwise(defect)
+
+        is_null_text = (day == DEFECT_DAYS["null_text"]) & (_u(rid, "null") <= 0.12)
+        defect = F.when(is_null_text, F.lit("null_text")).otherwise(defect)
+
+        is_bad_lang = (day == DEFECT_DAYS["lang"]) & (_u(rid, "badlang") <= 0.05)
+        lang = F.when(is_bad_lang, F.lit("xx")).otherwise(lang)
+        defect = F.when(is_bad_lang, F.lit("bad_lang")).otherwise(defect)
+
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.regexp_extract(url, r"https://([^/]+)/", 1),
+            F.lit("</title></head><body><nav><a href=\"https://www.example.org/\">home</a>"
+                  "<a href=\"https://search.example.org/\">search</a></nav><article><p>"),
+            F.regexp_replace(text, "\n", "</p><p>"),
+            F.lit("</p></article><footer>crawl</footer></body></html>"),
+        ),
+        "UTF-8",
+    )
+
+    if defects:
+        # html stays intact for null-text rows (extraction "failed upstream")
+        text = F.when(is_null_text, F.lit(None)).otherwise(text)
+
+    out = df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        day.alias("_day"),
+        defect.alias("_defect"),
+    )
+
+    if defects:
+        # d8: drop ~99.5% of the last day → TooShort partition
+        last_day = n_days - 1
+        keep = (F.col("_day") != last_day) | (_u(F.xxhash64(F.col("url")), "keep8") <= 0.005)
+        out = out.where(keep).withColumn(
+            "_defect",
+            F.when(F.col("_day") == last_day, F.lit("too_short")).otherwise(F.col("_defect")),
+        )
+        # d3: duplicate ~5% of that day's urls (identical full rows)
+        dups = out.where(
+            (F.col("_day") == DEFECT_DAYS["dup"]) & (_u(F.xxhash64(F.col("url")), "dup") <= 0.05)
+        ).withColumn("_defect", F.lit("dup"))
+        out = out.unionAll(dups)
+
+    if not keep_defect_tag:
+        out = out.drop("_day", "_defect")
+    return out

@@ -19,10 +19,11 @@ from skyline_spark.config import (
     EnsembleConfig,
 )
 from skyline_spark.operators import detectors
+from skyline_spark.operators.detectors import DetectorParams
 from skyline_spark.operators.ensemble import gate_status, run_ensemble
 
 NOW = 1_400_000_000.0
-FULL_DURATION = 86400
+FULL_DURATION = DetectorParams()  # reference windows
 
 
 @pytest.fixture(scope="module")
