@@ -48,7 +48,11 @@ class ValidationConfig:
     # seconds represented by one partition step (days(warc_ts) → 86400)
     partition_seconds: int = 86400
     # minimum history length before drift checks run (else TOO_SHORT status)
-    min_history: int = 8
+    min_history: int = 6
+    # partitions with fewer rows are skipped entirely (TOO_SHORT status)
+    min_partition_rows: int = 20
+    # per-(partition, lang) cap on the ks_test value sample
+    sample_cap: int = 512
     # cap on per-partition violation example rows (counts stay exact)
     max_violation_examples: int = 20
 

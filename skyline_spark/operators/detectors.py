@@ -71,6 +71,12 @@ class DetectorParams:
     ks_probe_seconds: int = 600
     # algorithms.py:384 — both ks windows need at least this many points
     ks_min_points: int = 20
+    # algorithms.py:78-89 — tail_avg over the last N points. The reference
+    # pins 3 (anomalies persist ~3 minutely datapoints); on the partition
+    # axis the anomalous window is exactly ONE partition, so the validation
+    # plan sets 1 — otherwise a single-partition spike is diluted 3x and the
+    # z-score detectors can never reach 3 sigma.
+    tail_points: int = 3
 
 
 _REFERENCE_PARAMS = DetectorParams()
@@ -94,14 +100,14 @@ def _kernel(fn: Callable[..., bool]) -> Callable[..., Verdict]:
     return wrapped
 
 
-def tail_avg(values: np.ndarray) -> float:
-    """Mean of the last three datapoints; the last value if fewer than 3.
+def tail_avg(values: np.ndarray, n: int = 3) -> float:
+    """Mean of the last n datapoints; the last value if fewer than n.
 
-    Reference: `analyzer/algorithms.py:78-89` (IndexError fallback when the
-    series is shorter than 3).
+    Reference: `analyzer/algorithms.py:78-89` (n=3, IndexError fallback when
+    the series is shorter than 3).
     """
-    if values.size >= 3:
-        return float(values[-1] + values[-2] + values[-3]) / 3.0
+    if values.size >= n:
+        return float(np.mean(values[-n:]))
     return float(values[-1])
 
 
@@ -134,7 +140,7 @@ def grubbs(ts, values, now, params) -> bool:
     if std_dev == 0:
         return False
     mean = float(np.mean(values))
-    tail_average = tail_avg(values)
+    tail_average = tail_avg(values, params.tail_points)
     z_score = (tail_average - mean) / std_dev
     n = values.size
     threshold = t_isf(0.05 / (2.0 * n), n - 2)
@@ -156,7 +162,7 @@ def first_hour_average(ts, values, now, params) -> bool:
     baseline = pd.Series(values[ts < cutoff])
     mean = baseline.mean()
     std_dev = baseline.std()
-    t = tail_avg(values)
+    t = tail_avg(values, params.tail_points)
     return bool(abs(t - mean) > 3 * std_dev)
 
 
@@ -169,7 +175,7 @@ def stddev_from_average(ts, values, now, params) -> bool:
     series = pd.Series(values)
     mean = series.mean()
     std_dev = series.std()
-    t = tail_avg(values)
+    t = tail_avg(values, params.tail_points)
     return bool(abs(t - mean) > 3 * std_dev)
 
 
@@ -218,10 +224,10 @@ def least_squares(ts, values, now, params) -> bool:
     A = np.vstack([x, np.ones(len(x))]).T
     m, c = np.linalg.lstsq(A, y, rcond=-1)[0]
     errors = y - (m * x + c)
-    if errors.size < 3:
+    if errors.size < max(3, params.tail_points):
         return False
     std_dev = float(np.std(errors))  # ddof=0, parity with scipy.std
-    t = float(errors[-1] + errors[-2] + errors[-3]) / 3.0
+    t = float(np.mean(errors[-params.tail_points :]))
     return bool(abs(t) > std_dev * 3 and round(std_dev) != 0 and round(t) != 0)
 
 
@@ -232,7 +238,7 @@ def histogram_bins(ts, values, now, params) -> bool:
     Reference: `analyzer/algorithms.py:337-367`, including the first-bin
     edge case (t <= bins[0]) and the half-open upper bins.
     """
-    t = tail_avg(values)
+    t = tail_avg(values, params.tail_points)
     counts, bins = np.histogram(values, bins=15)
     for index, bin_size in enumerate(counts):
         if bin_size <= 20:

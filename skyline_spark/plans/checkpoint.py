@@ -1,0 +1,87 @@
+"""Checkpoint / lineage table — resumable validation runs.
+
+The Panorama-anomalies + Redis-TTL-dedup restatement (SURVEY §2.3, §3.3):
+one row per validated (partition_date, lang) carrying the partition content
+fingerprint (snapshot id), the detector versions that produced the verdict,
+a digest of the stats, and run metrics (FIXTURES F5 ``checkpoint`` schema).
+
+Resume = an anti-join: a partition needs (re)validation iff its current
+``(partition_date, lang, snapshot_id, engine detector-version hash)`` tuple
+has no checkpoint row. Changed data changes the fingerprint; changed kernels
+change the version hash; both force revalidation — nothing else does.
+
+Storage is plain parquet (append-only, partitioned by run) so it works
+anywhere; on an Iceberg deployment this table maps 1:1 to an Iceberg table
+with snapshot isolation (optimistic concurrency is then native, replacing
+Roomba's WATCH/retry loop — `horizon/roomba.py:60-196`).
+"""
+
+from __future__ import annotations
+
+import json
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..operators.detectors import DETECTOR_VERSIONS
+from .stats import PARTITION_COLS
+
+__all__ = [
+    "CHECKPOINT_SCHEMA",
+    "detector_version_hash",
+    "load_checkpoint",
+    "append_checkpoint",
+    "pending_partitions",
+]
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_date", T.DateType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("detector_version_hash", T.StringType()),
+        T.StructField("detector_versions", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("stat_digests", T.BinaryType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("validated_at", T.TimestampType()),
+        T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
+    ]
+)
+
+
+def detector_version_hash(versions: dict[str, str] | None = None) -> str:
+    versions = versions or DETECTOR_VERSIONS
+    blob = json.dumps(sorted(versions.items())).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def load_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+
+def append_checkpoint(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def pending_partitions(
+    current: DataFrame, checkpoint: DataFrame, version_hash: str | None = None
+) -> DataFrame:
+    """(partition_date, lang) pairs needing validation.
+
+    ``current``: one row per (partition_date, lang) with ``snapshot_id``
+    (the content fingerprint from plans.stats). Anti-join against checkpoint
+    rows with the same snapshot + detector versions — pure DataFrame logic,
+    no driver collect (SURVEY §4 "Resumability").
+    """
+    version_hash = version_hash or detector_version_hash()
+    done = checkpoint.where(F.col("detector_version_hash") == version_hash).select(
+        *PARTITION_COLS, "snapshot_id"
+    )
+    return current.select(*PARTITION_COLS, "snapshot_id").join(
+        done, [*PARTITION_COLS, "snapshot_id"], "left_anti"
+    )

@@ -1,0 +1,265 @@
+"""End-to-end validation pipeline — the engine's main entry point.
+
+Spark restatement of the Analyzer sweep (SURVEY §3.2):
+
+    read table → per-partition stats (one agg pass over the big table)
+               → drift ensemble over the tiny stats table (applyInPandas)
+               → constraint checks (uniqueness / referential / schema /
+                 static), scans pruned to target partitions
+               → pass/fail verdicts + violation sidecar + checkpoint rows
+
+Resume: with a ``checkpoint_path``, already-validated (partition, lang,
+snapshot, detector-version) tuples are anti-joined away; only new or changed
+partitions are (re)validated. Baseline history always flows through the
+stats table, never the raw data — the 10^12-row posture is that detectors
+see only checkpoint-sized inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import time as _time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..config import (
+    STATUS_BORING,
+    STATUS_FAIL,
+    STATUS_OK,
+    STATUS_TOO_SHORT,
+    ValidationConfig,
+)
+from ..operators.detectors import DETECTOR_VERSIONS
+from ..sources.synth import PAGE_SCHEMA
+from .checkpoint import (
+    detector_version_hash,
+    load_checkpoint,
+    pending_partitions,
+)
+from .constraints import (
+    DEFAULT_LANG_ALLOWLIST,
+    StaticRule,
+    VIOLATION_SCHEMA,
+    referential_violations,
+    schema_violations,
+    static_rule_violations,
+    uniqueness_violations,
+)
+from .drift import drift_verdicts
+from .stats import PARTITION_COLS, partition_stats, stat_samples, with_partition
+
+__all__ = ["ValidationResult", "validate", "VERDICT_SCHEMA", "DEFAULT_STATIC_RULES"]
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_date", T.DateType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("checks_run", T.IntegerType()),
+        T.StructField("checks_failed", T.IntegerType()),
+        T.StructField("ensemble", T.MapType(T.StringType(), T.ArrayType(T.BooleanType(), True))),
+        T.StructField("consensus", T.MapType(T.StringType(), T.BooleanType())),
+    ]
+)
+
+# Boundary-style defaults (SURVEY §2.6): a partition must not be near-empty
+# and null rates must stay sane even if drift has no baseline yet.
+DEFAULT_STATIC_RULES = (
+    StaticRule("row_count", "less_than", 1.0),
+    StaticRule("null_rate_text", "greater_than", 0.5),
+)
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    checkpoint: DataFrame
+    stats: DataFrame
+    samples: DataFrame
+    run_id: str = ""
+    config: ValidationConfig = field(default_factory=ValidationConfig)
+
+
+def validate(
+    pages: DataFrame,
+    cfg: ValidationConfig | None = None,
+    checkpoint_path: str | None = None,
+    run_id: str = "run-0",
+    run_ts: float | None = None,
+    static_rules: Sequence[StaticRule] = DEFAULT_STATIC_RULES,
+    lang_allowlist: Sequence[str] = tuple(DEFAULT_LANG_ALLOWLIST),
+) -> ValidationResult:
+    cfg = cfg or ValidationConfig()
+    spark = pages.sparkSession
+    run_ts = run_ts if run_ts is not None else _time.time()
+
+    # ---- stage 0: schema check, then conform the input --------------------
+    # a wrong-typed or missing column is *reported* (schema violations) and
+    # then coerced (try_cast / null-fill) so every downstream check still
+    # runs instead of crashing mid-plan
+    schema_viol = schema_violations(pages, PAGE_SCHEMA)
+    pages = pages.select(
+        *[
+            (F.col(f.name).try_cast(f.dataType) if f.name in pages.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in PAGE_SCHEMA.fields
+        ]
+    )
+
+    # ---- stage 1: one aggregation pass over the (possibly huge) table ----
+    stats = partition_stats(pages).cache()
+    samples = stat_samples(pages, cfg.sample_cap)
+
+    fingerprints = (
+        stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
+        .distinct()
+    )
+
+    # ---- stage 2: resume — which (partition, lang) pairs need work? ------
+    vhash = detector_version_hash()
+    if checkpoint_path is not None:
+        ckpt = load_checkpoint(spark, checkpoint_path)
+        targets = pending_partitions(fingerprints, ckpt, vhash)
+    else:
+        targets = fingerprints
+    targets = targets.cache()
+
+    # ---- stage 3: partition row-count gate (TooShort, FIXTURES F4) -------
+    row_counts = stats.where(F.col("stat") == "row_count").select(
+        *PARTITION_COLS, F.col("value").alias("row_count")
+    )
+    gated = targets.join(row_counts, PARTITION_COLS, "left").withColumn(
+        "too_short", F.coalesce(F.col("row_count"), F.lit(0)) < cfg.min_partition_rows
+    )
+    drift_targets = gated.where(~F.col("too_short")).select(*PARTITION_COLS)
+
+    # ---- stage 4: drift ensemble over the stats table ---------------------
+    drift = drift_verdicts(stats, samples, cfg, targets_df=drift_targets)
+
+    # ---- stage 5: constraints, scans pruned to target partitions ----------
+    pages_p = with_partition(pages)
+    target_pages = pages_p.join(
+        F.broadcast(drift_targets), PARTITION_COLS, "left_semi"
+    )
+    violations = (
+        schema_viol
+        .unionAll(uniqueness_violations(target_pages, "url", cfg.max_violation_examples))
+        .unionAll(
+            referential_violations(
+                target_pages, lang_allowlist, max_examples=cfg.max_violation_examples
+            )
+        )
+        .unionAll(static_rule_violations(stats.join(
+            F.broadcast(targets.select(*PARTITION_COLS)), PARTITION_COLS, "left_semi"
+        ), static_rules))
+    )
+    drift_viol = (
+        drift.where(F.col("anomalous"))
+        .select(
+            "partition_date",
+            "lang",
+            F.lit("drift").alias("check"),
+            F.col("stat").alias("column"),
+            F.lit(None).cast("string").alias("url"),
+            F.col("datapoint").cast("string").alias("observed"),
+            F.lit(f"consensus < {cfg.ensemble.consensus} of 9").alias("expected"),
+            F.col("triggered").alias("triggered_algorithms"),
+        )
+    )
+    violations = violations.unionAll(drift_viol)
+
+    # ---- stage 6: per-(partition, lang) verdict assembly -------------------
+    drift_agg = drift.groupBy(*PARTITION_COLS).agg(
+        F.count(F.lit(1)).cast("int").alias("drift_checks"),
+        F.sum(F.col("anomalous").cast("int")).cast("int").alias("drift_failed"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("stat"), F.col("ensemble")))
+        ).alias("ensemble"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("stat"), F.col("anomalous")))
+        ).alias("consensus"),
+        F.max((F.col("status") == STATUS_BORING).cast("int")).alias("any_boring"),
+        F.max((F.col("status") != STATUS_TOO_SHORT).cast("int")).alias("any_history"),
+    )
+    # constraint failures per pair (partition-level schema rows excluded)
+    pair_viol = (
+        violations.where(F.col("partition_date").isNotNull())
+        .where(F.col("check") != "drift")
+        .groupBy(*PARTITION_COLS)
+        .agg(F.count_distinct("check", "column").cast("int").alias("constraint_failed"))
+    )
+    n_constraint_checks = 3 + len(static_rules)  # uniqueness + lang + warc_ts + statics
+
+    verdicts = (
+        gated.join(drift_agg, PARTITION_COLS, "left")
+        .join(pair_viol, PARTITION_COLS, "left")
+        .select(
+            *PARTITION_COLS,
+            F.col("too_short"),
+            F.coalesce(F.col("drift_checks"), F.lit(0)).alias("drift_checks"),
+            F.coalesce(F.col("drift_failed"), F.lit(0)).alias("drift_failed"),
+            F.coalesce(F.col("constraint_failed"), F.lit(0)).alias("constraint_failed"),
+            F.col("ensemble"),
+            F.col("consensus"),
+            F.coalesce(F.col("any_boring"), F.lit(0)).alias("any_boring"),
+            F.coalesce(F.col("any_history"), F.lit(0)).alias("any_history"),
+        )
+        .select(
+            *PARTITION_COLS,
+            F.when(F.col("too_short"), F.lit(STATUS_TOO_SHORT))
+            .when(F.col("drift_failed") + F.col("constraint_failed") > 0, F.lit(STATUS_FAIL))
+            .when(F.col("any_boring") == 1, F.lit(STATUS_BORING))
+            .when(F.col("any_history") == 0, F.lit(STATUS_TOO_SHORT))
+            .otherwise(F.lit(STATUS_OK))
+            .alias("status"),
+            (F.col("drift_checks") + F.lit(n_constraint_checks)).cast("int").alias("checks_run"),
+            (F.col("drift_failed") + F.col("constraint_failed")).cast("int").alias("checks_failed"),
+            F.col("ensemble"),
+            F.col("consensus"),
+        )
+    )
+
+    # ---- stage 7: checkpoint rows ------------------------------------------
+    validated_at = _dt.datetime.utcfromtimestamp(run_ts)
+    digest = F.to_json(
+        F.map_from_entries(F.collect_list(F.struct(F.col("stat"), F.col("value"))))
+    ).cast("binary")
+    stat_digests = stats.groupBy(*PARTITION_COLS).agg(digest.alias("stat_digests"))
+    version_map = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in DETECTOR_VERSIONS]),
+        F.array(*[F.lit(v) for v in DETECTOR_VERSIONS.values()]),
+    )
+    checkpoint = (
+        verdicts.join(fingerprints, PARTITION_COLS)
+        .join(row_counts, PARTITION_COLS, "left")
+        .join(stat_digests, PARTITION_COLS, "left")
+        .select(
+            *PARTITION_COLS,
+            F.col("snapshot_id"),
+            F.lit(vhash).alias("detector_version_hash"),
+            version_map.alias("detector_versions"),
+            F.col("stat_digests"),
+            F.coalesce(F.col("row_count"), F.lit(0)).cast("long").alias("row_count"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(validated_at).alias("validated_at"),
+            F.map_from_arrays(
+                F.array(F.lit("checks_run"), F.lit("checks_failed")),
+                F.array(F.col("checks_run").cast("double"), F.col("checks_failed").cast("double")),
+            ).alias("metrics"),
+        )
+    )
+
+    return ValidationResult(
+        verdicts=verdicts,
+        violations=violations,
+        checkpoint=checkpoint,
+        stats=stats,
+        samples=samples,
+        run_id=run_id,
+        config=cfg,
+    )

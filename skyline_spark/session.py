@@ -22,7 +22,7 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -36,3 +36,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # ship the package to python workers — same mechanism as
+    # `spark-submit --py-files` on a real cluster (north rule)
+    from .packaging import attach_package
+
+    attach_package(spark)
+    return spark

@@ -13,12 +13,14 @@ Skew is built in on purpose: host ranks follow an inverse-square law
 handling demanded by the north rule is exercised by construction.
 
 Injected defects (FIXTURES.md F1, keyed by day index, tagged in ``_defect``):
-- d3: duplicated url rows            → uniqueness violations
-- d4: lang='xx' on ~5% of rows       → referential violations
-- d5: ~12% NULL text                 → null-rate drift
-- d6: text length ×3                 → length-distribution drift (≥ CONSENSUS)
-- d7: constant text                  → Boring gate (constant column)
-- d8 (= n_days-1): ~99.5% of rows dropped → TooShort gate
+(placed on the LAST six days so drift days have a clean baseline; see
+``defect_days``):
+- n-6: duplicated url rows           → uniqueness violations
+- n-5: lang='xx' on ~5% of rows      → referential violations
+- n-4: ~12% NULL text (vs ~1% base)  → null-rate drift
+- n-3: text length ×3                → length-distribution drift (≥ CONSENSUS)
+- n-2: constant text                 → Boring gate (constant column)
+- n-1: ~99.5% of rows dropped        → TooShort gate
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["PAGE_SCHEMA", "synth_pages", "LANGS", "DEFECT_DAYS"]
+__all__ = ["PAGE_SCHEMA", "synth_pages", "LANGS", "defect_days"]
 
 PAGE_SCHEMA = T.StructType(
     [
@@ -42,7 +44,17 @@ PAGE_SCHEMA = T.StructType(
 # lang mix per FIXTURES.md F1
 LANGS = [("eng", 0.6), ("deu", 0.7), ("fra", 0.8), ("spa", 0.9), ("zho", 1.0)]
 
-DEFECT_DAYS = {"dup": 3, "lang": 4, "null_text": 5, "len_shift": 6, "constant": 7}
+def defect_days(n_days: int) -> dict[str, int]:
+    """Defect-day placement (FIXTURES F1): the last six days carry one defect
+    each, so drift days have a full clean baseline before them."""
+    return {
+        "dup": max(0, n_days - 6),
+        "lang": max(0, n_days - 5),
+        "null_text": max(0, n_days - 4),
+        "len_shift": max(0, n_days - 3),
+        "constant": max(0, n_days - 2),
+        "too_short": max(0, n_days - 1),
+    }
 
 _VOCAB = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
@@ -118,10 +130,11 @@ def synth_pages(
     # word count: 20–200 words, quadratic-skewed toward short pages
     n_words = (F.lit(20) + F.floor(F.pow(_u(rid, "len"), F.lit(2.0)) * 180)).cast("int")
 
+    ddays = defect_days(n_days)
     defect = F.lit(None).cast("string")
     if defects:
-        n_words = F.when(day == DEFECT_DAYS["len_shift"], n_words * 3).otherwise(n_words)
-        defect = F.when(day == DEFECT_DAYS["len_shift"], F.lit("len_shift")).otherwise(defect)
+        n_words = F.when(day == ddays["len_shift"], n_words * 3).otherwise(n_words)
+        defect = F.when(day == ddays["len_shift"], F.lit("len_shift")).otherwise(defect)
 
     text = _paragraphs(_word_stream(rid, n_words, "text"))
 
@@ -129,14 +142,20 @@ def synth_pages(
         constant_text = F.concat_ws(
             " ", F.transform(F.sequence(F.lit(1), F.lit(40)), lambda _: F.lit("steady"))
         )
-        is_constant = (day == DEFECT_DAYS["constant"]) & (_u(rid, "const") <= 0.8)
+        # the whole day is constant → the within-partition Boring gate
+        # (distinct-count == 1, SURVEY §2.2) skips drift for d7
+        is_constant = day == ddays["constant"]
         text = F.when(is_constant, constant_text).otherwise(text)
         defect = F.when(is_constant, F.lit("constant")).otherwise(defect)
 
-        is_null_text = (day == DEFECT_DAYS["null_text"]) & (_u(rid, "null") <= 0.12)
+        # ~1% nulls everywhere (the drift baseline), 12% on the defect day
+        null_u = _u(rid, "null")
+        is_null_text = F.when(day == ddays["null_text"], null_u <= 0.12).otherwise(
+            null_u <= 0.01
+        )
         defect = F.when(is_null_text, F.lit("null_text")).otherwise(defect)
 
-        is_bad_lang = (day == DEFECT_DAYS["lang"]) & (_u(rid, "badlang") <= 0.05)
+        is_bad_lang = (day == ddays["lang"]) & (_u(rid, "badlang") <= 0.05)
         lang = F.when(is_bad_lang, F.lit("xx")).otherwise(lang)
         defect = F.when(is_bad_lang, F.lit("bad_lang")).otherwise(defect)
 
@@ -176,7 +195,7 @@ def synth_pages(
         )
         # d3: duplicate ~5% of that day's urls (identical full rows)
         dups = out.where(
-            (F.col("_day") == DEFECT_DAYS["dup"]) & (_u(F.xxhash64(F.col("url")), "dup") <= 0.05)
+            (F.col("_day") == ddays["dup"]) & (_u(F.xxhash64(F.col("url")), "dup") <= 0.05)
         ).withColumn("_defect", F.lit("dup"))
         out = out.unionAll(dups)
 

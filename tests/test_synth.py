@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from skyline_spark.functions.extract import extract_text, extract_text_expr
-from skyline_spark.sources.synth import DEFECT_DAYS, PAGE_SCHEMA, synth_pages
+from skyline_spark.sources.synth import defect_days, PAGE_SCHEMA, synth_pages
+
+DEFECT_DAYS = defect_days(8)
 
 N_ROWS = 4000
 N_DAYS = 8
@@ -100,7 +102,7 @@ def test_defect_len_shift(pages):
         .collect()
     )
     lens = {r["_day"]: r["avg_len"] for r in by_day}
-    base = sum(v for d, v in lens.items() if d not in (6, 7)) / (len(lens) - 2)
+    base = sum(v for d, v in lens.items() if d not in (DEFECT_DAYS["len_shift"], DEFECT_DAYS["constant"])) / (len(lens) - 2)
     assert lens[DEFECT_DAYS["len_shift"]] > 2 * base
 
 

@@ -1,0 +1,155 @@
+"""End-to-end validation pipeline tests (FIXTURES F1 expectations + F5
+schemas + resume semantics)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.config import ValidationConfig
+from skyline_spark.plans.checkpoint import append_checkpoint, load_checkpoint
+from skyline_spark.plans.validate import validate, VERDICT_SCHEMA
+from skyline_spark.plans.constraints import VIOLATION_SCHEMA
+from skyline_spark.sources.synth import defect_days, synth_pages
+
+N_ROWS = 40_000
+N_DAYS = 16
+BASE = datetime.date(2026, 8, 1)
+DD = {k: BASE + datetime.timedelta(days=v) for k, v in defect_days(N_DAYS).items()}
+RUN_TS = 1_787_000_000.0
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    pages = synth_pages(spark, N_ROWS, N_DAYS)
+    res = validate(pages, run_ts=RUN_TS)
+    res.verdicts.cache().count()
+    res.violations.cache().count()
+    return res
+
+
+@pytest.fixture(scope="module")
+def verdict_map(result):
+    rows = result.verdicts.collect()
+    return {(r["partition_date"], r["lang"]): r for r in rows}
+
+
+def test_verdict_schema(result):
+    assert [(f.name, f.dataType) for f in result.verdicts.schema] == [
+        (f.name, f.dataType) for f in VERDICT_SCHEMA
+    ]
+
+
+def test_violation_schema(result):
+    assert [(f.name, f.dataType) for f in result.violations.schema] == [
+        (f.name, f.dataType) for f in VIOLATION_SCHEMA
+    ]
+
+
+def test_dup_day_fails_uniqueness(result, verdict_map):
+    for lang in ("eng", "deu", "fra", "spa", "zho"):
+        assert verdict_map[(DD["dup"], lang)]["status"] == "FAIL"
+    v = result.violations.where(
+        (F.col("check") == "uniqueness") & (F.col("partition_date") == DD["dup"])
+    )
+    assert v.count() > 0
+    # example rows carry the duplicated url and its exact count
+    row = v.first()
+    assert row["url"].startswith("https://")
+    assert row["observed"].startswith("count=")
+
+
+def test_bad_lang_day_fails_referential(result, verdict_map):
+    assert verdict_map[(DD["lang"], "xx")]["status"] == "FAIL"
+    v = result.violations.where(
+        (F.col("check") == "referential") & (F.col("column") == "lang")
+    )
+    assert v.count() > 0
+    assert {r["partition_date"] for r in v.select("partition_date").distinct().collect()} == {DD["lang"]}
+
+
+def test_null_rate_drift_fails(result, verdict_map):
+    for lang in ("eng", "deu", "fra", "spa", "zho"):
+        r = verdict_map[(DD["null_text"], lang)]
+        assert r["status"] == "FAIL"
+        assert r["consensus"]["null_rate_text"] is True
+        # the persisted ensemble reaches CONSENSUS=6 (None counts toward k)
+        ens = r["ensemble"]["null_rate_text"]
+        assert len(ens) == 9
+        assert sum(1 for x in ens if x is False) <= 3
+
+
+def test_len_shift_drift_fails(result, verdict_map):
+    for lang in ("eng", "deu", "fra", "spa", "zho"):
+        r = verdict_map[(DD["len_shift"], lang)]
+        assert r["status"] == "FAIL"
+        assert r["consensus"]["text_len_p50"] is True
+    # drift violations carry the triggered algorithms like Panorama's
+    # triggered_algorithms column (skyline.sql:103)
+    v = result.violations.where(
+        (F.col("check") == "drift") & (F.col("partition_date") == DD["len_shift"])
+    ).first()
+    assert "grubbs" in v["triggered_algorithms"]
+
+
+def test_constant_day_is_boring(verdict_map):
+    for lang in ("eng", "deu", "fra", "spa", "zho"):
+        assert verdict_map[(DD["constant"], lang)]["status"] == "BORING"
+
+
+def test_near_empty_day_too_short(verdict_map):
+    for lang in ("eng", "deu", "fra", "spa", "zho"):
+        assert verdict_map[(DD["too_short"], lang)]["status"] == "TOO_SHORT"
+
+
+def test_clean_middle_days_ok(verdict_map):
+    for day_off in (7, 8, 9):
+        d = BASE + datetime.timedelta(days=day_off)
+        for lang in ("eng", "deu", "fra", "spa", "zho"):
+            assert verdict_map[(d, lang)]["status"] == "OK", (d, lang)
+
+
+def test_no_defects_all_clean(spark):
+    pages = synth_pages(spark, 8_000, 10, defects=False)
+    res = validate(pages, run_ts=RUN_TS)
+    statuses = {r["status"] for r in res.verdicts.collect()}
+    assert statuses <= {"OK", "TOO_SHORT"}  # early days lack history
+    assert res.violations.where("check != 'drift'").count() == 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Interrupt/rerun: second run revalidates nothing; new data only the
+    new partition; kernel version change everything (north_star resume)."""
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth_pages(spark, 8_000, 10, defects=False)
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS)
+    n1 = res1.verdicts.count()
+    assert n1 > 0
+    append_checkpoint(res1.checkpoint, ckpt)
+
+    # same data, same versions → nothing pending
+    res2 = validate(pages, checkpoint_path=ckpt, run_id="r2", run_ts=RUN_TS + 60)
+    assert res2.verdicts.count() == 0
+
+    # more days → only the new partitions pending
+    pages2 = synth_pages(spark, 8_800, 11, defects=False)
+    res3 = validate(pages2, checkpoint_path=ckpt, run_id="r3", run_ts=RUN_TS + 120)
+    pending_days = {
+        r["partition_date"] for r in res3.verdicts.select("partition_date").distinct().collect()
+    }
+    # day 0..9 content changed too (different row ids per day) — at minimum
+    # the brand-new day must be pending
+    assert datetime.date(2026, 8, 11) in pending_days
+
+
+def test_checkpoint_lineage_columns(result, spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    append_checkpoint(result.checkpoint, ckpt)
+    stored = load_checkpoint(spark, ckpt)
+    row = stored.first()
+    assert row["snapshot_id"] is not None
+    assert row["detector_versions"]["grubbs"] == "1.0.0"
+    assert row["run_id"] == "run-0"
+    assert row["validated_at"] == datetime.datetime.utcfromtimestamp(RUN_TS)
+    assert b"row_count" in bytes(row["stat_digests"])
+    assert row["metrics"]["checks_run"] > 0
