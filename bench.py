@@ -1,0 +1,159 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Times the engine's headline work at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- ``validate_pages``: the full validation pipeline (stats scan → gates →
+  9-kernel consensus drift → constraints → verdicts) over a deterministic
+  synthetic page table sized to the sf (the subject table per
+  BASELINE.json input_hint), reporting partitions-validated/hour;
+- ``kernel_ensemble``: the detector-kernel stage alone over a wide synthetic
+  stat-series table, reporting rows/sec through the 9-kernel ensemble;
+- a representative slice of the catalog queries (dedup/ANN/text/series).
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., plus throughput extras}.
+
+Run ``python bench_scaling.py`` for the N-vs-4N-parallelism scaling
+evidence (local[8] vs local[32]) recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _noop_sink(df) -> int:
+    """Force full execution without driver-side materialization."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool = False):
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    from pyspark.sql import functions as F
+
+    from skyline_spark.config import ValidationConfig
+    from skyline_spark.plans.drift import drift_verdicts
+    from skyline_spark.plans.validate import validate
+    from skyline_spark.session import get_spark
+    from skyline_spark.sources.synth import synth_pages
+    from skyline_spark.catalog import QUERIES
+
+    spark = get_spark("skyline-bench", cores=cores)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: full validation over the synthetic subject table --------
+    # The subject table is materialized once (the engine validates a stored
+    # Iceberg/parquet table, not an expression generator); generation time is
+    # reported separately from validation time.
+    import shutil
+    import tempfile
+
+    n_rows = max(int(2_000_000 * sf / 0.1), 20_000)
+    n_days = 30
+    tmp = tempfile.mkdtemp(prefix="skyline_bench_")
+    pages_path = os.path.join(tmp, "pages")
+    t0 = time.time()
+    synth_pages(spark, n_rows=n_rows, n_days=n_days).write.mode("overwrite").parquet(
+        pages_path
+    )
+    timings["synth_write"] = round(time.time() - t0, 3)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    res = validate(pages, ValidationConfig(min_history=4), run_ts=1_700_000_000.0)
+    n_parts = res.verdicts.count()
+    _noop_sink(res.violations)
+    dt = time.time() - t0
+    timings["validate_pages"] = round(dt, 3)
+    extras["validate_rows"] = n_rows
+    extras["partitions_validated"] = n_parts
+    extras["partitions_per_hour"] = round(n_parts / dt * 3600, 1)
+
+    # --- kernel throughput: 9-detector ensemble over many series ----------
+    n_series = max(int(20_000 * sf / 0.1), 500)
+    pts = 60
+    series = (
+        spark.range(n_series * pts)
+        .select(
+            (F.col("id") % n_series).alias("sid"),
+            (F.col("id") / n_series).cast("long").alias("step"),
+        )
+        .select(
+            F.to_date(F.lit("2020-01-01")).alias("partition_date"),
+            F.concat(F.lit("s"), F.col("sid")).alias("lang"),
+            F.lit("value_avg").alias("stat"),
+            F.col("step"),
+            (
+                F.sin(F.col("sid") + F.col("step") * 0.7) * 10.0
+                + (F.col("step") % 7).cast("double")
+                + F.when(
+                    (F.col("step") == pts - 1) & (F.col("sid") % 50 == 0), F.lit(500.0)
+                ).otherwise(F.lit(0.0))
+            ).alias("value"),
+        )
+        .withColumn("partition_date", F.date_add("partition_date", F.col("step").cast("int")))
+        .drop("step")
+        .withColumn("fingerprint", F.lit(0).cast("long"))
+    )
+    samples = series.limit(0).select(
+        "partition_date", "lang", "stat", F.array().cast("array<double>").alias("sample")
+    )
+    kern_rows = n_series * pts
+    t0 = time.time()
+    _noop_sink(drift_verdicts(series, samples, ValidationConfig(min_history=4)))
+    dt = time.time() - t0
+    timings["kernel_ensemble"] = round(dt, 3)
+    extras["kernel_rows"] = kern_rows
+    extras["kernel_rows_per_sec"] = round(kern_rows / dt, 1)
+
+    # --- representative catalog queries ------------------------------------
+    bench_queries = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "text_fingerprint",
+        "text_quality",
+        "detector_stddev_from_average",
+        "detector_median_absolute_deviation",
+        "detector_ks_2samp_d",
+        "replay_stddev_from_average",
+        "luminosity_correlation",
+        "events_daily_stats",
+        "tpch_q1_pricing_summary",
+        "join_orders_by_nation",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        _noop_sink(QUERIES[name].build(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "end-to-end validation + catalog suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        **extras,
+    }
+    spark.stop()
+    if not quiet:
+        print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    run_bench(sf_dir=sf_dir)

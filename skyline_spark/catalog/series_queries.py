@@ -1,0 +1,1026 @@
+"""Relational restatements of Skyline's detectors over the ``events`` table.
+
+Each query treats ``events`` as one series per ``event_type`` ordered by
+``(ts, event_id)`` — the Spark analog of a Redis metric key — and restates a
+reference operator (file:line cited per query) as a Catalyst plan with a
+DuckDB oracle. The numerically-exotic kernels (EWM, Grubbs-threshold,
+ADF-gated KS) stay in the pandas-UDF kernel path (`operators/detectors.py`);
+what is expressible relationally is expressed relationally so Catalyst can
+push/prune/codegen it.
+
+Series-axis conventions shared by Spark and oracle:
+- rn = row_number within event_type ordered by (ts, event_id); n = count;
+- "last datapoint" = rn = n; tail average = mean of rn > n-3
+  (`analyzer/algorithms.py:78-89`);
+- x for trend fits = seconds since the series' first point (exact
+  (epoch_ms − min_epoch_ms)/1000.0 in both engines).
+
+Scale notes: every query is a single groupBy/window over a sorted-within-
+partition series — one shuffle on event_type (the "metric" key). At 10^12
+rows the same plans hold with the partition key widened (e.g. (day, host));
+the skewed-key risk sits on the shuffle and is handled by AQE skew splitting
+plus salting at the stats layer (plans/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .registry import load, query
+
+
+def _ms(col: str):
+    """epoch millis; parquet timestamps arrive as TIMESTAMP_NTZ and the
+    session zone is pinned UTC, so the cast is an identity relabel that
+    matches DuckDB's epoch_ms on the same naive values."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+# windowed-series scaffold for the oracle SQL
+_E_CTE = """
+WITH e AS (
+  SELECT event_type, ts, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY event_type) AS n,
+         (epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY event_type)) / 1000.0 AS x
+  FROM events
+)
+"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    return ev.select(
+        "event_type",
+        "ts",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        (
+            (_ms("ts") - F.min(_ms("ts")).over(wp)) / 1000.0
+        ).alias("x"),
+    )
+
+
+def _tail_avg_col():
+    """mean of the last 3 datapoints (`analyzer/algorithms.py:78-89`)."""
+    return F.avg(F.when(F.col("rn") > F.col("n") - 3, F.col("value")))
+
+
+_TAIL_SQL = "avg(value) FILTER (WHERE rn > n - 3)"
+_LAST_SQL = "max(CASE WHEN rn = n THEN value END)"
+
+
+# ---------------------------------------------------------------------------
+# tail_avg
+# ---------------------------------------------------------------------------
+
+@query(
+    "series_tail_avg",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round({_TAIL_SQL}, 6) AS tail_avg,
+       round({_LAST_SQL}, 6) AS last_value,
+       max(n)::BIGINT AS n
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="tail_avg helper (analyzer/algorithms.py:78-89): mean of last 3 points",
+)
+def series_tail_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(_tail_avg_col(), 6).alias("tail_avg"),
+            F.round(F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))), 6).alias(
+                "last_value"
+            ),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: stddev_from_average  (analyzer/algorithms.py:197-216)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_stddev_from_average",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS std_dev,
+       round({_TAIL_SQL}, 6) AS tail_avg,
+       (abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value)) AS anomalous
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="|tail_avg − mean| > 3·sample-std (analyzer/algorithms.py:197-216), "
+        "pure relational form — map-side partial agg, one shuffle",
+)
+def detector_stddev_from_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tail_avg_col()
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.stddev_samp("value"), 6).alias("std_dev"),
+            F.round(t, 6).alias("tail_avg"),
+            (F.abs(t - F.avg("value")) > 3 * F.stddev_samp("value")).alias("anomalous"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: median_absolute_deviation  (analyzer/algorithms.py:92-139)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_median_absolute_deviation",
+    _E_CTE
+    + f"""
+, med AS (
+  SELECT event_type, median(value)::DOUBLE AS med FROM e GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - med.med) AS d, e.rn, e.n, med.med
+  FROM e JOIN med ON e.event_type = med.event_type
+)
+SELECT event_type,
+       round(max(med), 6) AS median,
+       round(median(d)::DOUBLE, 6) AS mad,
+       round(max(CASE WHEN rn = n THEN d END), 6) AS last_deviation,
+       CASE WHEN median(d) = 0 THEN false
+            ELSE max(CASE WHEN rn = n THEN d END) / median(d) > 6 END AS anomalous
+FROM dev GROUP BY event_type ORDER BY event_type
+""",
+    doc="MAD test: |last − median| / median(|x − median|) > 6, MAD==0 → False "
+        "(analyzer/algorithms.py:92-139); exact medians both engines",
+)
+def detector_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "rn", "n", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    last_d = F.max(F.when(F.col("rn") == F.col("n"), F.col("d")))
+    return dev.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median"),
+        F.round(F.median("d"), 6).alias("mad"),
+        F.round(last_d, 6).alias("last_deviation"),
+        F.when(F.median("d") == 0, F.lit(False))
+        .otherwise(last_d / F.median("d") > 6)
+        .alias("anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: mean_subtraction_cumulation  (analyzer/algorithms.py:247-273)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_mean_subtraction_cumulation",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round(avg(value) FILTER (WHERE rn < n), 6) AS head_mean,
+       round(stddev_samp(value) FILTER (WHERE rn < n), 6) AS head_std,
+       round({_LAST_SQL}, 6) AS last_value,
+       (abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
+        > 3 * stddev_samp(value) FILTER (WHERE rn < n)) AS anomalous
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="|last − mean(head)| > 3·std(head), head = all but last "
+        "(analyzer/algorithms.py:247-273)",
+)
+def detector_mean_subtraction_cumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    head = F.when(F.col("rn") < F.col("n"), F.col("value"))
+    last = F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(head), 6).alias("head_mean"),
+            F.round(F.stddev_samp(head), 6).alias("head_std"),
+            F.round(last, 6).alias("last_value"),
+            (F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head)).alias("anomalous"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: first_hour_average  (analyzer/algorithms.py:175-194)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_first_hour_average",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round(avg(value) FILTER (WHERE x < 86400), 6) AS baseline_mean,
+       round(stddev_samp(value) FILTER (WHERE x < 86400), 6) AS baseline_std,
+       round({_TAIL_SQL}, 6) AS tail_avg,
+       (abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
+        > 3 * stddev_samp(value) FILTER (WHERE x < 86400)) AS anomalous
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="tail vs the OLDEST day of the series (the reference's 'first hour' "
+        "rescaled to the data's resolution; analyzer/algorithms.py:175-194)",
+)
+def detector_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.when(F.col("x") < 86400, F.col("value"))
+    t = _tail_avg_col()
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(base), 6).alias("baseline_mean"),
+            F.round(F.stddev_samp(base), 6).alias("baseline_std"),
+            F.round(t, 6).alias("tail_avg"),
+            (F.abs(t - F.avg(base)) > 3 * F.stddev_samp(base)).alias("anomalous"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: least_squares  (analyzer/algorithms.py:276-334)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_least_squares",
+    _E_CTE
+    + """
+, fit AS (
+  SELECT event_type,
+         covar_pop(x, value) / var_pop(x) AS m,
+         avg(value) - covar_pop(x, value) / var_pop(x) * avg(x) AS c
+  FROM e GROUP BY event_type
+), r AS (
+  SELECT e.event_type, e.rn, e.n,
+         e.value - (fit.m * e.x + fit.c) AS err, fit.m, fit.c
+  FROM e JOIN fit ON e.event_type = fit.event_type
+)
+SELECT event_type,
+       round(max(m), 9) AS slope,
+       round(max(c), 6) AS intercept,
+       round(stddev_pop(err), 6) AS resid_std,
+       round(avg(err) FILTER (WHERE rn > n - 3), 6) AS tail_resid,
+       (abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
+        AND round(stddev_pop(err)) <> 0
+        AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0) AS anomalous
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+    doc="OLS trend via closed form covar_pop/var_pop (the relational twin of "
+        "np.linalg.lstsq in the kernel); residual tail test per "
+        "analyzer/algorithms.py:276-334",
+)
+def detector_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    fit = e.groupBy("event_type").agg(
+        (F.covar_pop("x", "value") / F.var_pop("x")).alias("m"),
+        (F.avg("value") - F.covar_pop("x", "value") / F.var_pop("x") * F.avg("x")).alias(
+            "c"
+        ),
+    )
+    r = e.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "rn",
+        "n",
+        "m",
+        "c",
+        (F.col("value") - (F.col("m") * F.col("x") + F.col("c"))).alias("err"),
+    )
+    tail = F.avg(F.when(F.col("rn") > F.col("n") - 3, F.col("err")))
+    return r.groupBy("event_type").agg(
+        F.round(F.max("m"), 9).alias("slope"),
+        F.round(F.max("c"), 6).alias("intercept"),
+        F.round(F.stddev_pop("err"), 6).alias("resid_std"),
+        F.round(tail, 6).alias("tail_resid"),
+        (
+            (F.abs(tail) > 3 * F.stddev_pop("err"))
+            & (F.round(F.stddev_pop("err"), 0) != 0)
+            & (F.round(tail, 0) != 0)
+        ).alias("anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: histogram_bins  (analyzer/algorithms.py:337-367)
+# ---------------------------------------------------------------------------
+
+_HIST_BIN = (
+    "least(14, greatest(0, floor((value - mn) * 15.0 / (mx - mn))))::BIGINT"
+)
+_HIST_TBIN = "least(14, greatest(0, floor((t - mn) * 15.0 / (mx - mn))))::BIGINT"
+
+@query(
+    "detector_histogram_bins",
+    _E_CTE
+    + f"""
+, stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         {_TAIL_SQL} AS t
+  FROM e GROUP BY event_type
+), binned AS (
+  SELECT e.event_type, s.t, s.mn, s.mx,
+         {_HIST_BIN} AS bin,
+         {_HIST_TBIN} AS tbin
+  FROM e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       max(tbin)::BIGINT AS tail_bin,
+       count(*) FILTER (WHERE bin = tbin)::BIGINT AS tail_bin_count,
+       (count(*) FILTER (WHERE bin = tbin) <= 20) AS anomalous
+FROM binned GROUP BY event_type ORDER BY event_type
+""",
+    doc="15 equal-width bins (numpy-linspace arithmetic); anomalous iff the "
+        "tail average lands in a bin with ≤ 20 members "
+        "(analyzer/algorithms.py:337-367)",
+)
+def detector_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"), _tail_avg_col().alias("t")
+    )
+    def _bin(c):
+        return F.least(
+            F.lit(14).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((c - F.col("mn")) * 15.0 / (F.col("mx") - F.col("mn"))),
+            ),
+        )
+
+    binned = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        _bin(F.col("value")).alias("bin"),
+        _bin(F.col("t")).alias("tbin"),
+    )
+    return binned.groupBy("event_type").agg(
+        F.max("tbin").cast("long").alias("tail_bin"),
+        F.count(F.when(F.col("bin") == F.col("tbin"), 1)).cast("long").alias(
+            "tail_bin_count"
+        ),
+        (F.count(F.when(F.col("bin") == F.col("tbin"), 1)) <= 20).alias("anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: grubbs z-score  (analyzer/algorithms.py:142-172)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_grubbs_score",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round(({_TAIL_SQL} - avg(value)) / stddev_pop(value), 6) AS z_score,
+       max(n)::BIGINT AS n
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="Grubbs z of tail_avg with population std (scipy.std parity); the "
+        "t-distribution threshold lives in the kernel (stats_math.t_isf) — "
+        "score is the relational part (analyzer/algorithms.py:142-172)",
+)
+def detector_grubbs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tail_avg_col()
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round((t - F.avg("value")) / F.stddev_pop("value"), 6).alias("z_score"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector: two-sample KS D statistic  (analyzer/algorithms.py:370-401)
+# ---------------------------------------------------------------------------
+
+@query(
+    "detector_ks_2samp_d",
+    _E_CTE
+    + """
+, g AS (
+  SELECT event_type, value,
+         CASE WHEN rn <= n / 2 THEN 1 ELSE 0 END AS g1,
+         CASE WHEN rn <= n / 2 THEN 0 ELSE 1 END AS g2
+  FROM e
+), c AS (
+  SELECT event_type, value,
+         sum(g1) OVER (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(g2) OVER (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+         sum(g1) OVER (PARTITION BY event_type) AS n1,
+         sum(g2) OVER (PARTITION BY event_type) AS n2
+  FROM g
+)
+SELECT event_type,
+       round(max(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)), 6) AS ks_d,
+       (max(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)) > 0.5) AS d_exceeds
+FROM c GROUP BY event_type ORDER BY event_type
+""",
+    doc="exact two-sample KS D via RANGE-frame cumulative CDFs (reference "
+        "windows analyzer/algorithms.py:379-384; p-value + ADF gate stay in "
+        "the kernel, stats_math.ks_2samp/adfuller)",
+)
+def detector_ks_2samp_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    g = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("rn") <= F.col("n") / 2, 1).otherwise(0).alias("g1"),
+        F.when(F.col("rn") <= F.col("n") / 2, 0).otherwise(1).alias("g2"),
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        (F.sum("g1").over(wr).cast("double") / F.sum("g1").over(wp)).alias("f1"),
+        (F.sum("g2").over(wr).cast("double") / F.sum("g2").over(wp)).alias("f2"),
+    )
+    d = F.max(F.abs(F.col("f1") - F.col("f2")))
+    return c.groupBy("event_type").agg(
+        F.round(d, 6).alias("ks_d"), (d > 0.5).alias("d_exceeds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gates: TooShort / Stale / Boring  (analyzer/algorithms.py:583-593)
+# ---------------------------------------------------------------------------
+
+GATE_MIN_LEN = 30
+GATE_STALE_SECONDS = 86400
+
+@query(
+    "series_gates",
+    _E_CTE
+    + f"""
+, now_t AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events)
+SELECT event_type,
+       max(n)::BIGINT AS n,
+       count(DISTINCT value) FILTER (WHERE rn > n - 100)::BIGINT AS tail_distinct,
+       CASE
+         WHEN max(n) < {GATE_MIN_LEN} THEN 'TOO_SHORT'
+         WHEN (SELECT now_ms FROM now_t) - max(epoch_ms(ts)) > {GATE_STALE_SECONDS} * 1000 THEN 'STALE'
+         WHEN count(DISTINCT value) FILTER (WHERE rn > n - 100) = 1 THEN 'BORING'
+         ELSE 'OK'
+       END AS status
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="TooShort/Stale/Boring gates as statuses (analyzer/algorithms.py:583-593, "
+        "settings.py:393,418,425,435) — relational pre-filters before kernels",
+)
+def series_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    now_ms = e.agg(F.max(_ms("ts"))).collect()[0][0]
+    tail_distinct = F.count_distinct(
+        F.when(F.col("rn") > F.col("n") - 100, F.col("value"))
+    )
+    return e.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        tail_distinct.cast("long").alias("tail_distinct"),
+        F.when(F.max("n") < GATE_MIN_LEN, F.lit("TOO_SHORT"))
+        .when(
+            F.lit(now_ms) - F.max(_ms("ts")) > GATE_STALE_SECONDS * 1000,
+            F.lit("STALE"),
+        )
+        .when(tail_distinct == 1, F.lit("BORING"))
+        .otherwise(F.lit("OK"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transform: nonNegativeDerivative + monotonicity
+# (skyline_functions.py:1044-1100)
+# ---------------------------------------------------------------------------
+
+@query(
+    "transform_non_negative_derivative",
+    _E_CTE
+    + """
+, d AS (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
+  FROM e
+)
+SELECT event_type,
+       count(diff)::BIGINT AS n_deltas,
+       count(*) FILTER (WHERE diff < 0)::BIGINT AS n_resets,
+       round(sum(diff) FILTER (WHERE diff >= 0), 6) AS pos_delta_sum,
+       (count(*) FILTER (WHERE diff < 0) = 0
+        AND count(DISTINCT diff) > 1
+        AND sum(diff) <> 0) AS strictly_monotonic
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+    doc="Graphite nonNegativeDerivative (drop resets) + "
+        "strictly_increasing_monotonicity classification "
+        "(skyline_functions.py:1044-1100)",
+)
+def transform_non_negative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (
+        _series(spark, sf_dir)
+        .select("event_type", (F.col("value") - F.lag("value").over(w)).alias("diff"))
+    )
+    return d.groupBy("event_type").agg(
+        F.count("diff").cast("long").alias("n_deltas"),
+        F.count(F.when(F.col("diff") < 0, 1)).cast("long").alias("n_resets"),
+        F.round(F.sum(F.when(F.col("diff") >= 0, F.col("diff"))), 6).alias(
+            "pos_delta_sum"
+        ),
+        (
+            (F.count(F.when(F.col("diff") < 0, 1)) == 0)
+            & (F.count_distinct("diff") > 1)
+            & (F.sum("diff") != 0)
+        ).alias("strictly_monotonic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundary: static thresholds  (boundary/boundary_algorithms.py:104-142)
+# ---------------------------------------------------------------------------
+
+BOUNDARY_LESS_TRIGGER = 1.0
+BOUNDARY_GREATER_TRIGGER = 300.0
+
+@query(
+    "boundary_static_thresholds",
+    _E_CTE
+    + f"""
+SELECT event_type,
+       round({_LAST_SQL}, 6) AS last_value,
+       ({_LAST_SQL} < {BOUNDARY_LESS_TRIGGER}) AS less_than_violation,
+       ({_LAST_SQL} > {BOUNDARY_GREATER_TRIGGER}) AS greater_than_violation
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc="Boundary less_than / greater_than static triggers on the last "
+        "datapoint (boundary_algorithms.py:104-142)",
+)
+def boundary_static_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    last = F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
+    return (
+        _series(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(last, 6).alias("last_value"),
+            (last < BOUNDARY_LESS_TRIGGER).alias("less_than_violation"),
+            (last > BOUNDARY_GREATER_TRIGGER).alias("greater_than_violation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundary: detect_drop_off_cliff  (boundary_algorithms.py:145-284)
+# ---------------------------------------------------------------------------
+
+@query(
+    "boundary_drop_off_cliff",
+    _E_CTE
+    + """
+, t10 AS (
+  SELECT event_type,
+         min(value) FILTER (WHERE rn > n - 10) AS mn10,
+         max(value) FILTER (WHERE rn > n - 10) AS mx10,
+         avg(value) FILTER (WHERE rn > n - 10) AS avg10,
+         sum(value) FILTER (WHERE rn > n - 10) AS sum10,
+         max(CASE WHEN rn = n THEN value END) AS last_v,
+         max(n) AS n
+  FROM e GROUP BY event_type
+), t20 AS (
+  SELECT e.event_type,
+         count(*) FILTER (WHERE e.rn > e.n - 20 AND e.value <= t10.mn10) AS similar20
+  FROM e JOIN t10 ON e.event_type = t10.event_type GROUP BY e.event_type
+), t10j AS (
+  SELECT t10.*, t20.similar20 FROM t10 JOIN t20 ON t10.event_type = t20.event_type
+)
+SELECT event_type,
+       round(avg10, 6) AS avg10,
+       round(last_v, 6) AS last_value,
+       CASE
+         WHEN n < 30 THEN false
+         WHEN mn10 < 0 THEN false
+         WHEN mx10 = 0 THEN false
+         WHEN mn10 = mx10 THEN false
+         WHEN similar20 > 2 THEN false
+         ELSE floor(avg10 / (CASE WHEN floor(last_v) = 0 THEN 0.1 ELSE floor(last_v) END))
+              > (CASE
+                   WHEN floor(last_v) = 1 AND mx10 < 10 THEN 0.1
+                   WHEN floor(last_v) = 1 THEN 1
+                   WHEN mx10 > 100 THEN 100
+                   WHEN mx10 < 20 THEN avg10 / 2
+                   WHEN mx10 < 101 THEN 15
+                   ELSE 100 END)
+       END AS anomalous
+FROM t10j ORDER BY event_type
+""",
+    doc="drop-off-cliff: avg of last 10 vs last value with value-banded "
+        "trigger (boundary_algorithms.py:145-284). Deviations from the "
+        "reference, documented: the reference's 'similar datapoints' gates "
+        "call len(np.where(...)) on a tuple (always 1, so they never fire — "
+        "a reference bug); we implement the *intended* count-based gate over "
+        "the last 20 points. Windows are row-count based (last 10/20 rows) "
+        "rather than resolution-seconds, equivalent on evenly-sampled data.",
+)
+def boundary_drop_off_cliff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    in10 = F.col("rn") > F.col("n") - 10
+    t10 = e.groupBy("event_type").agg(
+        F.min(F.when(in10, F.col("value"))).alias("mn10"),
+        F.max(F.when(in10, F.col("value"))).alias("mx10"),
+        F.avg(F.when(in10, F.col("value"))).alias("avg10"),
+        F.sum(F.when(in10, F.col("value"))).alias("sum10"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("last_v"),
+        F.max("n").alias("n"),
+    )
+    t20 = (
+        e.join(F.broadcast(t10.select("event_type", "mn10")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("rn") > F.col("n") - 20) & (F.col("value") <= F.col("mn10")),
+                    1,
+                )
+            ).alias("similar20")
+        )
+    )
+    t10 = t10.join(t20, "event_type")
+    last_i = F.floor(F.col("last_v"))
+    denom = F.when(last_i == 0, F.lit(0.1)).otherwise(last_i)
+    trigger = (
+        F.when((last_i == 1) & (F.col("mx10") < 10), F.lit(0.1))
+        .when(last_i == 1, F.lit(1.0))
+        .when(F.col("mx10") > 100, F.lit(100.0))
+        .when(F.col("mx10") < 20, F.col("avg10") / 2)
+        .when(F.col("mx10") < 101, F.lit(15.0))
+        .otherwise(F.lit(100.0))
+    )
+    anomalous = (
+        F.when(F.col("n") < 30, F.lit(False))
+        .when(F.col("mn10") < 0, F.lit(False))
+        .when(F.col("mx10") == 0, F.lit(False))
+        .when(F.col("mn10") == F.col("mx10"), F.lit(False))
+        .when(F.col("similar20") > 2, F.lit(False))
+        .otherwise(F.floor(F.col("avg10") / denom) > trigger)
+    )
+    return t10.select(
+        "event_type",
+        F.round("avg10", 6).alias("avg10"),
+        F.round("last_v", 6).alias("last_value"),
+        anomalous.alias("anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundary: autoaggregate_ts  (boundary_algorithms.py:47-101)
+# ---------------------------------------------------------------------------
+
+AUTOAGG_SECONDS = 300
+
+@query(
+    "boundary_autoaggregate",
+    f"""
+SELECT event_type,
+       (floor(epoch_ms(ts) / 1000.0 / {AUTOAGG_SECONDS}) * {AUTOAGG_SECONDS})::BIGINT AS bucket_start,
+       round(sum(value), 6) AS bucket_sum,
+       count(*)::BIGINT AS bucket_count
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="autoaggregate_ts: re-bucket the series into fixed-width second "
+        "buckets of sums (boundary_algorithms.py:47-101) — F.window/"
+        "time-bucket semantics, epoch-aligned in both engines",
+)
+def boundary_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.floor(_ms("ts") / 1000.0 / AUTOAGG_SECONDS) * AUTOAGG_SECONDS
+    ).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket_start"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("bucket_sum"),
+            F.count("*").cast("long").alias("bucket_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# crucible replay  (crucible/crucible_algorithms.py:441-516)
+# ---------------------------------------------------------------------------
+
+@query(
+    "replay_stddev_from_average",
+    _E_CTE
+    + """
+, p AS (
+  SELECT event_type, rn, ts, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmean,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pstd,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ptail
+  FROM e
+)
+SELECT event_type, count(*)::BIGINT AS n_anomalies
+FROM p
+WHERE rn > 10 AND abs(ptail - pmean) > 3 * pstd
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Crucible per-point sliding replay of stddev_from_average: every "
+        "prefix re-evaluated via expanding window frames "
+        "(crucible_algorithms.py:441-516) — no driver loop, one window pass",
+)
+def replay_stddev_from_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wexp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtail = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-2, 0)
+    p = e.select(
+        "event_type",
+        "rn",
+        F.avg("value").over(wexp).alias("pmean"),
+        F.stddev_samp("value").over(wexp).alias("pstd"),
+        F.avg("value").over(wtail).alias("ptail"),
+    )
+    return (
+        p.where((F.col("rn") > 10) & (F.abs(F.col("ptail") - F.col("pmean")) > 3 * F.col("pstd")))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_anomalies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# luminosity cross-correlation  (luminosity/process_correlations.py:345-467)
+# ---------------------------------------------------------------------------
+
+CORRELATION_THRESHOLD = 0.9
+
+@query(
+    "luminosity_correlation",
+    f"""
+WITH m AS (
+  SELECT event_type,
+         (floor(epoch_ms(ts) / 1000.0 / 3600) * 3600)::BIGINT AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS metric_a, b.event_type AS metric_b,
+       round(corr(a.v, b.v), 6) AS coefficient,
+       (corr(a.v, b.v) >= {CORRELATION_THRESHOLD}) AS correlated
+FROM m a JOIN m b ON a.bucket = b.bucket AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type ORDER BY metric_a, metric_b
+""",
+    doc="Luminosity-style cross-correlation sweep over hour-bucketed series "
+        "pairs; correlated iff coefficient ≥ 0.9 "
+        "(process_correlations.py:345-467, settings.py:2096)",
+)
+def luminosity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        (F.floor(_ms("ts") / 1000.0 / 3600) * 3600).cast("long").alias("bucket"),
+    ).agg(F.avg("value").alias("v"))
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("metric_a"),
+            F.col("b.event_type").alias("metric_b"),
+        )
+        .agg(
+            F.round(F.corr("a.v", "b.v"), 6).alias("coefficient"),
+            (F.corr("a.v", "b.v") >= CORRELATION_THRESHOLD).alias("correlated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# alert dedup  (analyzer.py:1871,2057-2064 — EXPIRATION_TIME TTL keys)
+# ---------------------------------------------------------------------------
+
+ALERT_EXPIRATION_SECONDS = 3600
+
+@query(
+    "alert_dedup",
+    _E_CTE
+    + f"""
+, p AS (
+  SELECT event_type, rn, ts,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmean,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pstd,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ptail
+  FROM e
+), anom AS (
+  SELECT event_type, rn, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY rn) AS prev_ts
+  FROM p WHERE rn > 10 AND abs(ptail - pmean) > 3 * pstd
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_anomalies,
+       count(*) FILTER (WHERE prev_ts IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev_ts) > {ALERT_EXPIRATION_SECONDS} * 1000)::BIGINT AS n_alerts
+FROM anom GROUP BY event_type ORDER BY event_type
+""",
+    doc="alert expiration dedup: suppress re-alerts within EXPIRATION_TIME of "
+        "the previous anomaly (analyzer.py:1871,2057-2064), as an anti-join/"
+        "lag instead of Redis TTL keys",
+)
+def alert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wexp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtail = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-2, 0)
+    p = e.select(
+        "event_type",
+        "rn",
+        "ts",
+        F.avg("value").over(wexp).alias("pmean"),
+        F.stddev_samp("value").over(wexp).alias("pstd"),
+        F.avg("value").over(wtail).alias("ptail"),
+    )
+    anom = p.where(
+        (F.col("rn") > 10) & (F.abs(F.col("ptail") - F.col("pmean")) > 3 * F.col("pstd"))
+    ).select(
+        "event_type",
+        "rn",
+        "ts",
+        F.lag("ts").over(Window.partitionBy("event_type").orderBy("rn")).alias("prev_ts"),
+    )
+    fresh = F.col("prev_ts").isNull() | (
+        (_ms("ts") - _ms("prev_ts")) > ALERT_EXPIRATION_SECONDS * 1000
+    )
+    return anom.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_anomalies"),
+        F.count(F.when(fresh, 1)).cast("long").alias("n_alerts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ionosphere layers rules  (ionosphere/layers.py:332-498)
+# ---------------------------------------------------------------------------
+
+LAYER_D_BOUNDARY = 450.0   # D rule: discard anomaly if last value > boundary
+LAYER_E_LIMIT = 5.0        # E rule: not anomalous if last 3 values all < limit
+
+@query(
+    "ionosphere_layers",
+    _E_CTE
+    + f"""
+, p AS (
+  SELECT event_type, rn, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmean,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pstd,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ptail,
+         max(CASE WHEN value < {LAYER_E_LIMIT} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS any_small
+  FROM e
+), anom AS (
+  SELECT event_type, rn, value,
+         (value > {LAYER_D_BOUNDARY}) AS d_discard
+  FROM p WHERE rn > 10 AND abs(ptail - pmean) > 3 * pstd
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_anomalies,
+       count(*) FILTER (WHERE d_discard)::BIGINT AS n_suppressed_d,
+       count(*) FILTER (WHERE NOT d_discard)::BIGINT AS n_kept
+FROM anom GROUP BY event_type ORDER BY event_type
+""",
+    doc="Ionosphere layers D-rule as a Column predicate over violation "
+        "candidates: discard anomalies whose value crosses the operator "
+        "boundary (ionosphere/layers.py:409-438)",
+)
+def ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wexp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtail = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-2, 0)
+    p = e.select(
+        "event_type",
+        "rn",
+        "value",
+        F.avg("value").over(wexp).alias("pmean"),
+        F.stddev_samp("value").over(wexp).alias("pstd"),
+        F.avg("value").over(wtail).alias("ptail"),
+    )
+    anom = p.where(
+        (F.col("rn") > 10) & (F.abs(F.col("ptail") - F.col("pmean")) > 3 * F.col("pstd"))
+    ).withColumn("d_discard", F.col("value") > LAYER_D_BOUNDARY)
+    return anom.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_anomalies"),
+        F.count(F.when(F.col("d_discard"), 1)).cast("long").alias("n_suppressed_d"),
+        F.count(F.when(~F.col("d_discard"), 1)).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mirage second pass: aggregate-then-broadcast  (SURVEY §2.5, §3.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mirage_second_pass",
+    """
+WITH base AS (
+  SELECT event_type, avg(value) AS long_mean, stddev_samp(value) AS long_std
+  FROM events GROUP BY event_type
+), daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE::VARCHAR AS day, avg(value) AS day_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       round(d.day_avg, 6) AS day_avg,
+       round(b.long_mean, 6) AS long_mean,
+       (abs(d.day_avg - b.long_mean) > 3 * b.long_std) AS anomalous
+FROM daily d JOIN base b ON d.event_type = b.event_type
+ORDER BY d.event_type, d.day
+""",
+    doc="Mirage restated: long-window baselines aggregated ONCE, broadcast-"
+        "joined back to short-window partitions (two-pass aggregate-then-"
+        "broadcast; mirage/mirage.py:541-545, SURVEY §3.3)",
+)
+def mirage_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.avg("value").alias("long_mean"), F.stddev_samp("value").alias("long_std")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.avg("value").alias("day_avg"))
+    return daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "day",
+        F.round("day_avg", 6).alias("day_avg"),
+        F.round("long_mean", 6).alias("long_mean"),
+        (F.abs(F.col("day_avg") - F.col("long_mean")) > 3 * F.col("long_std")).alias(
+            "anomalous"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-day stats (the partition_stats pattern on events)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_daily_stats",
+    """
+SELECT date_trunc('day', ts)::DATE::VARCHAR AS day, event_type,
+       count(*)::BIGINT AS n,
+       round(avg(value), 6) AS value_avg,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       round(quantile_cont(value, 0.5), 6) AS value_p50,
+       round(quantile_cont(value, 0.95), 6) AS value_p95,
+       count(DISTINCT user_id)::BIGINT AS distinct_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="per-(day, event_type) stats row — the partition_stats pattern "
+        "(plans/stats.py) with exact quantiles for the oracle",
+)
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("value_avg"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.round(F.percentile("value", 0.5), 6).alias("value_p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("value_p95"),
+        F.count_distinct("user_id").cast("long").alias("distinct_users"),
+    )

@@ -1,0 +1,612 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), and text
+analysis (token counts, language-ID, quality, fingerprints).
+
+Every query is built twice from the same constants: a Spark DataFrame plan
+and a DuckDB oracle SQL string. All hashing is the portable
+``h32(s) = int(md5(s)[:8], 16)`` from :mod:`skyline_spark.functions.text`,
+so both engines agree bit-for-bit; all floating results fold left in array
+order in both engines, so doubles (and their 6-dp roundings) are identical.
+
+Scale design (10^12 docs):
+- every dedup variant generates candidates through an equi-join on a small
+  derived key (hash / band / bucket), never an O(n²) cross join;
+  the O(n²) forms exist only as oracles at sf=0.01;
+- signatures are Catalyst expression chains (whole-stage codegen), so the
+  map side is one scan with column pruning down to (id, text);
+- pair joins shuffle on the band key; AQE skew-join splits hot buckets
+  (empty-text or boilerplate-heavy buckets are the classic hot keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+MINHASH_BANDS = 4          # 16 hashes → 4 bands × 4 rows
+MINHASH_JACCARD_T = 0.05   # verify threshold on exact shingle Jaccard
+SIMHASH_MAX_HAMMING = 3    # ≤3 differing bits over 4 bands of 8 → pigeonhole
+NGRAM_JACCARD_T = 0.05
+EMB_COS_DUP_T = 0.9
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_TOPK = 10
+LSH_PLANES = 16            # hyperplane LSH: 16-bit signature
+LSH_BANDS = 4              # 4 bands × 4 bits
+LSH_TOPK = 5
+EMB_DIM = 64
+
+
+def _w(i: int, j: int) -> float:
+    """Deterministic hyperplane weights from md5 — both engines re-derive
+    the identical value (``w_sql``), so no 1024-literal tables are shipped."""
+    h = int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _w_sql(i_expr: str, j_expr: str) -> str:
+    key = f"concat({i_expr}, '-', {j_expr})"
+    return f"(({X.h32_sql(key)} % 2001 - 1000) / 1000.0)"
+
+
+# documents CTE scaffold shared by the oracle SQL strings
+_DOC_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, {X.tokens_sql('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, toks, {X.shingles_sql('toks')} AS sh FROM tok
+), shh AS (
+  SELECT doc_id, lang, sh, list_transform(sh, s -> {X.h32_sql('s')}) AS shh FROM sh
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           {tok} AS n_tokens,
+           {rtok} AS n_regex_tokens
+    FROM documents ORDER BY doc_id
+    """.format(tok=X.token_count_sql("text"), rtok=X.regex_token_count_sql("text")),
+    doc="whitespace + BPE-ish regex token counts (JVM-side regexp, no UDF)",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count_expr(F.col("text")).alias("n_tokens"),
+        X.regex_token_count_expr("text").alias("n_regex_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           {X.stopword_ratio_sql('text')} AS stopword_ratio,
+           {X.lang_id_sql('text')} AS lang_guess
+    FROM documents ORDER BY doc_id
+    """,
+    doc="stopword-ratio language heuristic (reference analog: dotted-namespace "
+        "matching, skyline_functions.py:1103-1129)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.stopword_ratio_expr(F.col("text")).alias("stopword_ratio"),
+        X.lang_id_expr(F.col("text")).alias("lang_guess"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id, {X.quality_score_sql('text')} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    doc="length/diversity quality score, pure Catalyst expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score_expr(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {X.fingerprint_sql('text')} AS fingerprint,
+           {X.simhash_sql('text')} AS simhash
+    FROM documents ORDER BY doc_id
+    """,
+    doc="rolling polynomial fingerprint + 32-bit SimHash",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.fingerprint_expr(F.col("text")).alias("fingerprint"),
+        X.simhash_expr(F.col("text")).alias("simhash"),
+    )
+
+
+@query(
+    "docs_nchars_check",
+    """
+    SELECT doc_id, length(text) AS actual_chars, n_chars AS declared_chars
+    FROM documents WHERE length(text) <> n_chars ORDER BY doc_id
+    """,
+    doc="referential check: declared n_chars must equal length(text)",
+)
+def docs_nchars_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.where(F.length("text") != F.col("n_chars")).select(
+        "doc_id",
+        F.length("text").cast("long").alias("actual_chars"),
+        F.col("n_chars").alias("declared_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT doc_id,
+           {X.h32_sql('text')} AS text_hash,
+           (cnt > 1) AS is_dup,
+           keeper
+    FROM (
+      SELECT doc_id, text,
+             count(*) OVER (PARTITION BY {X.h32_sql('text')}) AS cnt,
+             min(doc_id) OVER (PARTITION BY {X.h32_sql('text')}) AS keeper
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+    doc="exact dedup: hash-groupBy, keeper = min doc_id per hash group",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("text_hash", X.h32(F.col("text")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    return d.select(
+        "doc_id",
+        "text_hash",
+        (F.count("*").over(w) > 1).alias("is_dup"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+
+
+def _band_key_sql(sig: str, b: int, rows: int) -> str:
+    parts = ", ".join(f"{sig}[{b * rows + r + 1}]" for r in range(rows))
+    return f"concat_ws('-', {parts})"
+
+
+_MINHASH_ROWS = len(X.MINHASH_PERMS) // MINHASH_BANDS
+
+_MINHASH_ORACLE = (
+    _DOC_CTE
+    + f""", sig AS (
+  SELECT doc_id, sh, {X.minhash_sig_sql('shh')} AS sig FROM shh WHERE len(sh) > 0
+), bands AS (
+  SELECT doc_id, sh, b.b AS band_id,
+         CASE b.b {' '.join(f"WHEN {b} THEN {_band_key_sql('sig', b, _MINHASH_ROWS)}" for b in range(MINHASH_BANDS))} END AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sh AS sh_a, c.sh AS sh_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / len(list_distinct(list_concat(sh_a, sh_b))) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+      / len(list_distinct(list_concat(sh_a, sh_b))) >= {MINHASH_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    doc="MinHash(16)+LSH(4 bands): band-key equi-join candidates, verified by "
+        "exact shingle Jaccard — the O(n²) pair scan never happens",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", X.shingles_expr(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = sh.withColumn("sig", _minhash_from_shingles(F.col("sh")))
+    rows = _MINHASH_ROWS
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("c.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.select(
+        "doc_a", "doc_b", X.r6(jac).alias("jaccard"), jac.alias("_j")
+    ).where(F.col("_j") >= MINHASH_JACCARD_T).drop("_j")
+
+
+def _minhash_from_shingles(sh):
+    hashes = F.transform(sh, lambda s: X.h32(s))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % X.MERSENNE_P)
+            )
+            for (a, b) in X.MINHASH_PERMS
+        ]
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {X.simhash_sql('text')} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    doc="SimHash near-dup: 4 byte-bands of the 32-bit hash as LSH keys; "
+        "hamming ≤ 3 ⇒ pigeonhole guarantees a shared band, so the banded "
+        "equi-join finds exactly the brute-force pair set",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", X.simhash_expr(F.col("text")).alias("sh")
+    )
+    # 4 bands of 8 bits: band b value = (sh >> 8b) & 255, via long arithmetic
+    bands = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        ((F.col("sh") % F.lit(1 << (8 * (b + 1)))) / F.lit(1 << (8 * b)))
+                        .cast("long")
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_val")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("c.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )
+
+
+_NGRAM_ORACLE = (
+    _DOC_CTE
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {NGRAM_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc="3-gram shingle Jaccard within language groups (exact pairwise form; "
+        "the scale path is dedup_minhash_lsh — this is its verification oracle)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "lang", X.shingles_expr(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        X.r6(jac).alias("jaccard"),
+        jac.alias("_j"),
+    ).where(F.col("_j") >= NGRAM_JACCARD_T).drop("_j")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: cosine dedup + ANN
+# ---------------------------------------------------------------------------
+
+def _dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(a):
+    return F.sqrt(_dot_expr(a, a))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+_EMB_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {EMB_COS_DUP_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    _EMB_DUP_ORACLE,
+    doc="embedding near-dup: cosine ≥ 0.9 within label blocks (blocking key "
+        "stands in for the LSH bucket at scale)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot_expr(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm_expr(F.col("a.embedding")) * _norm_expr(F.col("b.embedding"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+            cos.alias("_c"),
+        )
+        .where(F.col("_c") >= EMB_COS_DUP_T)
+        .drop("_c")
+    )
+
+
+_ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({_ANN_IDS})),
+ranked AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    doc="brute-force cosine top-k: broadcast the (tiny) query set against the "
+        "corpus — one scan, no shuffle of the corpus side",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cos = _dot_expr(F.col("q_emb"), F.col("c_emb")) / (
+        _norm_expr(F.col("q_emb")) * _norm_expr(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --- LSH-bucketed ANN (the scale path) -------------------------------------
+
+def _plane_dot_sql(emb: str, i: int) -> str:
+    w = _w_sql(str(i), "i")
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> {emb}[i]::DOUBLE * {w})), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_band_sql(emb: str, b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(emb, b * 4 + r)} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(4)
+    )
+    return f"({bits})"
+
+
+_LSH_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {', '.join(f"{_lsh_band_sql('embedding', b)} AS band{b}" for b in range(LSH_BANDS))}
+  FROM embeddings
+), q AS (SELECT * FROM sigs WHERE vec_id IN ({_ANN_IDS})),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS q_emb, c.embedding AS c_emb
+  FROM q JOIN sigs c
+    ON c.vec_id <> q.vec_id
+   AND ({' OR '.join(f'q.band{b} = c.band{b}' for b in range(LSH_BANDS))})
+), ranked AS (
+  SELECT query_id, neighbor_id, {_cos_sql('q_emb', 'c_emb')} AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_cos_sql('q_emb', 'c_emb')} DESC, neighbor_id
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {LSH_TOPK} ORDER BY query_id, rank
+"""
+
+
+def _plane_dot_expr(emb, i: int):
+    weights = F.array(*[F.lit(_w(i, j)) for j in range(1, EMB_DIM + 1)])
+    return _dot_expr(emb, weights)
+
+
+def _lsh_band_expr(emb, b: int):
+    out = F.lit(0)
+    for r in range(4):
+        out = out + F.when(_plane_dot_expr(emb, b * 4 + r) > 0, F.lit(1 << r)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+@query(
+    "ann_lsh_topk",
+    _LSH_ORACLE,
+    doc="random-hyperplane LSH ANN: 16-bit signature, 4×4-bit OR-of-bands "
+        "candidate join, exact cosine re-rank — at scale the bands are the "
+        "shuffle keys and the corpus is scanned once",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
+    )
+    q = sigs.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+    band_match = None
+    for b in range(LSH_BANDS):
+        m = F.col(f"q.band{b}") == F.col(f"c.band{b}")
+        band_match = m if band_match is None else (band_match | m)
+    cand = (
+        F.broadcast(q.alias("q"))
+        .join(sigs.alias("c"), (F.col("c.vec_id") != F.col("q.vec_id")) & band_match)
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.embedding").alias("q_emb"),
+            F.col("c.embedding").alias("c_emb"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot_expr(F.col("q_emb"), F.col("c_emb")) / (
+        _norm_expr(F.col("q_emb")) * _norm_expr(F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,113 @@
+"""Structured-Streaming ingestion — the Horizon restatement (SURVEY §2.4).
+
+The reference's ingest path (`horizon/listen.py` TCP/UDP sources →
+`horizon/worker.py` skip-list filter, late-data drop, Redis APPEND) becomes
+a declarative streaming pipeline:
+
+    readStream (file/kafka/socket source, page schema)
+      → skip-list filter            (worker.py:79-124 → rlike predicate)
+      → late-data watermark         (worker.py:205-206 MAX_RESOLUTION drop →
+                                     withWatermark, state-bounded)
+      → windowed per-partition stats (the Analyzer sweep, incremental)
+      → append sink                 (worker.py:208-219 Redis APPEND →
+                                     parquet/Iceberg appends, exactly-once
+                                     via checkpointLocation)
+
+Backpressure replaces the reference's drop-chunk-when-queue-full
+(`listen.py:202-218`): Spark's source rate limiting (maxFilesPerTrigger)
+bounds in-flight work instead of shedding it.
+
+Scale notes: stateful aggregation state is bounded by the watermark; the
+shuffle key is (window, lang) — the same partition axis as the batch
+engine, so a backfilled day and a streamed day produce identical stat rows
+(tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.synth import PAGE_SCHEMA
+
+__all__ = ["read_page_stream", "apply_skip_list", "streaming_partition_stats", "run_to_sink"]
+
+#: reference SKIP_LIST semantics (settings.py:62-78): drop metrics whose name
+#: matches any pattern; DO_NOT_SKIP_LIST wins over SKIP_LIST
+DEFAULT_SKIP_PATTERNS = [r"^https://skip\.", r"\.invalid\.example\.org/"]
+DEFAULT_KEEP_PATTERNS = [r"\.example\.org/"]
+
+
+def read_page_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source of page rows (the sandbox stand-in for the
+    Kafka/socket source a crawler fleet would feed)."""
+    return (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def apply_skip_list(
+    pages: DataFrame,
+    skip_patterns: list[str] | None = None,
+    keep_patterns: list[str] | None = None,
+) -> DataFrame:
+    """Skip-list filter on url (horizon/worker.py:79-124): a row is dropped
+    when it matches a SKIP pattern unless it matches a DO_NOT_SKIP pattern."""
+    skip_patterns = DEFAULT_SKIP_PATTERNS if skip_patterns is None else skip_patterns
+    keep_patterns = DEFAULT_KEEP_PATTERNS if keep_patterns is None else keep_patterns
+    skip = F.lit(False)
+    for p in skip_patterns:
+        skip = skip | F.col("url").rlike(p)
+    keep = F.lit(False)
+    for p in keep_patterns:
+        keep = keep | F.col("url").rlike(p)
+    return pages.where(~skip | keep)
+
+
+def streaming_partition_stats(
+    pages: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Incremental per-(day, lang) stats with late-data handling.
+
+    The watermark is the declarative form of the reference's
+    ``ts < now - MAX_RESOLUTION`` drop (horizon/worker.py:205-206,
+    settings.py:895): rows later than the watermark are discarded and state
+    for closed windows is reclaimed.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 day").alias("w"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.avg(F.col("text").isNull().cast("double")).alias("null_rate_text"),
+            F.avg(F.length("text")).alias("text_len_avg"),
+            F.approx_count_distinct("url").alias("url_approx_distinct"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("partition_date"),
+            "lang",
+            "row_count",
+            "null_rate_text",
+            "text_len_avg",
+            "url_approx_distinct",
+        )
+    )
+
+
+def run_to_sink(
+    stats: DataFrame, out_path: str, checkpoint_path: str
+) -> None:
+    """Drain all available input to a parquet append sink, exactly-once via
+    the checkpoint (the Redis APPEND + Roomba pairing, minus the races)."""
+    (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,78 @@
+"""Streaming ingest tests: skip-list filter, watermarked incremental stats,
+exactly-once availableNow drains, and batch/stream stat-row equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.sources.synth import synth_pages
+from skyline_spark.streaming.ingest import (
+    apply_skip_list,
+    read_page_stream,
+    run_to_sink,
+    streaming_partition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Synthetic pages written as several files — the 'arriving batches'."""
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    pages = synth_pages(spark, n_rows=2000, n_days=4, defects=False)
+    pages.repartition(6).write.mode("overwrite").parquet(src)
+    return root, src, pages
+
+
+def test_skip_list(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://skip.me/x",),
+            ("https://host-1.example.org/ok",),
+            ("https://skip.me/but.example.org/kept",),
+            ("https://a.invalid.example.org/hmm",),
+        ],
+        ["url"],
+    )
+    kept = {r.url for r in apply_skip_list(df).collect()}
+    # skip patterns drop, DO_NOT_SKIP (keep) patterns override
+    assert "https://skip.me/x" not in kept
+    assert "https://host-1.example.org/ok" in kept
+    assert "https://skip.me/but.example.org/kept" in kept
+    assert "https://a.invalid.example.org/hmm" in kept  # matches keep pattern too
+
+
+def test_streaming_matches_batch(spark, staged):
+    root, src, pages = staged
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+
+    stream = read_page_stream(spark, src, max_files_per_trigger=2)
+    run_to_sink(streaming_partition_stats(stream), out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .select("partition_date", "lang", "row_count")
+        .collect()
+    )
+    expect = (
+        pages.groupBy(F.to_date("warc_ts").alias("partition_date"), "lang")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_exactly_once_resume(spark, staged):
+    """Re-running the drain with the same checkpoint adds nothing."""
+    root, src, _ = staged
+    out = str(root / "out2")
+    ckpt = str(root / "ckpt2")
+    stream = read_page_stream(spark, src)
+    run_to_sink(streaming_partition_stats(stream), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    stream2 = read_page_stream(spark, src)
+    run_to_sink(streaming_partition_stats(stream2), out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
