@@ -231,15 +231,22 @@ ORDER BY doc_a, doc_b
         "exact shingle Jaccard — the O(n²) pair scan never happens",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage-wise: shingles are computed ONCE and persisted; the band join
+    # shuffles only (doc_id, band_id, band_key) — never the shingle arrays —
+    # and verified pairs fetch their shingle sets back by id. This mirrors
+    # the at-scale design (a materialized signature table feeding a narrow
+    # band join) and keeps the Catalyst tree small: inlining the signature
+    # expression into all four band keys on both join sides blows codegen up.
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", X.shingles_expr(F.col("text")).alias("sh")
-    ).where(F.size("sh") > 0)
-    sig = sh.withColumn("sig", _minhash_from_shingles(F.col("sh")))
+    sh = (
+        d.select("doc_id", X.shingles_expr(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    sig = sh.select("doc_id", _minhash_from_shingles(F.col("sh")).alias("sig"))
     rows = _MINHASH_ROWS
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -257,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key").persist()
 
     a = bands.alias("a")
     c = bands.alias("c")
@@ -268,18 +275,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("c.band_key"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("c.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return cand.select(
+    return pairs.select(
         "doc_a", "doc_b", X.r6(jac).alias("jaccard"), jac.alias("_j")
     ).where(F.col("_j") >= MINHASH_JACCARD_T).drop("_j")
 

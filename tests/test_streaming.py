@@ -1,5 +1,12 @@
 """Streaming ingest tests: skip-list filter, watermarked incremental stats,
-exactly-once availableNow drains, and batch/stream stat-row equivalence."""
+exactly-once availableNow drains, and batch/stream stat-row equivalence.
+
+Append-mode semantics note: a windowed aggregate only emits once the
+watermark passes the window end, so a bounded drain holds back the newest
+open windows — they flush when later data arrives. The equivalence test
+therefore stages an extra later-day batch to close the compared windows,
+which is exactly how a production backfill behaves.
+"""
 
 from __future__ import annotations
 
@@ -17,12 +24,17 @@ from skyline_spark.streaming.ingest import (
 
 @pytest.fixture(scope="module")
 def staged(spark, tmp_path_factory):
-    """Synthetic pages written as several files — the 'arriving batches'."""
+    """Six days of pages: days 0-3 are the payload, days 4-5 the sentinel
+    batch that advances the watermark past day 3's window end."""
     root = tmp_path_factory.mktemp("stream")
     src = str(root / "src")
-    pages = synth_pages(spark, n_rows=2000, n_days=4, defects=False)
-    pages.repartition(6).write.mode("overwrite").parquet(src)
-    return root, src, pages
+    pages = synth_pages(spark, n_rows=2000, n_days=6, defects=False).withColumn(
+        "_day", F.datediff(F.to_date("warc_ts"), F.lit("2026-08-01").cast("date"))
+    )
+    payload = pages.where(F.col("_day") <= 3).drop("_day")
+    sentinel = pages.where(F.col("_day") > 3).drop("_day")
+    payload.repartition(4).write.mode("overwrite").parquet(src)
+    return root, src, payload, sentinel
 
 
 def test_skip_list(spark):
@@ -44,20 +56,26 @@ def test_skip_list(spark):
 
 
 def test_streaming_matches_batch(spark, staged):
-    root, src, pages = staged
+    root, src, payload, sentinel = staged
     out = str(root / "out")
     ckpt = str(root / "ckpt")
 
     stream = read_page_stream(spark, src, max_files_per_trigger=2)
-    run_to_sink(streaming_partition_stats(stream), out, ckpt)
+    run_to_sink(streaming_partition_stats(stream, watermark="1 hour"), out, ckpt)
+
+    # second drain after the sentinel batch arrives → closed windows flush
+    sentinel.write.mode("append").parquet(src)
+    stream2 = read_page_stream(spark, src, max_files_per_trigger=2)
+    run_to_sink(streaming_partition_stats(stream2, watermark="1 hour"), out, ckpt)
 
     got = (
         spark.read.parquet(out)
+        .where(F.col("partition_date") <= F.lit("2026-08-04").cast("date"))
         .select("partition_date", "lang", "row_count")
         .collect()
     )
     expect = (
-        pages.groupBy(F.to_date("warc_ts").alias("partition_date"), "lang")
+        payload.groupBy(F.to_date("warc_ts").alias("partition_date"), "lang")
         .agg(F.count(F.lit(1)).alias("row_count"))
         .collect()
     )
@@ -66,7 +84,7 @@ def test_streaming_matches_batch(spark, staged):
 
 def test_exactly_once_resume(spark, staged):
     """Re-running the drain with the same checkpoint adds nothing."""
-    root, src, _ = staged
+    root, src, _, _ = staged
     out = str(root / "out2")
     ckpt = str(root / "ckpt2")
     stream = read_page_stream(spark, src)
