@@ -106,13 +106,36 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     samples = series.limit(0).select(
         "partition_date", "lang", "stat", F.array().cast("array<double>").alias("sample")
     )
+    # realistic per-run shape: each series' LATEST partition is the target,
+    # prior partitions are baseline history (the resume anti-join leaves
+    # exactly this shape) — one 9-kernel ensemble evaluation per series
+    targets = series.groupBy("lang").agg(F.max("partition_date").alias("partition_date"))
     kern_rows = n_series * pts
+    # warm the python workers / codegen so the metric reflects steady state
+    _noop_sink(
+        drift_verdicts(
+            series.limit(2000),
+            samples,
+            ValidationConfig(min_history=4),
+            targets_df=targets,
+            drift_stats=["value_avg"],
+        )
+    )
     t0 = time.time()
-    _noop_sink(drift_verdicts(series, samples, ValidationConfig(min_history=4)))
+    _noop_sink(
+        drift_verdicts(
+            series,
+            samples,
+            ValidationConfig(min_history=4),
+            targets_df=targets,
+            drift_stats=["value_avg"],
+        )
+    )
     dt = time.time() - t0
     timings["kernel_ensemble"] = round(dt, 3)
     extras["kernel_rows"] = kern_rows
     extras["kernel_rows_per_sec"] = round(kern_rows / dt, 1)
+    extras["kernel_ensembles_per_sec"] = round(n_series / dt, 1)
 
     # --- representative catalog queries ------------------------------------
     bench_queries = [

@@ -1,0 +1,111 @@
+"""Additional coverage: second-order anomaly detection + semi-structured.
+
+- ``second_order_anomalies`` restates the reference's (shipped-but-disabled)
+  ``is_anomalously_anomalous`` — a 3-sigma test on the *intervals between
+  anomaly trigger times* (`analyzer/algorithms.py:497-534`,
+  `ENABLE_SECOND_ORDER=False` at settings.py:518) — over the replay anomaly
+  stream, fully relationally.
+- ``events_props_extract`` covers the JSON/semi-structured surface
+  (get_json_object ↔ json_extract_string) that a crawler metadata column
+  needs; stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .registry import load, query
+from .series_queries import _E_CTE, _ms, _series
+
+
+@query(
+    "second_order_anomalies",
+    _E_CTE
+    + """
+, p AS (
+  SELECT event_type, rn, ts, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmean,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pstd,
+         avg(value) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ptail
+  FROM e
+), anom AS (
+  SELECT event_type, ts,
+         (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY event_type ORDER BY rn))) / 1000.0 AS gap_s
+  FROM p WHERE rn > 10 AND abs(ptail - pmean) > 3 * pstd
+)
+SELECT event_type,
+       count(gap_s)::BIGINT AS n_intervals,
+       round(avg(gap_s), 6) AS mean_gap_s,
+       round(stddev_samp(gap_s), 6) AS std_gap_s,
+       CASE WHEN count(gap_s) < 2 THEN false
+            ELSE abs(max_by(gap_s, ts) - avg(gap_s)) > 3 * stddev_samp(gap_s) END AS anomalously_anomalous
+FROM anom WHERE gap_s IS NOT NULL GROUP BY event_type ORDER BY event_type
+""",
+    doc="is_anomalously_anomalous: 3-sigma test of the NEWEST inter-anomaly "
+        "interval against the interval history "
+        "(analyzer/algorithms.py:497-534; shipped disabled, "
+        "ENABLE_SECOND_ORDER settings.py:518)",
+)
+def second_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wexp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtail = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-2, 0)
+    p = e.select(
+        "event_type",
+        "rn",
+        "ts",
+        F.avg("value").over(wexp).alias("pmean"),
+        F.stddev_samp("value").over(wexp).alias("pstd"),
+        F.avg("value").over(wtail).alias("ptail"),
+    )
+    worder = Window.partitionBy("event_type").orderBy("rn")
+    anom = p.where(
+        (F.col("rn") > 10) & (F.abs(F.col("ptail") - F.col("pmean")) > 3 * F.col("pstd"))
+    ).select(
+        "event_type",
+        "ts",
+        ((_ms("ts") - F.lag(_ms("ts")).over(worder)) / 1000.0).alias("gap_s"),
+    )
+    # NULL first-gap rows are excluded in BOTH engines: max_by/arg_max
+    # null-skipping semantics differ, so never let it see a NULL
+    anom = anom.where(F.col("gap_s").isNotNull())
+    return anom.groupBy("event_type").agg(
+        F.count("gap_s").cast("long").alias("n_intervals"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.stddev_samp("gap_s"), 6).alias("std_gap_s"),
+        F.when(F.count("gap_s") < 2, F.lit(False))
+        .otherwise(
+            F.abs(F.max_by("gap_s", "ts") - F.avg("gap_s"))
+            > 3 * F.stddev_samp("gap_s")
+        )
+        .alias("anomalously_anomalous"),
+    )
+
+
+@query(
+    "events_props_extract",
+    """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="semi-structured metadata extraction (get_json_object) aggregated "
+        "per series — stays inside whole-stage codegen, no UDF",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+    )

@@ -74,7 +74,13 @@ def drift_ensemble_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = ValidationConfig(min_history=6, lookback_partitions=30)
     stats, samples = _events_stats_long(spark, sf_dir)
-    out = drift_verdicts(stats, samples, cfg)
+    out = drift_verdicts(
+        stats,
+        samples,
+        cfg,
+        drift_stats=["row_count", "value_avg", "value_p50", "value_max"],
+        sample_backed={"value_avg", "value_p50"},
+    )
     return out.select(
         F.date_format("partition_date", "yyyy-MM-dd").alias("day"),
         F.col("lang").alias("event_type"),

@@ -55,6 +55,9 @@ class ValidationConfig:
     sample_cap: int = 512
     # cap on per-partition violation example rows (counts stay exact)
     max_violation_examples: int = 20
+    # hash buckets for the detector UDF (series per applyInPandas call);
+    # None → 4 × spark.sql.shuffle.partitions
+    kernel_buckets: int | None = None
 
 
 # Status labels for the pass/fail table (FIXTURES.md F5)

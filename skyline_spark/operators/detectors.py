@@ -115,17 +115,24 @@ def tail_avg(values: np.ndarray, n: int = 3) -> float:
 def median_absolute_deviation(ts, values, now, params) -> bool:
     """|last − median| / median(|x − median|) > 6; False when MAD == 0.
 
-    Reference: `analyzer/algorithms.py:92-139`. Uses pandas median (skipna)
-    for parity with ``pandas.Series.median``.
+    Reference: `analyzer/algorithms.py:92-139` uses ``pandas.Series.median``
+    (skipna). For all-finite series np.median is numerically identical and
+    ~5x cheaper; NaN-bearing series take the pandas path for skipna parity.
     """
-    series = pd.Series(values)
-    median = series.median()
-    demedianed = (series - median).abs()
-    median_deviation = demedianed.median()
+    if np.isnan(values).any():
+        series = pd.Series(values)
+        median = series.median()
+        demedianed = (series - median).abs()
+        median_deviation = demedianed.median()
+        if median_deviation == 0:
+            return False
+        return bool(demedianed.iat[-1] / median_deviation > 6)
+    median = np.median(values)
+    demedianed = np.abs(values - median)
+    median_deviation = np.median(demedianed)
     if median_deviation == 0:
         return False
-    test_statistic = demedianed.iat[-1] / median_deviation
-    return bool(test_statistic > 6)
+    return bool(demedianed[-1] / median_deviation > 6)
 
 
 @_kernel
@@ -155,13 +162,19 @@ def first_hour_average(ts, values, now, params) -> bool:
 
     Reference: `analyzer/algorithms.py:175-194`. Baseline = points with
     ts < now − (full_duration − 3600); sample std (pandas ddof=1). An empty
-    baseline yields NaN stats → False (NaN comparisons are False), matching
-    the reference's pandas behaviour.
+    or single-point baseline yields NaN stats → False (NaN comparisons are
+    False), matching the reference's pandas behaviour.
     """
     cutoff = now - (params.full_duration - params.baseline_head_seconds)
-    baseline = pd.Series(values[ts < cutoff])
-    mean = baseline.mean()
-    std_dev = baseline.std()
+    baseline = values[ts < cutoff]
+    if np.isnan(baseline).any():
+        b = pd.Series(baseline)
+        mean, std_dev = b.mean(), b.std()
+    elif baseline.size == 0:
+        return False  # NaN mean/std → all comparisons False
+    else:
+        mean = float(np.mean(baseline))
+        std_dev = float(np.std(baseline, ddof=1)) if baseline.size > 1 else float("nan")
     t = tail_avg(values, params.tail_points)
     return bool(abs(t - mean) > 3 * std_dev)
 
@@ -172,9 +185,12 @@ def stddev_from_average(ts, values, now, params) -> bool:
 
     Reference: `analyzer/algorithms.py:197-216` (pandas ddof=1 std).
     """
-    series = pd.Series(values)
-    mean = series.mean()
-    std_dev = series.std()
+    if np.isnan(values).any():
+        series = pd.Series(values)
+        mean, std_dev = series.mean(), series.std()
+    else:
+        mean = float(np.mean(values))
+        std_dev = float(np.std(values, ddof=1)) if values.size > 1 else float("nan")
     t = tail_avg(values, params.tail_points)
     return bool(abs(t - mean) > 3 * std_dev)
 
@@ -204,10 +220,17 @@ def mean_subtraction_cumulation(ts, values, now, params) -> bool:
     in for None, and NaN is truthy in python, so the float64 series is used
     as-is; sample std (ddof=1).
     """
-    series = pd.Series(values)
-    series = series - series[0 : len(series) - 1].mean()
-    std_dev = series[0 : len(series) - 1].std()
-    return bool(abs(series.iat[-1]) > 3 * std_dev)
+    if np.isnan(values).any():
+        series = pd.Series(values)
+        series = series - series[0 : len(series) - 1].mean()
+        std_dev = series[0 : len(series) - 1].std()
+        return bool(abs(series.iat[-1]) > 3 * std_dev)
+    head = values[:-1]
+    if head.size == 0:
+        return False  # NaN mean/std → all comparisons False
+    mean = float(np.mean(head))
+    std_dev = float(np.std(head, ddof=1)) if head.size > 1 else float("nan")
+    return bool(abs(values[-1] - mean) > 3 * std_dev)
 
 
 @_kernel

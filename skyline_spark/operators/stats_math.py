@@ -115,6 +115,10 @@ def t_sf(t: float, df: float) -> float:
     return p if t > 0 else 1.0 - p
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def t_isf(q: float, df: float) -> float:
     """Student-t inverse survival function (matches scipy.stats.t.isf).
 

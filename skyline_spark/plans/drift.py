@@ -66,33 +66,40 @@ DRIFT_SCHEMA = T.StructType(
 _SCALAR_DETECTORS = [name for name in ALGORITHMS if name != "ks_test"]
 
 
-def _group_verdicts(pdf: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
-    """Run the ensemble for every target partition of one (lang, stat) group."""
-    pdf = pdf.sort_values("partition_date").reset_index(drop=True)
-    lang = pdf["lang"].iat[0]
-    stat = pdf["stat"].iat[0]
+def _series_verdicts(
+    dates: np.ndarray,
+    ts_all: np.ndarray,
+    values_all: np.ndarray,
+    samples_all,
+    target_idx: np.ndarray,
+    lang: str,
+    stat: str,
+    cfg: ValidationConfig,
+    sample_backed: set,
+    out: dict,
+) -> None:
+    """Ensemble for each target index of ONE series, appending to column
+    lists. Pure numpy/python — no pandas objects per series, so the wrapper
+    overhead stays amortized across a whole bucket of series."""
     P = cfg.partition_seconds
-    ts_all = pdf["partition_date"].map(lambda d: d.toordinal() * P).to_numpy(np.float64)
-    values_all = pdf["value"].to_numpy(np.float64)
     ens_cfg = cfg.ensemble
     n_detectors = len(ALGORITHMS)
     max_false = n_detectors - ens_cfg.consensus + 1
+    has_samples = samples_all is not None and stat in sample_backed
 
-    out: list[dict] = []
-    for i in np.flatnonzero(pdf["is_target"].to_numpy()):
-        row = {
-            "partition_date": pdf["partition_date"].iat[i],
-            "lang": lang,
-            "stat": stat,
-            "datapoint": float(values_all[i]),
-        }
+    for i in target_idx:
         lo = max(0, i + 1 - cfg.lookback_partitions)
         ts = ts_all[lo : i + 1]
         values = values_all[lo : i + 1]
         now = float(ts_all[i])
 
+        out["partition_date"].append(dates[i])
+        out["lang"].append(lang)
+        out["stat"].append(stat)
+        out["datapoint"].append(float(values_all[i]))
+
         # --- gates (surfaced as statuses, SURVEY §2.2) -------------------
-        sample_i = pdf["sample"].iat[i] if "sample" in pdf else None
+        sample_i = samples_all[i] if has_samples else None
         boring_sample = (
             sample_i is not None
             and len(sample_i) >= 2
@@ -104,18 +111,21 @@ def _group_verdicts(pdf: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
             and len(set(tail.tolist())) == ens_cfg.boredom_set_size
         )
         if len(values) < cfg.min_history:
-            out.append({**row, "status": STATUS_TOO_SHORT, "anomalous": False,
-                        "ensemble": [], "triggered": []})
+            out["status"].append(STATUS_TOO_SHORT)
+            out["anomalous"].append(False)
+            out["ensemble"].append([])
+            out["triggered"].append([])
             continue
         if boring_sample or boring_series:
-            out.append({**row, "status": STATUS_BORING, "anomalous": False,
-                        "ensemble": [], "triggered": []})
+            out["status"].append(STATUS_BORING)
+            out["anomalous"].append(False)
+            out["ensemble"].append([])
+            out["triggered"].append([])
             continue
 
         # --- ordered ensemble with optimized early-exit ------------------
         # windows scale with the EFFECTIVE history (short early series get a
         # proportionally placed first-hour baseline, like Skyline's 1h/24h)
-        # series span is (eff-1) steps; baseline head = oldest third
         eff = len(values)
         params = DetectorParams(
             full_duration=(eff - 1) * P,
@@ -130,7 +140,9 @@ def _group_verdicts(pdf: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
                 ensemble.append(False)  # padded False (`algorithms.py:637-638`)
                 continue
             if name == "ks_test":
-                verdict = _ks_on_samples(pdf, i, lo, now, cfg)
+                verdict = _ks_on_sample_arrays(
+                    ts_all, samples_all if has_samples else None, i, lo, now, cfg
+                )
             else:
                 verdict = ALGORITHMS[name](ts, values, now, params)
             ensemble.append(verdict)
@@ -138,40 +150,71 @@ def _group_verdicts(pdf: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
                 consensus_possible = False
 
         anomalous = consensus_anomalous(ensemble, ens_cfg.consensus)
-        out.append(
-            {
-                **row,
-                "status": STATUS_FAIL if anomalous else STATUS_OK,
-                "anomalous": anomalous,
-                "ensemble": ensemble,
-                "triggered": [n for n, v in zip(ALGORITHMS, ensemble) if v is True],
-            }
-        )
+        out["status"].append(STATUS_FAIL if anomalous else STATUS_OK)
+        out["anomalous"].append(anomalous)
+        out["ensemble"].append(ensemble)
+        out["triggered"].append([n for n, v in zip(ALGORITHMS, ensemble) if v is True])
+
+
+def _empty_out() -> dict:
+    return {f.name: [] for f in DRIFT_SCHEMA}
+
+
+def _group_verdicts(
+    pdf: pd.DataFrame,
+    cfg: ValidationConfig,
+    sample_backed: set[str] | None = None,
+) -> pd.DataFrame:
+    """Run the ensemble for every target partition of one (lang, stat) group."""
+    backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
+    pdf = pdf.sort_values("partition_date").reset_index(drop=True)
+    lang = pdf["lang"].iat[0]
+    stat = pdf["stat"].iat[0]
+    P = cfg.partition_seconds
+    dates = pdf["partition_date"].to_numpy()
+    ts_all = np.fromiter((d.toordinal() for d in dates), np.float64, len(dates)) * P
+    values_all = pdf["value"].to_numpy(np.float64)
+    samples_all = pdf["sample"].to_numpy() if "sample" in pdf else None
+    out = _empty_out()
+    _series_verdicts(
+        dates,
+        ts_all,
+        values_all,
+        samples_all,
+        np.flatnonzero(pdf["is_target"].to_numpy()),
+        lang,
+        stat,
+        cfg,
+        backed,
+        out,
+    )
     cols = [f.name for f in DRIFT_SCHEMA]
-    return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+    if not out["partition_date"]:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(out, columns=cols)
 
 
-def _ks_on_samples(pdf: pd.DataFrame, i: int, lo: int, now: float, cfg: ValidationConfig):
+def _ks_on_sample_arrays(ts_all, samples_all, i, lo, now, cfg):
     """ks_test over raw-value samples: prior partitions vs the target.
 
     Reuses the reference kernel unchanged by assigning every sample point its
     partition's pseudo-timestamp and choosing windows that select
     [prior partitions | target partition].
     """
-    if "sample" not in pdf or pdf["stat"].iat[0] not in SAMPLE_BACKED_STATS:
+    if samples_all is None:
         return False  # no sample → insufficient points, reference returns False
-    P = cfg.partition_seconds
     ts_parts: list[np.ndarray] = []
     val_parts: list[np.ndarray] = []
     for j in range(lo, i + 1):
-        s = pdf["sample"].iat[j]
+        s = samples_all[j]
         if s is None or len(s) == 0:
             continue
         arr = np.asarray(s, dtype=np.float64)
-        ts_parts.append(np.full(arr.size, pdf["partition_date"].iat[j].toordinal() * P))
+        ts_parts.append(np.full(arr.size, ts_all[j]))
         val_parts.append(arr)
     if not ts_parts:
         return False
+    P = cfg.partition_seconds
     params = DetectorParams(
         full_duration=cfg.lookback_partitions * P,
         ks_reference_seconds=cfg.lookback_partitions * P,
@@ -185,6 +228,8 @@ def drift_verdicts(
     samples: DataFrame,
     cfg: ValidationConfig | None = None,
     targets_df: DataFrame | None = None,
+    drift_stats: list[str] | None = None,
+    sample_backed: set[str] | None = None,
 ) -> DataFrame:
     """stats + samples → per-(partition, lang, stat) drift verdict rows.
 
@@ -192,15 +237,23 @@ def drift_verdicts(
     yet-checkpointed ones, for resume); None = every partition. Non-target
     rows still flow into the UDF as baseline history — the left join only
     *flags* targets (broadcast: the pair list is tiny by construction).
+
+    ``drift_stats`` / ``sample_backed``: which stat series run the ensemble
+    and which of them feed their ks_test slot from the raw-value sample;
+    defaults are the page-table stat names (plans/stats.py).
     """
     cfg = cfg or ValidationConfig()
-    scalar = stats_long.where(F.col("stat").isin(DRIFT_STATS))
+    drift_stats = DRIFT_STATS if drift_stats is None else drift_stats
+    sample_backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
+    scalar = stats_long.where(F.col("stat").isin(drift_stats))
     samp = samples.where(F.col("stat") == SAMPLE_STAT).select(
         *PARTITION_COLS, F.col("sample")
     )
-    enriched = scalar.join(samp, PARTITION_COLS, "left").withColumn(
+    # samples are one bounded row per (partition, lang) — broadcast so the
+    # big stats side never sorts/shuffles for this join
+    enriched = scalar.join(F.broadcast(samp), PARTITION_COLS, "left").withColumn(
         "sample",
-        F.when(F.col("stat").isin(list(SAMPLE_BACKED_STATS)), F.col("sample")),
+        F.when(F.col("stat").isin(list(sample_backed)), F.col("sample")),
     )
     if targets_df is None:
         enriched = enriched.withColumn("is_target", F.lit(True))
@@ -210,5 +263,82 @@ def drift_verdicts(
             "is_target", F.coalesce(F.col("is_target"), F.lit(False))
         )
 
-    func = lambda pdf: _group_verdicts(pdf, cfg)  # noqa: E731
-    return enriched.groupBy("lang", "stat").applyInPandas(func, DRIFT_SCHEMA)
+    # Group MANY (lang, stat) series into each UDF invocation: grouping by
+    # the raw pair means one Arrow round-trip per tiny series, and the fixed
+    # per-group overhead (batch setup, pandas construction) dominates the
+    # kernels themselves. Hash-bucketing the pairs amortizes that overhead
+    # over ~|pairs|/kernel_buckets series per call; the sub-series split
+    # happens with a cheap in-worker pandas groupby. Bucket count ≈ 4× the
+    # shuffle parallelism keeps every core busy without reintroducing the
+    # overhead. xxhash spreads pairs evenly, so no bucket skew.
+    func = lambda pdf: _bucket_verdicts(pdf, cfg, sample_backed)  # noqa: E731
+    n_buckets = cfg.kernel_buckets or 4 * int(
+        stats_long.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bucketed = enriched.withColumn(
+        "_bucket", F.pmod(F.xxhash64("lang", "stat"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(func, DRIFT_SCHEMA)
+
+
+def _bucket_verdicts(
+    pdf: pd.DataFrame,
+    cfg: ValidationConfig,
+    sample_backed: set[str] | None = None,
+) -> pd.DataFrame:
+    """Run _series_verdicts for every (lang, stat) series in the bucket.
+
+    One vectorized prep pass per bucket (sort, ordinal conversion, group
+    boundary detection via numpy) — pandas groupby per tiny series costs
+    more than the kernels themselves.
+    """
+    backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
+    cols = [f.name for f in DRIFT_SCHEMA]
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=cols)
+    P = cfg.partition_seconds
+
+    langs = pdf["lang"].to_numpy()
+    stats = pdf["stat"].to_numpy()
+    dates = pdf["partition_date"].to_numpy()
+    ords = np.fromiter((d.toordinal() for d in dates), np.int64, len(dates))
+    # sort by (lang, stat, date) once; np.unique gives the series boundaries
+    lang_codes, lang_inv = np.unique(langs, return_inverse=True)
+    stat_codes, stat_inv = np.unique(stats, return_inverse=True)
+    key = lang_inv.astype(np.int64) * len(stat_codes) + stat_inv
+    order = np.lexsort((ords, key))
+    key_s = key[order]
+    bounds = np.flatnonzero(np.diff(key_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(key_s)]))
+
+    dates_s = dates[order]
+    ts_s = ords[order].astype(np.float64) * P
+    values_s = pdf["value"].to_numpy(np.float64)[order]
+    targets_s = pdf["is_target"].to_numpy()[order]
+    samples_s = pdf["sample"].to_numpy()[order] if "sample" in pdf else None
+    langs_s = langs[order]
+    stats_s = stats[order]
+
+    out = _empty_out()
+    for a, b in zip(starts, ends):
+        tgt = np.flatnonzero(targets_s[a:b])
+        if tgt.size == 0:
+            continue
+        _series_verdicts(
+            dates_s[a:b],
+            ts_s[a:b],
+            values_s[a:b],
+            samples_s[a:b] if samples_s is not None else None,
+            tgt,
+            langs_s[a],
+            stats_s[a],
+            cfg,
+            backed,
+            out,
+        )
+    if not out["partition_date"]:
+        # empty dict-of-lists defaults every column to float64, which Arrow
+        # refuses to cast to date32 — hand back an object-dtyped empty frame
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame(out, columns=cols)

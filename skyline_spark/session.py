@@ -32,7 +32,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM runs every task — size the heap to the
+        # thread count or 32 concurrent tasks thrash an 8g heap with GC
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(4 + 2 * cores, 96)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
