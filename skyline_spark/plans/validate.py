@@ -50,7 +50,7 @@ from .constraints import (
     uniqueness_violations,
 )
 from .drift import drift_verdicts
-from .stats import PARTITION_COLS, partition_stats, stat_samples, with_partition
+from .stats import PARTITION_COLS, partition_stats, slim_pages, stat_samples
 
 __all__ = ["ValidationResult", "validate", "VERDICT_SCHEMA", "DEFAULT_STATIC_RULES"]
 
@@ -111,9 +111,12 @@ def validate(
         ]
     )
 
-    # ---- stage 1: one aggregation pass over the (possibly huge) table ----
-    stats = partition_stats(pages).cache()
-    samples = stat_samples(pages, cfg.sample_cap)
+    # ---- stage 1: ONE scan of the heavy columns → slim derived frame -----
+    # html (multi-KB/row) and text are read exactly once; every stage below
+    # aggregates the ~100-byte/row slim projection instead of re-scanning
+    slim = slim_pages(pages).persist()
+    stats = partition_stats(slim).cache()
+    samples = stat_samples(slim, cfg.sample_cap)
 
     fingerprints = (
         stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
@@ -142,8 +145,7 @@ def validate(
     drift = drift_verdicts(stats, samples, cfg, targets_df=drift_targets)
 
     # ---- stage 5: constraints, scans pruned to target partitions ----------
-    pages_p = with_partition(pages)
-    target_pages = pages_p.join(
+    target_pages = slim.join(
         F.broadcast(drift_targets), PARTITION_COLS, "left_semi"
     )
     violations = (

@@ -99,6 +99,51 @@ def _paragraphs(words: Column) -> Column:
     return F.concat_ws("\n", F.transform(F.sequence(F.lit(0), n_paras - 1), para))
 
 
+def _lorem_pool() -> str:
+    """Deterministic ~30k-char word pool (seeded LCG over the vocab).
+
+    Per-row text is a SUBSTRING of this constant — O(1) codegen string ops
+    per row instead of per-word hash transforms, which are evaluated
+    interpreted (higher-order functions don't codegen) and dominated
+    generation time ~50x at the 10^6-row bench scale. Overlapping
+    substrings also give documents genuine n-gram overlap, which exercises
+    the near-dup operators.
+    """
+    state = 0xC0FFEE
+    words = []
+    for _ in range(5000):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        words.append(_VOCAB[(state >> 33) % len(_VOCAB)])
+    return " ".join(words)
+
+
+_LOREM = _lorem_pool()
+# widest substring ever taken: 200 words * 3 (len_shift) * ~6.2 chars + jitter
+_LOREM_SPAN = 4200
+_CHARS_PER_WORD = 6
+
+
+def _page_text(rid: Column, n_words: Column, day: Column) -> Column:
+    """Two-paragraph page text: unique uid word + lorem substring.
+
+    Day-level length jitter keeps per-day stat series (avg/p50 of length)
+    non-degenerate — identical day distributions would give zero-variance
+    drift baselines, which no real crawl has.
+    """
+    n_chars = (
+        n_words * _CHARS_PER_WORD
+        + F.pmod(F.xxhash64(rid, F.lit("jit")), F.lit(11))
+        + F.pmod(F.xxhash64(day.cast("long"), F.lit("dayjit")), F.lit(13))
+    )
+    offset = F.pmod(F.xxhash64(rid, F.lit("off")), F.lit(len(_LOREM) - _LOREM_SPAN)) + 1
+    return F.concat(
+        F.lit("uid"),
+        F.conv(rid.cast("string"), 10, 16),
+        F.lit("\n"),
+        F.substring(F.lit(_LOREM), offset.cast("int"), n_chars.cast("int")),
+    )
+
+
 def synth_pages(
     spark: SparkSession,
     n_rows: int = 10_000,
@@ -136,7 +181,7 @@ def synth_pages(
         n_words = F.when(day == ddays["len_shift"], n_words * 3).otherwise(n_words)
         defect = F.when(day == ddays["len_shift"], F.lit("len_shift")).otherwise(defect)
 
-    text = _paragraphs(_word_stream(rid, n_words, "text"))
+    text = _page_text(rid, n_words, day)
 
     if defects:
         constant_text = F.concat_ws(

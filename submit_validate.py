@@ -1,0 +1,75 @@
+"""spark-submit entry point for a cluster validation run.
+
+    spark-submit \
+      --py-files $(python -c 'from skyline_spark.packaging import build_pyfiles_zip as b; print(b())') \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --conf spark.sql.execution.arrow.pyspark.enabled=true \
+      submit_validate.py \
+      --table  <path-or-iceberg-table-of-pages> \
+      --output <warehouse-dir-for-verdicts/violations/checkpoint> \
+      --run-id <id>
+
+Reads the subject table (``url, warc_ts, html, text, lang``), runs the full
+validation pipeline (stats → gates → drift ensemble → constraints), writes
+the pass/fail table, violation sidecar and checkpoint rows under
+``--output``, and resumes from the checkpoint on re-runs (only partitions
+whose content fingerprint or detector versions changed are revalidated).
+
+On a cluster the SparkSession comes from spark-submit's conf (no
+master/memory settings here); local smoke runs fall back to the session
+factory defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--table", required=True, help="parquet path or Iceberg table of pages")
+    ap.add_argument("--output", required=True, help="output warehouse directory")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--lookback", type=int, default=30)
+    ap.add_argument("--min-history", type=int, default=6)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("skyline-spark-validate").getOrCreate()
+    from skyline_spark.config import ValidationConfig
+    from skyline_spark.packaging import attach_package
+    from skyline_spark.plans.checkpoint import append_checkpoint
+    from skyline_spark.plans.validate import validate
+
+    attach_package(spark)
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    pages = (
+        spark.read.table(args.table)
+        if "." in args.table and "/" not in args.table
+        else spark.read.parquet(args.table)
+    )
+    cfg = ValidationConfig(
+        lookback_partitions=args.lookback, min_history=args.min_history
+    )
+    ckpt_path = f"{args.output}/checkpoint"
+    res = validate(pages, cfg, checkpoint_path=ckpt_path, run_id=run_id)
+
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts/{run_id}")
+    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations/{run_id}")
+    append_checkpoint(res.checkpoint, ckpt_path)
+
+    summary = {
+        "run_id": run_id,
+        "verdicts": res.verdicts.count(),
+        "failed": res.verdicts.where("status = 'FAIL'").count(),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
