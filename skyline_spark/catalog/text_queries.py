@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import text as X
 from .registry import load, query
 
+
+def _spread(df):
+    """Small dimension tables arrive as one parquet file → one partition →
+    expression-heavy stages (shingles, signatures, vector folds) run on a
+    single task. Spread rows across the cluster first; at real scale the
+    input is already many files and this is a no-op cost-wise."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 # ---------------------------------------------------------------------------
 # shared constants
 # ---------------------------------------------------------------------------
@@ -136,7 +144,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rolling polynomial fingerprint + 32-bit SimHash",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
+    return _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         X.fingerprint_expr(F.col("text")).alias("fingerprint"),
         X.simhash_expr(F.col("text")).alias("simhash"),
@@ -237,7 +245,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the at-scale design (a materialized signature table feeding a narrow
     # band join) and keeps the Catalyst tree small: inlining the signature
     # expression into all four band keys on both join sides blows codegen up.
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
     sh = (
         d.select("doc_id", X.shingles_expr(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
@@ -321,7 +329,7 @@ ORDER BY doc_a, doc_b
         "equi-join finds exactly the brute-force pair set",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    d = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id", X.simhash_expr(F.col("text")).alias("sh")
     )
     # 4 bands of 8 bits: band b value = (sh >> 8b) & 255, via long arithmetic
@@ -386,7 +394,7 @@ ORDER BY doc_a, doc_b
         "the scale path is dedup_minhash_lsh — this is its verification oracle)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", "lang", X.shingles_expr(F.col("text")).alias("sh")
     ).where(F.size("sh") > 0)
@@ -449,7 +457,7 @@ ORDER BY vec_a, vec_b
         "stands in for the LSH bucket at scale)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _spread(load(spark, sf_dir, "embeddings"))
     a, b = e.alias("a"), e.alias("b")
     cos = _dot_expr(F.col("a.embedding"), F.col("b.embedding")) / (
         _norm_expr(F.col("a.embedding")) * _norm_expr(F.col("b.embedding"))
@@ -495,7 +503,7 @@ FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _spread(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -583,7 +591,7 @@ def _lsh_band_expr(emb, b: int):
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _spread(load(spark, sf_dir, "embeddings"))
     sigs = e.select(
         "vec_id",
         "embedding",

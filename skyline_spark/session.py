@@ -32,11 +32,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode: the driver JVM runs every task — size the heap to the
-        # thread count or 32 concurrent tasks thrash an 8g heap with GC
+        # local mode: the driver JVM runs every task. Measured sweep at 32
+        # threads on the allocation-heavy stages: 16g + capped GC threads is
+        # 2-4x faster than either an 8g heap (collection pressure) or a
+        # cores-scaled 68g heap (G1 region scanning + 20+ GC threads spinning
+        # — load sat at 18 with 50x the CPU burned for identical results)
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(4 + 2 * cores, 96)}g"),
+            os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
