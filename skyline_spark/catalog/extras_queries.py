@@ -94,8 +94,8 @@ def second_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        count(*)::BIGINT AS n,
-       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
-       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_max
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_max
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     doc="semi-structured metadata extraction (get_json_object) aggregated "

@@ -87,7 +87,9 @@ def drift_ensemble_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat",
         "status",
         "anomalous",
-        F.col("triggered"),
+        # serialized (not ArrayType) so downstream row-level tooling can
+        # sort/hash the output; the internal drift plan keeps the array form
+        F.concat_ws(",", "triggered").alias("triggered"),
         F.round("datapoint", 6).alias("datapoint"),
     )
 

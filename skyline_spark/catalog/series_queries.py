@@ -312,10 +312,14 @@ def detector_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detector: histogram_bins  (analyzer/algorithms.py:337-367)
 # ---------------------------------------------------------------------------
 
+# constant-series guard: NULLIF keeps a zero-width series on the NULL path
+# in BOTH engines (DuckDB IEEE division would give NaN and least(14, NaN)=14,
+# Spark non-ANSI division gives NULL — greatest/least skip NULLs in both, so
+# the guarded bin collapses to 0 identically)
 _HIST_BIN = (
-    "least(14, greatest(0, floor((value - mn) * 15.0 / (mx - mn))))::BIGINT"
+    "least(14, greatest(0, floor((value - mn) * 15.0 / nullif(mx - mn, 0))))::BIGINT"
 )
-_HIST_TBIN = "least(14, greatest(0, floor((t - mn) * 15.0 / (mx - mn))))::BIGINT"
+_HIST_TBIN = "least(14, greatest(0, floor((t - mn) * 15.0 / nullif(mx - mn, 0))))::BIGINT"
 
 @query(
     "detector_histogram_bins",
@@ -347,11 +351,14 @@ def detector_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("mn"), F.max("value").alias("mx"), _tail_avg_col().alias("t")
     )
     def _bin(c):
+        # explicit constant-series guard (mirrors the oracle's NULLIF): a
+        # zero-width histogram puts everything in bin 0 via the NULL path
+        width = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
         return F.least(
             F.lit(14).cast("long"),
             F.greatest(
                 F.lit(0).cast("long"),
-                F.floor((c - F.col("mn")) * 15.0 / (F.col("mx") - F.col("mn"))),
+                F.floor((c - F.col("mn")) * 15.0 / width),
             ),
         )
 
@@ -483,21 +490,28 @@ FROM e GROUP BY event_type ORDER BY event_type
 )
 def series_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _series(spark, sf_dir)
-    now_ms = e.agg(F.max(_ms("ts"))).collect()[0][0]
+    # "now" = the table's newest timestamp, as a 1-row broadcast cross join —
+    # no driver .collect() in the plan (the scalar stays distributed, so the
+    # whole gate check remains one lazy DAG at any scale)
+    now = e.agg(F.max(_ms("ts")).alias("now_ms"))
     tail_distinct = F.count_distinct(
         F.when(F.col("rn") > F.col("n") - 100, F.col("value"))
     )
-    return e.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n"),
-        tail_distinct.cast("long").alias("tail_distinct"),
-        F.when(F.max("n") < GATE_MIN_LEN, F.lit("TOO_SHORT"))
-        .when(
-            F.lit(now_ms) - F.max(_ms("ts")) > GATE_STALE_SECONDS * 1000,
-            F.lit("STALE"),
+    return (
+        e.crossJoin(F.broadcast(now))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            tail_distinct.cast("long").alias("tail_distinct"),
+            F.when(F.max("n") < GATE_MIN_LEN, F.lit("TOO_SHORT"))
+            .when(
+                F.max("now_ms") - F.max(_ms("ts")) > GATE_STALE_SECONDS * 1000,
+                F.lit("STALE"),
+            )
+            .when(tail_distinct == 1, F.lit("BORING"))
+            .otherwise(F.lit("OK"))
+            .alias("status"),
         )
-        .when(tail_distinct == 1, F.lit("BORING"))
-        .otherwise(F.lit("OK"))
-        .alias("status"),
     )
 
 

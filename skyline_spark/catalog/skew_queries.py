@@ -63,7 +63,10 @@ _REPLAY_SCHEMA = T.StructType(
         T.StructField("index", T.LongType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("consensus_count", T.IntegerType()),
-        T.StructField("triggered_algorithms", T.ArrayType(T.StringType())),
+        # comma-joined (reference emits a list into anomalies.csv,
+        # crucible_algorithms.py:540-607) — serialized so row-level tooling
+        # can sort/hash the rows
+        T.StructField("triggered_algorithms", T.StringType()),
     ]
 )
 
@@ -98,7 +101,7 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
                     "index": i,
                     "value": float(prefix_v[-1]),
                     "consensus_count": len(triggered),
-                    "triggered_algorithms": triggered,
+                    "triggered_algorithms": ",".join(triggered),
                 }
             )
     cols = [f.name for f in _REPLAY_SCHEMA]
@@ -111,7 +114,10 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     doc="Crucible sliding replay of the FULL 9-detector ensemble: every "
         "prefix of each series re-scored in a grouped-map pandas UDF "
         "(crucible_algorithms.py:441-607); emits the anomalies.csv shape "
-        "(index, value, consensus_count, triggered_algorithms)",
+        "(index, value, consensus_count, triggered_algorithms). NOTE: replay "
+        f"is O(n²) per series by reference semantics, so each series is "
+        f"truncated to its last {REPLAY_MAX_POINTS} points — the `index` "
+        "column is relative to the truncated window",
 )
 def replay_full_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")

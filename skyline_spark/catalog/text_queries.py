@@ -245,11 +245,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the at-scale design (a materialized signature table feeding a narrow
     # band join) and keeps the Catalyst tree small: inlining the signature
     # expression into all four band keys on both join sides blows codegen up.
+    # localCheckpoint (not persist): same compute-once semantics for the
+    # twice-referenced frames, but the materialized blocks are released by
+    # the ContextCleaner when the DataFrame goes out of scope — repeated
+    # build() calls (bench loops, parity sweeps) don't accumulate cache
     d = _spread(load(spark, sf_dir, "documents"))
     sh = (
         d.select("doc_id", X.shingles_expr(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sig = sh.select("doc_id", _minhash_from_shingles(F.col("sh")).alias("sig"))
     rows = _MINHASH_ROWS
@@ -272,7 +276,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key").persist()
+    ).select("doc_id", "band.band_id", "band.band_key").localCheckpoint(eager=False)
 
     a = bands.alias("a")
     c = bands.alias("c")
@@ -584,9 +588,12 @@ def _lsh_band_expr(emb, b: int):
 @query(
     "ann_lsh_topk",
     _LSH_ORACLE,
-    doc="random-hyperplane LSH ANN: 16-bit signature, 4×4-bit OR-of-bands "
-        "candidate join, exact cosine re-rank — at scale the bands are the "
-        "shuffle keys and the corpus is scanned once",
+    doc="random-hyperplane LSH ANN: 16-bit signature exploded to "
+        "(vec_id, band_id, band_val) rows on BOTH sides, candidates from a "
+        "hash EQUI-join on (band_id, band_val) — the shape that "
+        "hash-partitions at any query-set size (an OR-of-band-equalities "
+        "predicate would force a nested-loop join) — then exact cosine "
+        "re-rank of candidates fetched back by id",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -594,25 +601,43 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load(spark, sf_dir, "embeddings"))
     sigs = e.select(
         "vec_id",
-        "embedding",
         *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
     )
-    q = sigs.where(F.col("vec_id").isin(ANN_QUERY_IDS))
-    band_match = None
-    for b in range(LSH_BANDS):
-        m = F.col(f"q.band{b}") == F.col(f"c.band{b}")
-        band_match = m if band_match is None else (band_match | m)
+
+    def _bands_of(df, id_alias: str):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"band{b}").alias("band_val"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_alias, F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+
+    corpus_bands = _bands_of(sigs, "neighbor_id")
+    query_bands = _bands_of(
+        sigs.where(F.col("vec_id").isin(ANN_QUERY_IDS)), "query_id"
+    )
+    # equi-join on the band keys: hash-partitionable, so it stays a hash/SMJ
+    # join at ANY query-set size (broadcast here only because this query set
+    # is tiny); distinct collapses multi-band collisions to one pair
     cand = (
-        F.broadcast(q.alias("q"))
-        .join(sigs.alias("c"), (F.col("c.vec_id") != F.col("q.vec_id")) & band_match)
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.col("q.embedding").alias("q_emb"),
-            F.col("c.embedding").alias("c_emb"),
-        )
+        corpus_bands.join(F.broadcast(query_bands), ["band_id", "band_val"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    q_emb = e.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_emb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cand = cand.join(F.broadcast(q_emb), "query_id").join(c_emb, "neighbor_id")
     cos = _dot_expr(F.col("q_emb"), F.col("c_emb")) / (
         _norm_expr(F.col("q_emb")) * _norm_expr(F.col("c_emb"))
     )
