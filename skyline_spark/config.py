@@ -58,6 +58,16 @@ class ValidationConfig:
     # hash buckets for the detector UDF (series per applyInPandas call);
     # None → 4 × spark.sql.shuffle.partitions
     kernel_buckets: int | None = None
+    # STALE on the partition axis (reference algorithms.py:588-589,
+    # settings.py:393 STALE_PERIOD): a lang whose NEWEST partition is more
+    # than this many days behind the run date has stopped emitting — its
+    # newest verdict becomes STALE. None disables the gate.
+    stale_after_partitions: int | None = 3
+    # periodic re-validation (reference analyzer.py:305-449 Mirage periodic
+    # checks): checkpoint rows older than this many days no longer suppress
+    # re-validation, so long-lived partitions get re-checked even without a
+    # data/kernel change. None disables.
+    revalidate_after_days: float | None = None
 
 
 # Status labels for the pass/fail table (FIXTURES.md F5)

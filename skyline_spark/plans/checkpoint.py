@@ -69,7 +69,11 @@ def append_checkpoint(df: DataFrame, path: str) -> None:
 
 
 def pending_partitions(
-    current: DataFrame, checkpoint: DataFrame, version_hash: str | None = None
+    current: DataFrame,
+    checkpoint: DataFrame,
+    version_hash: str | None = None,
+    run_ts: float | None = None,
+    max_age_days: float | None = None,
 ) -> DataFrame:
     """(partition_date, lang) pairs needing validation.
 
@@ -77,11 +81,19 @@ def pending_partitions(
     (the content fingerprint from plans.stats). Anti-join against checkpoint
     rows with the same snapshot + detector versions — pure DataFrame logic,
     no driver collect (SURVEY §4 "Resumability").
+
+    ``max_age_days``: periodic re-validation (the batch restatement of the
+    reference's hourly Mirage periodic checks, `analyzer.py:305-449`) —
+    checkpoint rows whose ``validated_at`` is more than this many days
+    before ``run_ts`` stop suppressing re-validation, so every partition is
+    re-checked at least that often even with unchanged data and kernels.
     """
     version_hash = version_hash or detector_version_hash()
-    done = checkpoint.where(F.col("detector_version_hash") == version_hash).select(
-        *PARTITION_COLS, "snapshot_id"
-    )
+    done = checkpoint.where(F.col("detector_version_hash") == version_hash)
+    if max_age_days is not None and run_ts is not None:
+        cutoff = F.to_timestamp(F.lit(run_ts - max_age_days * 86400.0))
+        done = done.where(F.col("validated_at") >= cutoff)
+    done = done.select(*PARTITION_COLS, "snapshot_id")
     return current.select(*PARTITION_COLS, "snapshot_id").join(
         done, [*PARTITION_COLS, "snapshot_id"], "left_anti"
     )

@@ -30,6 +30,7 @@ from ..config import (
     STATUS_BORING,
     STATUS_FAIL,
     STATUS_OK,
+    STATUS_STALE,
     STATUS_TOO_SHORT,
     ValidationConfig,
 )
@@ -141,7 +142,13 @@ def validate(
     vhash = detector_version_hash()
     if checkpoint_path is not None:
         ckpt = load_checkpoint(spark, checkpoint_path)
-        targets = pending_partitions(fingerprints, ckpt, vhash)
+        targets = pending_partitions(
+            fingerprints,
+            ckpt,
+            vhash,
+            run_ts=run_ts,
+            max_age_days=cfg.revalidate_after_days,
+        )
     else:
         targets = fingerprints
     # derived from the checkpointed stats table — cache is now cheap to fill
@@ -154,6 +161,34 @@ def validate(
     gated = targets.join(row_counts, PARTITION_COLS, "left").withColumn(
         "too_short", F.coalesce(F.col("row_count"), F.lit(0)) < cfg.min_partition_rows
     )
+
+    # ---- stage 3b: STALE gate on the partition axis -----------------------
+    # the reference marks a metric Stale when its newest datapoint is older
+    # than STALE_PERIOD (`analyzer/algorithms.py:588-589`, `settings.py:393`);
+    # here a lang whose NEWEST partition trails the run date by more than
+    # ``stale_after_partitions`` days has stopped emitting — that newest
+    # partition's verdict surfaces as STALE (per-lang newest is a tiny
+    # broadcast aggregate of the fingerprint table)
+    if cfg.stale_after_partitions is not None:
+        run_date = F.lit(_dt.datetime.utcfromtimestamp(run_ts).date())
+        newest = fingerprints.groupBy("lang").agg(
+            F.max("partition_date").alias("_newest_partition")
+        )
+        gated = (
+            gated.join(F.broadcast(newest), "lang", "left")
+            .withColumn(
+                "is_stale",
+                (F.col("partition_date") == F.col("_newest_partition"))
+                & (
+                    F.datediff(run_date, F.col("_newest_partition"))
+                    > cfg.stale_after_partitions
+                ),
+            )
+            .drop("_newest_partition")
+        )
+    else:
+        gated = gated.withColumn("is_stale", F.lit(False))
+
     drift_targets = gated.where(~F.col("too_short")).select(*PARTITION_COLS)
 
     # ---- stage 4: drift ensemble over the stats table ---------------------
@@ -218,6 +253,7 @@ def validate(
         .select(
             *PARTITION_COLS,
             F.col("too_short"),
+            F.col("is_stale"),
             F.coalesce(F.col("drift_checks"), F.lit(0)).alias("drift_checks"),
             F.coalesce(F.col("drift_failed"), F.lit(0)).alias("drift_failed"),
             F.coalesce(F.col("constraint_failed"), F.lit(0)).alias("constraint_failed"),
@@ -229,7 +265,14 @@ def validate(
         .select(
             *PARTITION_COLS,
             F.when(F.col("too_short"), F.lit(STATUS_TOO_SHORT))
-            .when(F.col("drift_failed") + F.col("constraint_failed") > 0, F.lit(STATUS_FAIL))
+            # constraint violations (uniqueness/referential/static) are not
+            # gated by staleness — only detector ANALYSIS is, per the
+            # reference gate order (`analyzer/algorithms.py:583-593`): a
+            # stale series skips drift, so STALE outranks drift verdicts but
+            # not constraint failures
+            .when(F.col("constraint_failed") > 0, F.lit(STATUS_FAIL))
+            .when(F.col("is_stale"), F.lit(STATUS_STALE))
+            .when(F.col("drift_failed") > 0, F.lit(STATUS_FAIL))
             .when(F.col("any_boring") == 1, F.lit(STATUS_BORING))
             .when(F.col("any_history") == 0, F.lit(STATUS_TOO_SHORT))
             .otherwise(F.lit(STATUS_OK))

@@ -109,12 +109,54 @@ def test_clean_middle_days_ok(verdict_map):
             assert verdict_map[(d, lang)]["status"] == "OK", (d, lang)
 
 
+RUN_TS_AUG11 = 1_786_406_400.0  # 2026-08-11 — "now" for 10-day fixtures
+
+
 def test_no_defects_all_clean(spark):
     pages = synth_pages(spark, 8_000, 10, defects=False)
-    res = validate(pages, run_ts=RUN_TS)
+    res = validate(pages, run_ts=RUN_TS_AUG11)
     statuses = {r["status"] for r in res.verdicts.collect()}
     assert statuses <= {"OK", "TOO_SHORT"}  # early days lack history
     assert res.violations.where("check != 'drift'").count() == 0
+
+
+def test_stale_lang_is_flagged(spark):
+    """A lang that stops emitting partitions surfaces STALE on its newest
+    partition (reference Stale gate, algorithms.py:588-589 / settings.py:393,
+    reinterpreted on the partition axis)."""
+    pages = synth_pages(spark, 8_000, 16, defects=False)
+    cutoff = datetime.datetime(2026, 8, 10)
+    pages = pages.where(~((F.col("lang") == "zho") & (F.col("warc_ts") >= F.lit(cutoff))))
+    res = validate(pages, run_ts=RUN_TS)  # run date 2026-08-17
+    rows = {(r["partition_date"], r["lang"]): r["status"] for r in res.verdicts.collect()}
+    # zho's newest partition (Aug 9) trails the run date by 8 > 3 days
+    assert rows[(datetime.date(2026, 8, 9), "zho")] == "STALE"
+    # live langs' newest partitions (Aug 16, 1 day old) are not stale
+    assert rows[(datetime.date(2026, 8, 16), "eng")] != "STALE"
+    # zho's OLDER partitions keep their real verdicts — staleness marks only
+    # the newest one
+    assert rows[(datetime.date(2026, 8, 8), "zho")] in ("OK", "TOO_SHORT")
+
+
+def test_periodic_revalidation(spark, tmp_path):
+    """Aged checkpoint rows become pending again without any data or kernel
+    change (batch restatement of Mirage periodic checks, analyzer.py:305-449)."""
+    ckpt = str(tmp_path / "ckpt_age")
+    pages = synth_pages(spark, 6_000, 10, defects=False)
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11)
+    n1 = res1.verdicts.count()
+    assert n1 > 0
+    append_checkpoint(res1.checkpoint, ckpt)
+
+    # fresh checkpoint suppresses re-validation...
+    cfg = ValidationConfig(revalidate_after_days=7.0)
+    res2 = validate(pages, cfg, checkpoint_path=ckpt, run_id="r2", run_ts=RUN_TS_AUG11 + 3600)
+    assert res2.verdicts.count() == 0
+    # ...but once the rows age past the trigger, everything is pending again
+    res3 = validate(
+        pages, cfg, checkpoint_path=ckpt, run_id="r3", run_ts=RUN_TS_AUG11 + 10 * 86400
+    )
+    assert res3.verdicts.count() == n1
 
 
 def test_checkpoint_resume(spark, tmp_path):
