@@ -732,6 +732,70 @@ def boundary_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# boundary: ALERT_THRESHOLD consecutive-trigger  (boundary/boundary.py:901-965)
+# ---------------------------------------------------------------------------
+
+BOUNDARY_ALERT_TRIGGER = 50.0   # static trigger evaluated each run
+BOUNDARY_ALERT_THRESHOLD = 3    # alert only after this many runs in a row
+
+@query(
+    "boundary_alert_threshold",
+    _E_CTE
+    + f"""
+, t AS (
+  SELECT event_type, rn, n,
+         (value > {BOUNDARY_ALERT_TRIGGER}) AS trig,
+         max(CASE WHEN value <= {BOUNDARY_ALERT_TRIGGER} THEN rn END)
+           OVER (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_quiet
+  FROM e
+), s AS (
+  SELECT event_type, rn, n,
+         CASE WHEN trig THEN rn - coalesce(last_quiet, 0) ELSE 0 END AS streak
+  FROM t
+)
+SELECT event_type,
+       max(n)::BIGINT AS n,
+       max(CASE WHEN rn = n THEN streak END)::BIGINT AS last_streak,
+       (max(CASE WHEN rn = n THEN streak END) >= {BOUNDARY_ALERT_THRESHOLD}) AS alert,
+       count(*) FILTER (WHERE streak >= {BOUNDARY_ALERT_THRESHOLD})::BIGINT AS alert_runs
+FROM s GROUP BY event_type ORDER BY event_type
+""",
+    doc="Boundary ALERT_THRESHOLD: a static trigger must fire k runs IN A "
+        "ROW before alerting (boundary/boundary.py:901-965 keeps a TTL'd "
+        "times_seen counter per metric; a quiet run expires it). Stateless "
+        "restatement: the trailing consecutive-trigger streak via the "
+        "last-quiet-row window (gaps-and-islands), alert ⇔ streak ≥ k; "
+        "alert_runs counts every historical run whose streak reached k",
+)
+def boundary_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    trig = F.col("value") > BOUNDARY_ALERT_TRIGGER
+    s = e.withColumn(
+        "last_quiet", F.max(F.when(~trig, F.col("rn"))).over(wcum)
+    ).withColumn(
+        "streak",
+        F.when(
+            trig, F.col("rn") - F.coalesce(F.col("last_quiet"), F.lit(0))
+        ).otherwise(F.lit(0)),
+    )
+    last_streak = F.max(F.when(F.col("rn") == F.col("n"), F.col("streak")))
+    return s.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        last_streak.cast("long").alias("last_streak"),
+        (last_streak >= BOUNDARY_ALERT_THRESHOLD).alias("alert"),
+        F.count(F.when(F.col("streak") >= BOUNDARY_ALERT_THRESHOLD, 1))
+        .cast("long")
+        .alias("alert_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # crucible replay  (crucible/crucible_algorithms.py:441-516)
 # ---------------------------------------------------------------------------
 
@@ -830,6 +894,116 @@ def luminosity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# luminosity: lagged (luminol-style) cross-correlation
+# (process_correlations.py:433-462)
+# ---------------------------------------------------------------------------
+
+SHIFT_MAX_BUCKETS = 2       # luminol Correlator max shift, in buckets
+ANOM_WINDOW_BUCKETS = 24    # ±120 s anomaly clip (:434-446), in buckets
+
+@query(
+    "luminosity_shift_correlation",
+    f"""
+WITH m AS (
+  SELECT event_type,
+         (floor(epoch_ms(ts) / 1000.0 / 3600) * 3600)::BIGINT AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), an AS (
+  SELECT event_type, arg_max(bucket, v) AS abucket FROM m GROUP BY event_type
+), win AS (
+  SELECT m.event_type, m.bucket, m.v
+  FROM m JOIN an ON m.event_type = an.event_type
+  WHERE m.bucket BETWEEN an.abucket - {ANOM_WINDOW_BUCKETS} * 3600
+                     AND an.abucket + {ANOM_WINDOW_BUCKETS} * 3600
+), lagged AS (
+  SELECT a.event_type AS metric_a, b.event_type AS metric_b, s.shift,
+         corr(a.v, b.v) AS coef
+  FROM win a
+  CROSS JOIN (SELECT unnest(range(-{SHIFT_MAX_BUCKETS}, {SHIFT_MAX_BUCKETS + 1})) AS shift) s
+  JOIN m b ON b.event_type <> a.event_type
+          AND b.bucket = a.bucket + s.shift * 3600
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT metric_a, metric_b,
+         max(CASE WHEN shift = 0 THEN coef END) AS coef0,
+         arg_max(shift, abs(coef)) AS best_shift,
+         arg_max(coef, abs(coef)) AS best_coef
+  FROM lagged WHERE coef IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT metric_a, metric_b,
+       round(coef0, 6) AS coefficient,
+       best_shift::BIGINT AS shift,
+       round(best_coef, 6) AS shifted_coefficient,
+       (abs(best_coef) >= {CORRELATION_THRESHOLD}) AS correlated
+FROM ranked ORDER BY metric_a, metric_b
+""",
+    doc="Luminosity lagged cross-correlation: the luminol Correlator output "
+        "shape [metric, coefficient, shift, shifted_coefficient] "
+        "(process_correlations.py:459-462) — the candidate series is clipped "
+        "to a window around the anomalous metric's peak (the ±120 s clip at "
+        ":434-446, rescaled to buckets), Pearson is evaluated at every shift "
+        "in ±SHIFT_MAX, and the best |coefficient| wins (correlated iff it "
+        "clears LUMINOL_CROSS_CORRELATION_THRESHOLD, settings.py:2096)",
+)
+def luminosity_shift_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        (F.floor(_ms("ts") / 1000.0 / 3600) * 3600).cast("long").alias("bucket"),
+    ).agg(F.avg("value").alias("v"))
+    # per-metric anomaly bucket = the peak bucket (stand-in for the Panorama
+    # anomaly timestamp); tiny → broadcast
+    an = m.groupBy("event_type").agg(F.max_by("bucket", "v").alias("abucket"))
+    win = (
+        m.join(F.broadcast(an), "event_type")
+        .where(
+            F.col("bucket").between(
+                F.col("abucket") - ANOM_WINDOW_BUCKETS * 3600,
+                F.col("abucket") + ANOM_WINDOW_BUCKETS * 3600,
+            )
+        )
+        .select("event_type", "bucket", "v")
+    )
+    shifted = win.withColumn(
+        "shift", F.explode(F.sequence(F.lit(-SHIFT_MAX_BUCKETS), F.lit(SHIFT_MAX_BUCKETS)))
+    )
+    b = m.select(
+        F.col("event_type").alias("b_event_type"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("v").alias("b_v"),
+    )
+    lagged = (
+        shifted.join(
+            b,
+            (F.col("b_event_type") != F.col("event_type"))
+            & (F.col("b_bucket") == F.col("bucket") + F.col("shift") * 3600),
+        )
+        .groupBy(
+            F.col("event_type").alias("metric_a"),
+            F.col("b_event_type").alias("metric_b"),
+            "shift",
+        )
+        .agg(F.corr("v", "b_v").alias("coef"))
+        .where(F.col("coef").isNotNull())
+    )
+    ranked = lagged.groupBy("metric_a", "metric_b").agg(
+        F.max(F.when(F.col("shift") == 0, F.col("coef"))).alias("coef0"),
+        F.max_by("shift", F.abs("coef")).alias("best_shift"),
+        F.max_by("coef", F.abs("coef")).alias("best_coef"),
+    )
+    return ranked.select(
+        "metric_a",
+        "metric_b",
+        F.round("coef0", 6).alias("coefficient"),
+        F.col("best_shift").cast("long").alias("shift"),
+        F.round("best_coef", 6).alias("shifted_coefficient"),
+        (F.abs("best_coef") >= CORRELATION_THRESHOLD).alias("correlated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # alert dedup  (analyzer.py:1871,2057-2064 — EXPIRATION_TIME TTL keys)
 # ---------------------------------------------------------------------------
 
@@ -897,42 +1071,71 @@ def alert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ionosphere layers rules  (ionosphere/layers.py:332-498)
+# ionosphere layers rules  (ionosphere/layers.py:130-530)
 # ---------------------------------------------------------------------------
 
-LAYER_D_BOUNDARY = 450.0   # D rule: discard anomaly if last value > boundary
-LAYER_E_LIMIT = 5.0        # E rule: not anomalous if last 3 values all < limit
+# one "layers" definition, constants playing the rows of layers_algorithms
+# (ionosphere/layers.py:163-186):
+LAYER_D_BOUNDARY = 450.0   # D:  breach if last value > boundary → anomaly stands
+LAYER_D1_LIMIT = 0.05      # D1: breach if ANY of last k values < limit
+LAYER_D1_TIMES = 3
+LAYER_E_LIMIT = 5.0        # E:  matched if ANY of last k values < limit
+LAYER_E_TIMES = 3
+LAYER_ES_DOW = (1, 2, 3, 4, 5)  # Es: layer applies Mon–Fri (ISO dow)
+LAYER_F1_FROM_HOUR = 6          # F1: layer applies from 06:00…
+LAYER_F2_UNTIL_HOUR = 22        # F2: …until 22:00
 
 @query(
     "ionosphere_layers",
     _E_CTE
     + f"""
 , p AS (
-  SELECT event_type, rn, value,
+  SELECT event_type, rn, value, ts,
          avg(value) OVER (PARTITION BY event_type ORDER BY rn
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmean,
          stddev_samp(value) OVER (PARTITION BY event_type ORDER BY rn
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pstd,
          avg(value) OVER (PARTITION BY event_type ORDER BY rn
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ptail,
+         max(CASE WHEN value < {LAYER_D1_LIMIT} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN {LAYER_D1_TIMES - 1} PRECEDING AND CURRENT ROW) AS d1_any,
          max(CASE WHEN value < {LAYER_E_LIMIT} THEN 1 ELSE 0 END)
              OVER (PARTITION BY event_type ORDER BY rn
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS any_small
+                   ROWS BETWEEN {LAYER_E_TIMES - 1} PRECEDING AND CURRENT ROW) AS e_any
   FROM e
 ), anom AS (
   SELECT event_type, rn, value,
-         (value > {LAYER_D_BOUNDARY}) AS d_discard
+         (isodow(ts) BETWEEN {LAYER_ES_DOW[0]} AND {LAYER_ES_DOW[-1]}
+          AND hour(ts) >= {LAYER_F1_FROM_HOUR}
+          AND hour(ts) < {LAYER_F2_UNTIL_HOUR}) AS in_window,
+         (value > {LAYER_D_BOUNDARY}) AS d_breach,
+         (d1_any = 1) AS d1_breach,
+         (e_any = 1) AS e_matched
   FROM p WHERE rn > 10 AND abs(ptail - pmean) > 3 * pstd
 )
 SELECT event_type,
        count(*)::BIGINT AS n_anomalies,
-       count(*) FILTER (WHERE d_discard)::BIGINT AS n_suppressed_d,
-       count(*) FILTER (WHERE NOT d_discard)::BIGINT AS n_kept
+       count(*) FILTER (WHERE in_window)::BIGINT AS n_in_window,
+       count(*) FILTER (WHERE d_breach)::BIGINT AS n_d_breach,
+       count(*) FILTER (WHERE d1_breach)::BIGINT AS n_d1_breach,
+       count(*) FILTER (WHERE in_window AND NOT d_breach AND NOT d1_breach
+                        AND e_matched)::BIGINT AS n_suppressed,
+       count(*) FILTER (WHERE NOT (in_window AND NOT d_breach AND NOT d1_breach
+                        AND e_matched))::BIGINT AS n_alerts
 FROM anom GROUP BY event_type ORDER BY event_type
 """,
-    doc="Ionosphere layers D-rule as a Column predicate over violation "
-        "candidates: discard anomalies whose value crosses the operator "
-        "boundary (ionosphere/layers.py:409-438)",
+    doc="Ionosphere layers rule DSL over anomaly candidates "
+        "(ionosphere/layers.py:409-530): a layer MATCH suppresses the anomaly "
+        "as not-anomalous. D breach (last value > boundary, :412-438) and D1 "
+        "breach (any of last k values past limit, :441-472) veto the match; "
+        "the E rule matches when any of the last k values is inside the limit "
+        "(:475-512 — matched on first hit, reference loop breaks). Es/F1/F2 "
+        "(:177-186) restrict when the layer applies (day-of-week / from-time "
+        "/ until-time); the reference parses but does not evaluate them "
+        "(:520-526 'not implemented yet') — here the declared window "
+        "semantics are implemented: outside the window the layer cannot "
+        "match, so the anomaly stands",
 )
 def ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _series(spark, sf_dir)
@@ -942,21 +1145,55 @@ def ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtail = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-2, 0)
+    wd1 = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(LAYER_D1_TIMES - 1), 0)
+    )
+    we = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(LAYER_E_TIMES - 1), 0)
+    )
     p = e.select(
         "event_type",
         "rn",
         "value",
+        "ts",
         F.avg("value").over(wexp).alias("pmean"),
         F.stddev_samp("value").over(wexp).alias("pstd"),
         F.avg("value").over(wtail).alias("ptail"),
+        F.max((F.col("value") < LAYER_D1_LIMIT).cast("int")).over(wd1).alias("d1_any"),
+        F.max((F.col("value") < LAYER_E_LIMIT).cast("int")).over(we).alias("e_any"),
     )
+    # ISO day-of-week 1=Mon..7=Sun in both engines: duckdb isodow ≡ weekday+1
+    isodow = F.weekday("ts") + 1
     anom = p.where(
         (F.col("rn") > 10) & (F.abs(F.col("ptail") - F.col("pmean")) > 3 * F.col("pstd"))
-    ).withColumn("d_discard", F.col("value") > LAYER_D_BOUNDARY)
+    ).select(
+        "event_type",
+        (
+            isodow.between(LAYER_ES_DOW[0], LAYER_ES_DOW[-1])
+            & (F.hour("ts") >= LAYER_F1_FROM_HOUR)
+            & (F.hour("ts") < LAYER_F2_UNTIL_HOUR)
+        ).alias("in_window"),
+        (F.col("value") > LAYER_D_BOUNDARY).alias("d_breach"),
+        (F.col("d1_any") == 1).alias("d1_breach"),
+        (F.col("e_any") == 1).alias("e_matched"),
+    )
+    suppressed = (
+        F.col("in_window")
+        & ~F.col("d_breach")
+        & ~F.col("d1_breach")
+        & F.col("e_matched")
+    )
     return anom.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_anomalies"),
-        F.count(F.when(F.col("d_discard"), 1)).cast("long").alias("n_suppressed_d"),
-        F.count(F.when(~F.col("d_discard"), 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("in_window"), 1)).cast("long").alias("n_in_window"),
+        F.count(F.when(F.col("d_breach"), 1)).cast("long").alias("n_d_breach"),
+        F.count(F.when(F.col("d1_breach"), 1)).cast("long").alias("n_d1_breach"),
+        F.count(F.when(suppressed, 1)).cast("long").alias("n_suppressed"),
+        F.count(F.when(~suppressed, 1)).cast("long").alias("n_alerts"),
     )
 
 
