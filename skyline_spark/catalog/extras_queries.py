@@ -109,3 +109,62 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_sum"),
         F.max(k).cast("long").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# roomba table maintenance  (horizon/roomba.py:86-181)
+# ---------------------------------------------------------------------------
+
+ROOMBA_RETENTION_SECONDS = 7 * 86400  # FULL_DURATION + grace, rescaled
+
+
+@query(
+    "roomba_vacuum",
+    f"""
+WITH c AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+raw AS (SELECT event_type, count(*)::BIGINT AS n_raw FROM events GROUP BY 1),
+r AS (
+  SELECT event_type, ts FROM events, c
+  WHERE epoch_ms(ts) >= c.mx - {ROOMBA_RETENTION_SECONDS} * 1000
+),
+ret AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_retained,
+         count(DISTINCT ts)::BIGINT AS n_clean
+  FROM r GROUP BY 1
+)
+SELECT raw.event_type, n_raw,
+       coalesce(n_retained, 0)::BIGINT AS n_retained,
+       coalesce(n_clean, 0)::BIGINT AS n_clean,
+       (n_raw - coalesce(n_retained, 0))::BIGINT AS dropped_old,
+       (coalesce(n_retained, 0) - coalesce(n_clean, 0))::BIGINT AS dropped_dup
+FROM raw LEFT JOIN ret USING (event_type) ORDER BY event_type
+""",
+    doc="Roomba vacuum accounting (horizon/roomba.py:86-181): per series, "
+        "rows dropped by the retention trim (older than FULL_DURATION+grace "
+        "behind the newest point) and rows collapsed by duplicate-timestamp "
+        "first-wins dedup. The reusable operator is plans/maintenance.vacuum; "
+        "this query restates its two rules relationally so the result is "
+        "DuckDB-checkable (n_clean = rows surviving vacuum)",
+)
+def roomba_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max(_ms("ts")).alias("mx"))
+    r = ev.crossJoin(F.broadcast(mx)).where(
+        _ms("ts") >= F.col("mx") - ROOMBA_RETENTION_SECONDS * 1000
+    )
+    raw = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_raw"))
+    ret = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_retained"),
+        F.count_distinct("ts").cast("long").alias("n_clean"),
+    )
+    return raw.join(ret, "event_type", "left").select(
+        "event_type",
+        "n_raw",
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+        (F.col("n_raw") - F.coalesce("n_retained", F.lit(0))).cast("long").alias("dropped_old"),
+        (F.coalesce("n_retained", F.lit(0)) - F.coalesce("n_clean", F.lit(0)))
+        .cast("long")
+        .alias("dropped_dup"),
+    )

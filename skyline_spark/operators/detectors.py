@@ -35,6 +35,8 @@ from .stats_math import adfuller, ks_2samp, t_isf
 __all__ = [
     "ALGORITHMS",
     "DETECTOR_VERSIONS",
+    "register_detector",
+    "unregister_detector",
     "DetectorParams",
     "tail_avg",
     "median_absolute_deviation",
@@ -314,3 +316,47 @@ ALGORITHMS: dict[str, Callable[..., Verdict]] = {
 # Version tags recorded in the checkpoint table's lineage (north_star:
 # "detector versions" per partition). Bump when kernel semantics change.
 DETECTOR_VERSIONS: dict[str, str] = {name: "1.0.0" for name in ALGORITHMS}
+
+
+def register_detector(
+    name: str,
+    fn: Callable[..., bool],
+    version: str = "1.0.0",
+    before: str | None = None,
+) -> None:
+    """Register a user detector kernel into the consensus ensemble.
+
+    The reference's custom-algorithm surface (its plugin contract is the
+    UDF test `tests/algorithms_test.py:79-102`): a registered kernel runs in
+    ensemble order, counts toward CONSENSUS exactly like a built-in, and is
+    version-tagged in the checkpoint lineage — so registering or bumping a
+    kernel changes ``detector_version_hash`` and forces re-validation.
+
+    ``fn(ts, values, now, params) -> bool`` is wrapped in the reference
+    error contract (any exception → None verdict). ``before`` inserts the
+    kernel ahead of an existing one (the reference's run_before_3sigma
+    ordering knob); default appends.
+    """
+    if name in ALGORITHMS:
+        raise ValueError(f"detector {name!r} is already registered")
+    wrapped = _kernel(fn)
+    if before is None:
+        ALGORITHMS[name] = wrapped
+    else:
+        if before not in ALGORITHMS:
+            raise KeyError(f"unknown detector {before!r}")
+        items: list[tuple[str, Callable[..., Verdict]]] = []
+        for k, v in list(ALGORITHMS.items()):
+            if k == before:
+                items.append((name, wrapped))
+            items.append((k, v))
+        ALGORITHMS.clear()
+        ALGORITHMS.update(dict(items))
+    DETECTOR_VERSIONS[name] = version
+
+
+def unregister_detector(name: str) -> None:
+    """Remove a registered kernel (built-ins can be removed too — the
+    reference lets custom algorithm sets replace the 3-sigma set)."""
+    ALGORITHMS.pop(name, None)
+    DETECTOR_VERSIONS.pop(name, None)

@@ -75,6 +75,7 @@ def run_ensemble(
     cfg: EnsembleConfig | None = None,
     full_duration: int | None = None,
     params: DetectorParams | None = None,
+    algorithms: dict | None = None,
 ) -> EnsembleResult:
     """Gates → ordered detector ensemble (with optional early-exit) → consensus.
 
@@ -94,14 +95,15 @@ def run_ensemble(
     if status is not None:
         return EnsembleResult(status, False, [], [], None)
 
-    names = list(ALGORITHMS)
+    algos = ALGORITHMS if algorithms is None else algorithms
+    names = list(algos)
     n = len(names)
     max_false = n - cfg.consensus + 1
     ensemble: list[Verdict] = []
     consensus_possible = True
     for name in names:
         if consensus_possible:
-            result = ALGORITHMS[name](ts, values, now, params)
+            result = algos[name](ts, values, now, params)
         else:
             # skipped detectors are padded False (`algorithms.py:637-638`)
             result = False

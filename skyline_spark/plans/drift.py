@@ -77,13 +77,15 @@ def _series_verdicts(
     cfg: ValidationConfig,
     sample_backed: set,
     out: dict,
+    algorithms: dict | None = None,
 ) -> None:
     """Ensemble for each target index of ONE series, appending to column
     lists. Pure numpy/python — no pandas objects per series, so the wrapper
     overhead stays amortized across a whole bucket of series."""
     P = cfg.partition_seconds
     ens_cfg = cfg.ensemble
-    n_detectors = len(ALGORITHMS)
+    algos = ALGORITHMS if algorithms is None else algorithms
+    n_detectors = len(algos)
     max_false = n_detectors - ens_cfg.consensus + 1
     has_samples = samples_all is not None and stat in sample_backed
 
@@ -135,7 +137,7 @@ def _series_verdicts(
         )
         ensemble: list[bool | None] = []
         consensus_possible = True
-        for name in ALGORITHMS:
+        for name in algos:
             if not consensus_possible:
                 ensemble.append(False)  # padded False (`algorithms.py:637-638`)
                 continue
@@ -144,7 +146,7 @@ def _series_verdicts(
                     ts_all, samples_all if has_samples else None, i, lo, now, cfg
                 )
             else:
-                verdict = ALGORITHMS[name](ts, values, now, params)
+                verdict = algos[name](ts, values, now, params)
             ensemble.append(verdict)
             if ens_cfg.run_optimized_workflow and ensemble.count(False) >= max_false:
                 consensus_possible = False
@@ -153,7 +155,7 @@ def _series_verdicts(
         out["status"].append(STATUS_FAIL if anomalous else STATUS_OK)
         out["anomalous"].append(anomalous)
         out["ensemble"].append(ensemble)
-        out["triggered"].append([n for n, v in zip(ALGORITHMS, ensemble) if v is True])
+        out["triggered"].append([n for n, v in zip(algos, ensemble) if v is True])
 
 
 def _empty_out() -> dict:
@@ -164,6 +166,7 @@ def _group_verdicts(
     pdf: pd.DataFrame,
     cfg: ValidationConfig,
     sample_backed: set[str] | None = None,
+    algorithms: dict | None = None,
 ) -> pd.DataFrame:
     """Run the ensemble for every target partition of one (lang, stat) group."""
     backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
@@ -187,6 +190,7 @@ def _group_verdicts(
         cfg,
         backed,
         out,
+        algorithms,
     )
     cols = [f.name for f in DRIFT_SCHEMA]
     if not out["partition_date"]:
@@ -271,7 +275,12 @@ def drift_verdicts(
     # happens with a cheap in-worker pandas groupby. Bucket count ≈ 4× the
     # shuffle parallelism keeps every core busy without reintroducing the
     # overhead. xxhash spreads pairs evenly, so no bucket skew.
-    func = lambda pdf: _bucket_verdicts(pdf, cfg, sample_backed)  # noqa: E731
+    # snapshot the registry DRIVER-side into the closure: Spark's python
+    # workers re-import this module and would otherwise see only built-ins,
+    # silently dropping kernels added via register_detector (cloudpickle
+    # serializes the dict, including by-value user functions)
+    algos = dict(ALGORITHMS)
+    func = lambda pdf: _bucket_verdicts(pdf, cfg, sample_backed, algos)  # noqa: E731
     n_buckets = cfg.kernel_buckets or 4 * int(
         stats_long.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -285,6 +294,7 @@ def _bucket_verdicts(
     pdf: pd.DataFrame,
     cfg: ValidationConfig,
     sample_backed: set[str] | None = None,
+    algorithms: dict | None = None,
 ) -> pd.DataFrame:
     """Run _series_verdicts for every (lang, stat) series in the bucket.
 
@@ -336,6 +346,7 @@ def _bucket_verdicts(
             cfg,
             backed,
             out,
+            algorithms,
         )
     if not out["partition_date"]:
         # empty dict-of-lists defaults every column to float64, which Arrow

@@ -1,0 +1,132 @@
+"""Custom-detector plugin contract (the reference's UDF/plugin surface,
+tests/algorithms_test.py:79-102: register a user kernel, assert the ensemble
+invokes it in order and its verdict counts toward consensus)."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.config import EnsembleConfig, ValidationConfig
+from skyline_spark.operators.detectors import (
+    ALGORITHMS,
+    DETECTOR_VERSIONS,
+    register_detector,
+    unregister_detector,
+)
+from skyline_spark.operators.ensemble import run_ensemble
+from skyline_spark.plans.checkpoint import detector_version_hash
+from skyline_spark.plans.drift import drift_verdicts
+
+NOW = 1_400_000_000.0
+
+
+def _spike_series():
+    ts = np.arange(NOW - 86400, NOW + 1, 60.0)
+    v = np.ones(ts.size)
+    v[-1] = 1000.0
+    return ts, v
+
+
+@pytest.fixture
+def custom_kernel():
+    """Register a user kernel for the duration of one test."""
+
+    def last_value_over_500(ts, values, now, params):
+        return float(values[-1]) > 500.0
+
+    register_detector("last_value_over_500", last_value_over_500, version="2.1.0")
+    yield "last_value_over_500"
+    unregister_detector("last_value_over_500")
+    assert "last_value_over_500" not in ALGORITHMS
+
+
+def test_registered_kernel_runs_in_ensemble_order(custom_kernel):
+    ts, v = _spike_series()
+    res = run_ensemble(ts, v, NOW)
+    assert len(res.ensemble) == 10
+    # appended → last slot in the pinned order, and it triggered
+    assert list(ALGORITHMS)[-1] == custom_kernel
+    assert custom_kernel in res.triggered
+    assert res.anomalous
+
+
+def test_registered_kernel_counts_toward_consensus():
+    """A custom always-True kernel can tip a 5-of-9 near-miss into consensus."""
+
+    def always_true(ts, values, now, params):
+        return True
+
+    ts, v = _spike_series()
+    baseline = run_ensemble(ts, v, NOW, EnsembleConfig(consensus=8))
+    assert not baseline.anomalous  # 7 of 9 built-ins trigger on the spike
+    register_detector("always_true", always_true)
+    try:
+        res = run_ensemble(ts, v, NOW, EnsembleConfig(consensus=8))
+        assert res.anomalous  # 8 of 10 with the plugin
+        assert "always_true" in res.triggered
+    finally:
+        unregister_detector("always_true")
+
+
+def test_erroring_kernel_follows_reference_error_contract():
+    """Exceptions inside a plugin kernel → None verdict (None counts toward
+    consensus, algorithms.py:679-687), never a crash."""
+
+    def broken(ts, values, now, params):
+        raise RuntimeError("boom")
+
+    register_detector("broken", broken)
+    try:
+        ts, v = _spike_series()
+        res = run_ensemble(ts, v, NOW)
+        idx = list(ALGORITHMS).index("broken")
+        assert res.ensemble[idx] is None
+    finally:
+        unregister_detector("broken")
+
+
+def test_registration_changes_version_hash_forcing_revalidation():
+    h0 = detector_version_hash()
+    register_detector("vh_probe", lambda ts, v, now, p: False, version="9.9.9")
+    try:
+        assert DETECTOR_VERSIONS["vh_probe"] == "9.9.9"
+        assert detector_version_hash() != h0
+    finally:
+        unregister_detector("vh_probe")
+    assert detector_version_hash() == h0
+
+
+def test_before_insertion_position():
+    register_detector("early", lambda ts, v, now, p: False, before="grubbs")
+    try:
+        names = list(ALGORITHMS)
+        assert names.index("early") == names.index("grubbs") - 1
+    finally:
+        unregister_detector("early")
+
+
+def test_custom_kernel_reaches_spark_workers(spark, custom_kernel):
+    """Driver-side registration must survive the applyInPandas closure: the
+    python workers re-import the module, so the registry snapshot in
+    drift_verdicts is what carries the plugin to executors."""
+    base = datetime.date(2020, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), "eng", "value_avg", 0,
+         1000.0 if i == 14 else 10.0 + (i % 3))
+        for i in range(15)
+    ]
+    stats = spark.createDataFrame(
+        rows, "partition_date date, lang string, stat string, fingerprint long, value double"
+    )
+    samples = stats.limit(0).select(
+        "partition_date", "lang", "stat", F.array().cast("array<double>").alias("sample")
+    )
+    out = drift_verdicts(
+        stats, samples, ValidationConfig(min_history=4), drift_stats=["value_avg"]
+    ).collect()
+    spike = [r for r in out if r["partition_date"] == base + datetime.timedelta(days=14)]
+    assert len(spike) == 1
+    assert len(spike[0]["ensemble"]) == 10
+    assert custom_kernel in spike[0]["triggered"]
