@@ -30,7 +30,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["partition_stats", "stat_samples", "slim_pages", "DRIFT_STATS", "PARTITION_COLS"]
+__all__ = [
+    "partition_stats",
+    "stat_samples",
+    "slim_pages",
+    "length_digest",
+    "DRIFT_STATS",
+    "PARTITION_COLS",
+    "DIGEST_BINS_PER_OCTAVE",
+]
 
 PARTITION_COLS = ["partition_date", "lang"]
 
@@ -151,6 +159,40 @@ def _exact_length_percentiles(pages: DataFrame, text_len) -> DataFrame:
         F.min(
             F.when(F.col("cum") >= F.ceil(F.col("total") * 0.95), F.col("len"))
         ).cast("double").alias("text_len_p95"),
+    )
+
+
+# log-spaced bins per octave for the mergeable quantile digest: boundaries
+# are GLOBAL constants (bin b covers [2^(b/K)−1, 2^((b+1)/K)−1)), so merging
+# digests across partitions/snapshots is exact count addition; quantile
+# estimates carry ≤ 2^(1/K)−1 ≈ 9% relative error
+DIGEST_BINS_PER_OCTAVE = 8
+
+
+def length_digest(pages: DataFrame) -> DataFrame:
+    """Mergeable per-(partition, lang) quantile digest of text_len.
+
+    north_star: the checkpoint carries "stat digests (mergeable sketches)".
+    A fixed-boundary log histogram is the simplest digest with the t-digest/
+    KLL merge property (merge = add counts — no interpolation, no ordering
+    concerns), is fully codegen'd (no UDF), and its size is bounded by
+    K·log2(max_len) entries regardless of row count. Quantiles of any UNION
+    of partitions come from the merged counts (operators/digest.py).
+    """
+    pages = slim_pages(pages)
+    b = (
+        F.floor(F.log2(F.col("text_len") + F.lit(1.0)) * DIGEST_BINS_PER_OCTAVE)
+        .cast("int")
+    )
+    hist = (
+        pages.where(F.col("text_len").isNotNull())
+        .groupBy(*PARTITION_COLS, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return hist.groupBy(*PARTITION_COLS).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bin", "cnt")))
+        ).alias("len_digest")
     )
 
 

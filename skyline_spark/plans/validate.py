@@ -51,7 +51,13 @@ from .constraints import (
     uniqueness_violations,
 )
 from .drift import drift_verdicts
-from .stats import PARTITION_COLS, partition_stats, slim_pages, stat_samples
+from .stats import (
+    PARTITION_COLS,
+    length_digest,
+    partition_stats,
+    slim_pages,
+    stat_samples,
+)
 
 __all__ = ["ValidationResult", "validate", "VERDICT_SCHEMA", "DEFAULT_STATIC_RULES"]
 
@@ -286,10 +292,27 @@ def validate(
 
     # ---- stage 7: checkpoint rows ------------------------------------------
     validated_at = _dt.datetime.utcfromtimestamp(run_ts)
-    digest = F.to_json(
-        F.map_from_entries(F.collect_list(F.struct(F.col("stat"), F.col("value"))))
-    ).cast("binary")
-    stat_digests = stats.groupBy(*PARTITION_COLS).agg(digest.alias("stat_digests"))
+    # blob = {"stats": scalar map, "len_digest": mergeable log-histogram} —
+    # the digest's bin boundaries are global constants, so digests from any
+    # set of checkpoint rows merge by count addition (operators/digest.py),
+    # the north-star "stat digests (mergeable sketches)" requirement
+    scalar_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("stat"), F.col("value")))
+    )
+    stat_digests = (
+        stats.groupBy(*PARTITION_COLS)
+        .agg(scalar_map.alias("_stats_map"))
+        .join(length_digest(slim), PARTITION_COLS, "left")
+        .select(
+            *PARTITION_COLS,
+            F.to_json(
+                F.struct(
+                    F.col("_stats_map").alias("stats"),
+                    F.col("len_digest"),
+                )
+            ).cast("binary").alias("stat_digests"),
+        )
+    )
     version_map = F.map_from_arrays(
         F.array(*[F.lit(k) for k in DETECTOR_VERSIONS]),
         F.array(*[F.lit(v) for v in DETECTOR_VERSIONS.values()]),
