@@ -45,7 +45,12 @@ MINHASH_BANDS = 4          # 16 hashes → 4 bands × 4 rows
 MINHASH_JACCARD_T = 0.05   # verify threshold on exact shingle Jaccard
 SIMHASH_MAX_HAMMING = 3    # ≤3 differing bits over 4 bands of 8 → pigeonhole
 NGRAM_JACCARD_T = 0.05
-EMB_COS_DUP_T = 0.9
+# near-dup threshold FOR THESE QUERIES: the synthetic embeddings are
+# near-orthogonal (max pairwise cosine ≈ 0.5/0.6 at sf 0.01/0.1), so the
+# production-style 0.9 threshold makes every dedup row vacuously empty;
+# 0.45 yields a real, checkable pair set. A production embedding-dedup run
+# would raise this back toward 0.9.
+EMB_COS_DUP_T = 0.45
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_TOPK = 10
 LSH_PLANES = 16            # hyperplane LSH: 16-bit signature
@@ -457,8 +462,10 @@ ORDER BY vec_a, vec_b
 @query(
     "dedup_embedding_cosine",
     _EMB_DUP_ORACLE,
-    doc="embedding near-dup: cosine ≥ 0.9 within label blocks (blocking key "
-        "stands in for the LSH bucket at scale)",
+    doc="embedding near-dup, exact pairwise within label blocks — this is "
+        "the VERIFICATION ORACLE for dedup_embedding_lsh (O(n²) within "
+        "blocks by design; the engine/scale path is the banded LSH "
+        "equi-join below)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load(spark, sf_dir, "embeddings"))
@@ -647,4 +654,84 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= LSH_TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --- LSH-bucketed embedding dedup (the scale path) -------------------------
+
+_EMB_LSH_DUP_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {', '.join(f"{_lsh_band_sql('embedding', b)} AS band{b}" for b in range(LSH_BANDS))}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS a_emb, b.embedding AS b_emb
+  FROM sigs a JOIN sigs b
+    ON b.vec_id > a.vec_id
+   AND ({' OR '.join(f'a.band{b} = b.band{b}' for b in range(LSH_BANDS))})
+)
+SELECT vec_a, vec_b, round({_cos_sql('a_emb', 'b_emb')}, 6) AS cosine
+FROM cand WHERE {_cos_sql('a_emb', 'b_emb')} >= {EMB_COS_DUP_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    _EMB_LSH_DUP_ORACLE,
+    doc="embedding near-dup at scale: random-hyperplane signatures exploded "
+        "to (vec_id, band_id, band_val) and self-equi-joined on the band "
+        "keys — candidate volume is per-bucket, never all-pairs — then "
+        "exact cosine ≥ 0.9 verification of candidates only. The oracle "
+        "restates the same bands with an OR-join (fine for DuckDB at test "
+        "scale; the engine shape hash-partitions at 10^12 rows). "
+        "dedup_embedding_cosine is the exact pairwise verification oracle "
+        "for recall spot-checks",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(load(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id",
+        *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
+    )
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_val")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "vec_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    lo = bands.select(
+        F.col("vec_id").alias("vec_a"), "band_id", "band_val"
+    )
+    hi = bands.select(
+        F.col("vec_id").alias("vec_b"), "band_id", "band_val"
+    )
+    cand = (
+        lo.join(hi, ["band_id", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a_emb = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b_emb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    cand = cand.join(a_emb, "vec_a").join(b_emb, "vec_b")
+    cos = _dot_expr(F.col("a_emb"), F.col("b_emb")) / (
+        _norm_expr(F.col("a_emb")) * _norm_expr(F.col("b_emb"))
+    )
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("_c"))
+        .where(F.col("_c") >= EMB_COS_DUP_T)
+        .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
     )
