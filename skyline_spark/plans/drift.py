@@ -249,15 +249,28 @@ def drift_verdicts(
     cfg = cfg or ValidationConfig()
     drift_stats = DRIFT_STATS if drift_stats is None else drift_stats
     sample_backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
-    scalar = stats_long.where(F.col("stat").isin(drift_stats))
+    # project to exactly the kernel's columns — anything else (fingerprint,
+    # carrier columns) would be shuffled AND pushed through the Arrow
+    # boundary for every row
+    scalar = stats_long.where(F.col("stat").isin(drift_stats)).select(
+        *PARTITION_COLS, "stat", "value"
+    )
     samp = samples.where(F.col("stat") == SAMPLE_STAT).select(
         *PARTITION_COLS, F.col("sample")
     )
     # samples are one bounded row per (partition, lang) — broadcast so the
-    # big stats side never sorts/shuffles for this join
+    # big stats side never sorts/shuffles for this join.
+    # EMPTY array, never NULL, for sample-less rows: a null ArrayType column
+    # through the grouped-map Arrow boundary is pathologically slow (measured
+    # 41s vs 3s for 6M rows on a no-op UDF — the null path falls out of the
+    # vectorized writer); the kernels already treat len==0 as "no sample"
+    no_sample = F.array().cast("array<double>")
     enriched = scalar.join(F.broadcast(samp), PARTITION_COLS, "left").withColumn(
         "sample",
-        F.when(F.col("stat").isin(list(sample_backed)), F.col("sample")),
+        F.when(
+            F.col("stat").isin(list(sample_backed)),
+            F.coalesce(F.col("sample"), no_sample),
+        ).otherwise(no_sample),
     )
     if targets_df is None:
         enriched = enriched.withColumn("is_target", F.lit(True))
@@ -281,7 +294,10 @@ def drift_verdicts(
     # serializes the dict, including by-value user functions)
     algos = dict(ALGORITHMS)
     func = lambda pdf: _bucket_verdicts(pdf, cfg, sample_backed, algos)  # noqa: E731
-    n_buckets = cfg.kernel_buckets or 4 * int(
+    # 16× the shuffle width: measured best on multi-executor topologies (4×
+    # leaves visible balls-into-bins imbalance across reduce tasks; beyond
+    # 16× is flat) — empty buckets cost nothing, so over-provisioning is safe
+    n_buckets = cfg.kernel_buckets or 16 * int(
         stats_long.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     bucketed = enriched.withColumn(

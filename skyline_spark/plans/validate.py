@@ -198,7 +198,11 @@ def validate(
     drift_targets = gated.where(~F.col("too_short")).select(*PARTITION_COLS)
 
     # ---- stage 4: drift ensemble over the stats table ---------------------
-    drift = drift_verdicts(stats, samples, cfg, targets_df=drift_targets)
+    # cached: drift rows are checkpoint-sized (one per partition×lang×stat)
+    # and feed THREE consumers (verdict assembly, the violation sidecar, the
+    # checkpoint rows) — without the cache each downstream action re-runs
+    # the ensemble UDF and its joins
+    drift = drift_verdicts(stats, samples, cfg, targets_df=drift_targets).cache()
 
     # ---- stage 5: constraints, scans pruned to target partitions ----------
     target_pages = slim.join(
