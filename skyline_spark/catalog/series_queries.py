@@ -925,19 +925,25 @@ WITH m AS (
           AND b.bucket = a.bucket + s.shift * 3600
   GROUP BY 1, 2, 3
 ), ranked AS (
-  SELECT metric_a, metric_b,
-         max(CASE WHEN shift = 0 THEN coef END) AS coef0,
-         arg_max(shift, abs(coef)) AS best_shift,
-         arg_max(coef, abs(coef)) AS best_coef
+  SELECT metric_a, metric_b, shift, coef,
+         -- deterministic best: ROUNDED |coef| DESC, then smallest shift —
+         -- ties are real on short overlaps (|corr| = 1.0) and the raw
+         -- doubles differ in the last ulp between engines
+         row_number() OVER (PARTITION BY metric_a, metric_b
+                            ORDER BY round(abs(coef), 6) DESC, shift ASC) AS rn,
+         max(CASE WHEN shift = 0 THEN coef END)
+           OVER (PARTITION BY metric_a, metric_b) AS coef0
   FROM lagged WHERE coef IS NOT NULL
-  GROUP BY 1, 2
 )
 SELECT metric_a, metric_b,
        round(coef0, 6) AS coefficient,
-       best_shift::BIGINT AS shift,
-       round(best_coef, 6) AS shifted_coefficient,
-       (abs(best_coef) >= {CORRELATION_THRESHOLD}) AS correlated
-FROM ranked ORDER BY metric_a, metric_b
+       shift::BIGINT AS shift,
+       round(coef, 6) AS shifted_coefficient,
+       (abs(coef) >= {CORRELATION_THRESHOLD}) AS correlated
+FROM ranked
+WHERE rn = 1
+  AND coef0 IS NOT NULL  -- sparse series: no defined zero-shift overlap → skip pair
+ORDER BY metric_a, metric_b
 """,
     doc="Luminosity lagged cross-correlation: the luminol Correlator output "
         "shape [metric, coefficient, shift, shifted_coefficient] "
@@ -988,18 +994,26 @@ def luminosity_shift_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.corr("v", "b_v").alias("coef"))
         .where(F.col("coef").isNotNull())
     )
-    ranked = lagged.groupBy("metric_a", "metric_b").agg(
-        F.max(F.when(F.col("shift") == 0, F.col("coef"))).alias("coef0"),
-        F.max_by("shift", F.abs("coef")).alias("best_shift"),
-        F.max_by("coef", F.abs("coef")).alias("best_coef"),
+    wpair = Window.partitionBy("metric_a", "metric_b")
+    ranked = (
+        lagged.withColumn(
+            "rn",
+            F.row_number().over(
+                wpair.orderBy(F.round(F.abs("coef"), 6).desc(), F.col("shift").asc())
+            ),
+        )
+        .withColumn(
+            "coef0", F.max(F.when(F.col("shift") == 0, F.col("coef"))).over(wpair)
+        )
+        .where((F.col("rn") == 1) & F.col("coef0").isNotNull())
     )
     return ranked.select(
         "metric_a",
         "metric_b",
         F.round("coef0", 6).alias("coefficient"),
-        F.col("best_shift").cast("long").alias("shift"),
-        F.round("best_coef", 6).alias("shifted_coefficient"),
-        (F.abs("best_coef") >= CORRELATION_THRESHOLD).alias("correlated"),
+        F.col("shift").cast("long").alias("shift"),
+        F.round("coef", 6).alias("shifted_coefficient"),
+        (F.abs("coef") >= CORRELATION_THRESHOLD).alias("correlated"),
     )
 
 
