@@ -151,6 +151,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "detector_ks_2samp_d",
         "replay_stddev_from_average",
         "luminosity_correlation",
+        "luminosity_shift_correlation",
+        "boundary_alert_threshold",
+        "ionosphere_layers",
+        "roomba_vacuum",
+        "dedup_embedding_lsh",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",
