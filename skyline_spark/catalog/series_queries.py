@@ -1212,6 +1212,86 @@ def ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ionosphere profile match  (ionosphere/ionosphere.py:1864-1998)
+# ---------------------------------------------------------------------------
+
+PROFILE_PERCENT_SIMILAR = 1.0   # settings.py:1750
+PROFILE_SPLIT = 0.7             # first 70% of the span = the approved profile
+
+@query(
+    "ionosphere_profile_match",
+    f"""
+WITH span AS (
+  SELECT min(epoch_ms(ts)) AS lo,
+         min(epoch_ms(ts)) + {PROFILE_SPLIT} * (max(epoch_ms(ts)) - min(epoch_ms(ts))) AS cut
+  FROM events
+), f AS (
+  SELECT event_type,
+         (epoch_ms(ts) < (SELECT cut FROM span)) AS is_profile,
+         count(*)::DOUBLE + sum(value) + avg(value) + stddev_samp(value)
+           + min(value) + max(value) + sum(value * value) AS features_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT p.event_type,
+       round(p.features_sum, 6) AS fp_sum,
+       round(c.features_sum, 6) AS calc_sum,
+       round(abs((c.features_sum - p.features_sum) / p.features_sum * 100), 6)
+         AS percent_different,
+       (abs((c.features_sum - p.features_sum) / p.features_sum * 100)
+         <= {PROFILE_PERCENT_SIMILAR}) AS matched
+FROM f p JOIN f c ON p.event_type = c.event_type
+WHERE p.is_profile AND NOT c.is_profile
+ORDER BY p.event_type
+""",
+    doc="Ionosphere features-profile match (ionosphere.py:1864-1998, "
+        "settings.py:1750): a window's feature sums within "
+        "IONOSPHERE_FEATURES_PERCENT_SIMILAR of an approved profile's mark "
+        "the series not-anomalous. Profile = the first 70% of the span; the "
+        "feature set is a deterministic tsfresh stand-in (count/sum/mean/"
+        "std/min/max/abs-energy — tsfresh itself is out of MVP scope, "
+        "SURVEY §2.9); percent_different is the reference's "
+        "np.diff/sums formula, abs'd (:1936-1998)",
+)
+def ionosphere_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.min(_ms("ts"))
+            + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
+        ).alias("cut")
+    )
+    f = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type", (_ms("ts") < F.col("cut")).alias("is_profile"))
+        .agg(
+            (
+                F.count("*").cast("double")
+                + F.sum("value")
+                + F.avg("value")
+                + F.stddev_samp("value")
+                + F.min("value")
+                + F.max("value")
+                + F.sum(F.col("value") * F.col("value"))
+            ).alias("features_sum")
+        )
+    )
+    p = f.where(F.col("is_profile")).select(
+        "event_type", F.col("features_sum").alias("fp_sum")
+    )
+    c = f.where(~F.col("is_profile")).select(
+        "event_type", F.col("features_sum").alias("calc_sum")
+    )
+    pct = F.abs((F.col("calc_sum") - F.col("fp_sum")) / F.col("fp_sum") * 100)
+    return p.join(c, "event_type").select(
+        "event_type",
+        F.round("fp_sum", 6).alias("fp_sum"),
+        F.round("calc_sum", 6).alias("calc_sum"),
+        F.round(pct, 6).alias("percent_different"),
+        (pct <= PROFILE_PERCENT_SIMILAR).alias("matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mirage second pass: aggregate-then-broadcast  (SURVEY §2.5, §3.3)
 # ---------------------------------------------------------------------------
 
