@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.synth import PAGE_SCHEMA
 
-__all__ = ["read_page_stream", "apply_skip_list", "streaming_partition_stats", "run_to_sink"]
+__all__ = [
+    "read_page_stream",
+    "read_page_stream_tcp",
+    "TCP_WIRE_SCHEMA",
+    "apply_skip_list",
+    "streaming_partition_stats",
+    "run_to_sink",
+]
 
 #: reference SKIP_LIST semantics (settings.py:62-78): drop metrics whose name
 #: matches any pattern; DO_NOT_SKIP_LIST wins over SKIP_LIST
@@ -46,6 +53,43 @@ def read_page_stream(
         spark.readStream.schema(PAGE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+
+
+#: TCP wire schema — the Horizon listener receives (metric, datapoint)
+#: tuples, not whole documents (`horizon/listen.py:66-150`); the page analog
+#: ships the light columns and leaves html to the bulk path
+TCP_WIRE_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string"
+)
+
+
+def read_page_stream_tcp(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9009
+) -> DataFrame:
+    """TCP socket streaming source of newline-JSON page rows.
+
+    The genuine-TCP restatement of the reference's pickle listener
+    (`horizon/listen.py:66-150`): Spark's socket source reads length-framed
+    lines where the reference read pickle frames; ``from_json`` against the
+    wire schema replaces ``unpickle``; malformed frames become null rows and
+    are dropped (the reference logs-and-continues, `listen.py:119-127`).
+    html is not shipped on this path — the reference's TCP path carries
+    metric datapoints, not payloads — so downstream stats see html as null.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(F.from_json("value", TCP_WIRE_SCHEMA).alias("p")).select("p.*")
+    return parsed.where(F.col("url").isNotNull()).select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
     )
 
 

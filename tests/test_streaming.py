@@ -94,3 +94,63 @@ def test_exactly_once_resume(spark, staged):
     run_to_sink(streaming_partition_stats(stream2), out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_tcp_socket_ingest(spark):
+    """Genuine-TCP ingestion (horizon/listen.py analog): a line-JSON server
+    feeds the socket source; malformed frames are dropped, good rows land in
+    a memory sink with the page schema."""
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    from skyline_spark.streaming.ingest import read_page_stream_tcp
+
+    rows = [
+        {"url": f"https://host-1.example.org/p/{i}", "warc_ts": "2026-08-01 00:00:0%d" % i,
+         "text": f"doc {i}", "lang": "eng"}
+        for i in range(5)
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(json.dumps(r) + "\n" for r in rows)
+            # one malformed frame: reference logs-and-continues (listen.py:119-127)
+            payload += "not json at all\n"
+            conn.sendall(payload.encode())
+            _time.sleep(8)  # keep the connection open while the query polls
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = read_page_stream_tcp(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tcp_pages")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        got = 0
+        while _time.time() < deadline:
+            got = spark.sql("select * from tcp_pages").count()
+            if got >= len(rows):
+                break
+            _time.sleep(0.5)
+        assert got == len(rows)  # malformed frame dropped, all good rows in
+        out = spark.sql("select url, lang, html from tcp_pages").collect()
+        assert {r["url"] for r in out} == {r["url"] for r in rows}
+        assert all(r["html"] is None for r in out)
+    finally:
+        q.stop()
+        srv.close()
