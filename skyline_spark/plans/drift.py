@@ -234,6 +234,7 @@ def drift_verdicts(
     targets_df: DataFrame | None = None,
     drift_stats: list[str] | None = None,
     sample_backed: set[str] | None = None,
+    latest_only: bool = False,
 ) -> DataFrame:
     """stats + samples → per-(partition, lang, stat) drift verdict rows.
 
@@ -241,6 +242,13 @@ def drift_verdicts(
     yet-checkpointed ones, for resume); None = every partition. Non-target
     rows still flow into the UDF as baseline history — the left join only
     *flags* targets (broadcast: the pair list is tiny by construction).
+
+    ``latest_only``: steady-state sweep shape — validate each series' NEWEST
+    partition only, selected *inside* the kernel (the UDF sees the whole
+    ordered series, so "latest" is the last index). Skips the target-flag
+    broadcast join entirely; with one target per series that broadcast is
+    one row per series — a driver-side collect+rebroadcast that is pure
+    fixed cost at any cluster size.
 
     ``drift_stats`` / ``sample_backed``: which stat series run the ensemble
     and which of them feed their ks_test slot from the raw-value sample;
@@ -272,7 +280,9 @@ def drift_verdicts(
             F.coalesce(F.col("sample"), no_sample),
         ).otherwise(no_sample),
     )
-    if targets_df is None:
+    if latest_only:
+        pass  # target selection happens in-kernel; no flag column shipped
+    elif targets_df is None:
         enriched = enriched.withColumn("is_target", F.lit(True))
     else:
         flags = targets_df.select(*PARTITION_COLS).withColumn("is_target", F.lit(True))
@@ -293,7 +303,9 @@ def drift_verdicts(
     # silently dropping kernels added via register_detector (cloudpickle
     # serializes the dict, including by-value user functions)
     algos = dict(ALGORITHMS)
-    func = lambda pdf: _bucket_verdicts(pdf, cfg, sample_backed, algos)  # noqa: E731
+    func = lambda pdf: _bucket_verdicts(  # noqa: E731
+        pdf, cfg, sample_backed, algos, latest_only
+    )
     # 16× the shuffle width: measured best on multi-executor topologies (4×
     # leaves visible balls-into-bins imbalance across reduce tasks; beyond
     # 16× is flat) — empty buckets cost nothing, so over-provisioning is safe
@@ -311,6 +323,7 @@ def _bucket_verdicts(
     cfg: ValidationConfig,
     sample_backed: set[str] | None = None,
     algorithms: dict | None = None,
+    latest_only: bool = False,
 ) -> pd.DataFrame:
     """Run _series_verdicts for every (lang, stat) series in the bucket.
 
@@ -341,14 +354,17 @@ def _bucket_verdicts(
     dates_s = dates[order]
     ts_s = ords[order].astype(np.float64) * P
     values_s = pdf["value"].to_numpy(np.float64)[order]
-    targets_s = pdf["is_target"].to_numpy()[order]
+    targets_s = pdf["is_target"].to_numpy()[order] if not latest_only else None
     samples_s = pdf["sample"].to_numpy()[order] if "sample" in pdf else None
     langs_s = langs[order]
     stats_s = stats[order]
 
     out = _empty_out()
     for a, b in zip(starts, ends):
-        tgt = np.flatnonzero(targets_s[a:b])
+        if latest_only:
+            tgt = np.array([b - a - 1])
+        else:
+            tgt = np.flatnonzero(targets_s[a:b])
         if tgt.size == 0:
             continue
         _series_verdicts(

@@ -135,9 +135,22 @@ def validate(
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch
     # (row-count gate, drift, statics, digests, fingerprints) into trivial
-    # scans of in-memory tables instead of repeated agg jobs over slim
-    stats = partition_stats(slim).localCheckpoint(eager=True)
-    samples = stat_samples(slim, cfg.sample_cap).localCheckpoint(eager=True)
+    # scans of in-memory tables instead of repeated agg jobs over slim.
+    # Submitted CONCURRENTLY: both read the already-materialized slim blocks
+    # (no recompute race — that was the round-1 bug with a LAZY persist), and
+    # the two small agg jobs would otherwise serialize their fixed stage
+    # latencies back-to-back
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(2) as _ex:
+        _f_stats = _ex.submit(
+            lambda: partition_stats(slim).localCheckpoint(eager=True)
+        )
+        _f_samples = _ex.submit(
+            lambda: stat_samples(slim, cfg.sample_cap).localCheckpoint(eager=True)
+        )
+        stats = _f_stats.result()
+        samples = _f_samples.result()
 
     fingerprints = (
         stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))

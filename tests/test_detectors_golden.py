@@ -205,3 +205,38 @@ def test_optimized_vs_full_same_verdict(golden):
     opt = run_ensemble(ts, values, NOW, EnsembleConfig(run_optimized_workflow=True))
     assert full.anomalous == opt.anomalous
     assert full.datapoint == opt.datapoint
+
+
+def test_latest_only_matches_explicit_latest_targets(spark):
+    """latest_only selects each series' newest partition in-kernel, with
+    identical verdicts to an explicit max-date targets_df."""
+    import datetime
+    from pyspark.sql import functions as F
+    from skyline_spark.config import ValidationConfig
+    from skyline_spark.plans.drift import drift_verdicts
+
+    base = datetime.date(2020, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), f"s{k}", "value_avg", 0,
+         float(10 + (i * (k + 3)) % 7) + (500.0 if (i == 19 and k == 1) else 0.0))
+        for i in range(20)
+        for k in range(4)
+    ]
+    stats = spark.createDataFrame(
+        rows, "partition_date date, lang string, stat string, fingerprint long, value double"
+    )
+    samples = stats.limit(0).select(
+        "partition_date", "lang", "stat", F.array().cast("array<double>").alias("sample")
+    )
+    cfg = ValidationConfig(min_history=4)
+    targets = stats.groupBy("lang").agg(F.max("partition_date").alias("partition_date"))
+    explicit = drift_verdicts(stats, samples, cfg, targets_df=targets,
+                              drift_stats=["value_avg"]).collect()
+    latest = drift_verdicts(stats, samples, cfg, latest_only=True,
+                            drift_stats=["value_avg"]).collect()
+    key = lambda r: (r["partition_date"], r["lang"], r["stat"])  # noqa: E731
+    e = {key(r): (r["status"], r["anomalous"], tuple(r["ensemble"])) for r in explicit}
+    l = {key(r): (r["status"], r["anomalous"], tuple(r["ensemble"])) for r in latest}
+    assert e == l
+    assert len(l) == 4
+    assert all(d == base + datetime.timedelta(days=19) for d, _, _ in l)
