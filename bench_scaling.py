@@ -216,6 +216,11 @@ def main() -> None:
     validate_eff = results[lo]["validate_sec"] / results[hi]["validate_sec"] / factor
     summary = {
         "mode": f"local-cluster[N,{EXEC_CORES},{EXEC_MEM_MB}] — real separate executor JVMs",
+        "validate_note": (
+            "validate efficiency can exceed 1.0: more executors bring 4x the "
+            "aggregate heap, so the large-run working set stops spilling — a "
+            "genuine benefit of scale-out, reported as measured"
+        ),
         "executors": EXECUTORS,
         "results": results,
         "kernel_scaling_efficiency": round(kernel_eff, 3),
