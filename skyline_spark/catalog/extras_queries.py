@@ -168,3 +168,76 @@ def roomba_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# namespace utilities: in_list dotted-element match + filesafe_metricname
+# (skyline_functions.py:1103-1129, 716-726)
+# ---------------------------------------------------------------------------
+
+IN_LIST_PATTERNS = ["src1.", "eng.src3", "count.src5"]
+
+
+def _in_list_sql(name: str) -> str:
+    terms = []
+    for p in IN_LIST_PATTERNS:
+        elems = p.split(".")
+        elems_sql = ", ".join(f"'{e}'" for e in elems if e)
+        n = len([e for e in elems if e])
+        terms.append(
+            f"(contains({name}, '{p}') OR "
+            f"len(list_distinct(list_intersect(str_split({name}, '.'), [{elems_sql}]))) = {n})"
+        )
+    return "(" + " OR ".join(terms) + ")"
+
+
+@query(
+    "util_namespace_functions",
+    f"""
+WITH m AS (
+  SELECT DISTINCT source, lang,
+         source || '.' || lang || '.count' AS metric_name,
+         source || '/' || lang || ' #x' AS raw_name
+  FROM documents
+)
+SELECT source, lang, metric_name,
+       {_in_list_sql('metric_name')} AS in_check_list,
+       regexp_replace(raw_name, '[^A-Za-z0-9._-]', '', 'g') AS filesafe
+FROM m ORDER BY source, lang
+""",
+    doc="namespace utilities over dotted metric names: in_list matches a "
+        "pattern by substring OR by its dotted elements all appearing in "
+        "the name's element SET (order-insensitive — the reference's "
+        "set-intersection semantics, skyline_functions.py:1114-1124); "
+        "filesafe_metricname keeps only [alnum . _ -] (:716-726)",
+)
+def util_namespace_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        "source",
+        "lang",
+        F.concat_ws(".", "source", "lang", F.lit("count")).alias("metric_name"),
+        F.concat(F.col("source"), F.lit("/"), F.col("lang"), F.lit(" #x")).alias(
+            "raw_name"
+        ),
+    ).distinct()
+    elems = F.split("metric_name", r"\.")
+    matched = F.lit(False)
+    for p in IN_LIST_PATTERNS:
+        p_elems = [e for e in p.split(".") if e]
+        matched = matched | (
+            F.col("metric_name").contains(p)
+            | (
+                F.size(
+                    F.array_intersect(elems, F.array(*[F.lit(e) for e in p_elems]))
+                )
+                == len(p_elems)
+            )
+        )
+    return m.select(
+        "source",
+        "lang",
+        "metric_name",
+        matched.alias("in_check_list"),
+        F.regexp_replace("raw_name", "[^A-Za-z0-9._-]", "").alias("filesafe"),
+    )

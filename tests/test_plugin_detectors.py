@@ -130,3 +130,18 @@ def test_custom_kernel_reaches_spark_workers(spark, custom_kernel):
     assert len(spike) == 1
     assert len(spike[0]["ensemble"]) == 10
     assert custom_kernel in spike[0]["triggered"]
+
+
+def test_algorithm_set_selection():
+    """Crucible/Mirage algorithm-set selection (settings.ALGORITHMS vs
+    MIRAGE_ALGORITHMS, crucible_algorithms.py:32-54): the ensemble runs an
+    arbitrary named subset, consensus arithmetic follows the subset size."""
+    from skyline_spark.operators.detectors import ALGORITHMS
+
+    subset_names = ["median_absolute_deviation", "grubbs", "stddev_from_average"]
+    subset = {n: ALGORITHMS[n] for n in subset_names}
+    ts, v = _spike_series()
+    res = run_ensemble(ts, v, NOW, EnsembleConfig(consensus=2), algorithms=subset)
+    assert len(res.ensemble) == 3
+    assert set(res.triggered) <= set(subset_names)
+    assert res.anomalous  # 3-of-3 trigger on the spike, consensus 2 reached
