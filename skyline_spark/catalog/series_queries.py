@@ -1369,3 +1369,153 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.95), 6).alias("value_p95"),
         F.count_distinct("user_id").cast("long").alias("distinct_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational consensus ensemble — fully oracled k-of-n over the
+# SQL-expressible detectors (analyzer/algorithms.py:595-690 restated)
+# ---------------------------------------------------------------------------
+
+RELATIONAL_CONSENSUS = 4  # k of the 6 SQL-expressible detectors (≈ 6-of-9)
+
+@query(
+    "drift_ensemble_relational",
+    _E_CTE
+    + f"""
+, med AS (
+  SELECT event_type, median(value)::DOUBLE AS med FROM e GROUP BY 1
+), dev AS (
+  SELECT e.event_type, abs(e.value - med.med) AS d, e.rn, e.n
+  FROM e JOIN med USING (event_type)
+), mad_det AS (
+  SELECT event_type,
+         CASE WHEN median(d) = 0 THEN false
+              ELSE max(CASE WHEN rn = n THEN d END) / median(d) > 6
+         END AS a_mad
+  FROM dev GROUP BY 1
+), base AS (
+  SELECT event_type,
+         (abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value)) AS a_stddev,
+         (abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
+          > 3 * stddev_samp(value) FILTER (WHERE rn < n)) AS a_msc,
+         (abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
+          > 3 * stddev_samp(value) FILTER (WHERE x < 86400)) AS a_fha
+  FROM e GROUP BY 1
+), fit AS (
+  SELECT event_type, covar_pop(x, value) / var_pop(x) AS m,
+         avg(value) - covar_pop(x, value) / var_pop(x) * avg(x) AS c
+  FROM e GROUP BY 1
+), r AS (
+  SELECT e.event_type, e.rn, e.n, e.value - (fit.m * e.x + fit.c) AS err
+  FROM e JOIN fit USING (event_type)
+), ls_det AS (
+  SELECT event_type,
+         (abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
+          AND round(stddev_pop(err)) <> 0
+          AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0) AS a_ls
+  FROM r GROUP BY 1
+), hstats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx, {_TAIL_SQL} AS t
+  FROM e GROUP BY 1
+), binned AS (
+  SELECT e.event_type, {_HIST_BIN} AS bin, {_HIST_TBIN} AS tbin
+  FROM e JOIN hstats s USING (event_type)
+), hist_det AS (
+  SELECT event_type,
+         (count(*) FILTER (WHERE bin = tbin) <= 20) AS a_hist
+  FROM binned GROUP BY 1
+)
+SELECT b.event_type, a_stddev, a_msc, a_fha, a_mad, a_ls, a_hist,
+       (a_stddev::INT + a_msc::INT + a_fha::INT + a_mad::INT
+        + a_ls::INT + a_hist::INT)::BIGINT AS consensus_count,
+       ((a_stddev::INT + a_msc::INT + a_fha::INT + a_mad::INT
+         + a_ls::INT + a_hist::INT) >= {RELATIONAL_CONSENSUS}) AS anomalous
+FROM base b
+JOIN mad_det USING (event_type)
+JOIN ls_det USING (event_type)
+JOIN hist_det USING (event_type)
+ORDER BY b.event_type
+""",
+    doc="k-of-n CONSENSUS (analyzer/algorithms.py:679-687) restated fully "
+        "relationally over the 6 SQL-expressible detectors (stddev_from_"
+        "average, mean_subtraction_cumulation, first_hour_average, MAD, "
+        "least_squares, histogram_bins) so the CONSENSUS ARITHMETIC itself "
+        "gets an oracled correctness row — the 9-kernel form with EWM/"
+        "Grubbs/KS stays in the pandas-UDF path (drift_ensemble_daily, "
+        "rows-only). k=4 of 6 mirrors the reference's 6-of-9 ratio",
+)
+def drift_ensemble_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    tail = _tail_avg_col()
+    last = F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
+    head = F.when(F.col("rn") < F.col("n"), F.col("value"))
+    fha_base = F.when(F.col("x") < 86400, F.col("value"))
+
+    base = e.groupBy("event_type").agg(
+        (F.abs(tail - F.avg("value")) > 3 * F.stddev_samp("value")).alias("a_stddev"),
+        (F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head)).alias("a_msc"),
+        (F.abs(tail - F.avg(fha_base)) > 3 * F.stddev_samp(fha_base)).alias("a_fha"),
+    )
+
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "rn", "n", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    last_d = F.max(F.when(F.col("rn") == F.col("n"), F.col("d")))
+    mad_det = dev.groupBy("event_type").agg(
+        F.when(F.median("d") == 0, F.lit(False))
+        .otherwise(last_d / F.median("d") > 6)
+        .alias("a_mad")
+    )
+
+    fit = e.groupBy("event_type").agg(
+        (F.covar_pop("x", "value") / F.var_pop("x")).alias("m"),
+        (
+            F.avg("value") - F.covar_pop("x", "value") / F.var_pop("x") * F.avg("x")
+        ).alias("c"),
+    )
+    r = e.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "rn",
+        "n",
+        (F.col("value") - (F.col("m") * F.col("x") + F.col("c"))).alias("err"),
+    )
+    tail_err = F.avg(F.when(F.col("rn") > F.col("n") - 3, F.col("err")))
+    ls_det = r.groupBy("event_type").agg(
+        (
+            (F.abs(tail_err) > 3 * F.stddev_pop("err"))
+            & (F.round(F.stddev_pop("err"), 0) != 0)
+            & (F.round(tail_err, 0) != 0)
+        ).alias("a_ls")
+    )
+
+    hstats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"), tail.alias("t")
+    )
+    width = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    bin_of = lambda col: F.least(  # noqa: E731
+        F.lit(14),
+        F.greatest(F.lit(0), F.floor((col - F.col("mn")) * 15.0 / width)),
+    ).cast("long")
+    binned = e.join(F.broadcast(hstats), "event_type").select(
+        "event_type",
+        bin_of(F.col("value")).alias("bin"),
+        bin_of(F.col("t")).alias("tbin"),
+    )
+    hist_det = binned.groupBy("event_type").agg(
+        (F.count(F.when(F.col("bin") == F.col("tbin"), 1)) <= 20).alias("a_hist")
+    )
+
+    dets = (
+        base.join(mad_det, "event_type")
+        .join(ls_det, "event_type")
+        .join(hist_det, "event_type")
+    )
+    flags = ["a_stddev", "a_msc", "a_fha", "a_mad", "a_ls", "a_hist"]
+    count = sum((F.col(f).cast("int") for f in flags), F.lit(0))
+    return dets.select(
+        "event_type",
+        *flags,
+        count.cast("long").alias("consensus_count"),
+        (count >= RELATIONAL_CONSENSUS).alias("anomalous"),
+    )
