@@ -1445,7 +1445,10 @@ ORDER BY b.event_type
         "rows-only). k=4 of 6 mirrors the reference's 6-of-9 ratio",
 )
 def drift_ensemble_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _series(spark, sf_dir)
+    # the windowed series feeds SIX detector branches — materialize it once
+    # (at 10^12 rows this is the same scratch-table barrier as plans/
+    # validate's slim projection; without it every branch rescans the source)
+    e = _series(spark, sf_dir).localCheckpoint()
     tail = _tail_avg_col()
     last = F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
     head = F.when(F.col("rn") < F.col("n"), F.col("value"))

@@ -691,10 +691,13 @@ ORDER BY vec_a, vec_b
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load(spark, sf_dir, "embeddings"))
+    # signatures materialized ONCE (localCheckpoint, like dedup_minhash_lsh):
+    # the self-join would otherwise recompute the 16 hyperplane folds on BOTH
+    # sides — doubling the most expensive stage at any scale
     sigs = e.select(
         "vec_id",
         *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
-    )
+    ).localCheckpoint()
     bands = sigs.select(
         "vec_id",
         F.explode(
