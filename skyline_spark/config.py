@@ -68,6 +68,11 @@ class ValidationConfig:
     # re-validation, so long-lived partitions get re-checked even without a
     # data/kernel change. None disables.
     revalidate_after_days: float | None = None
+    # stats whose series are monotonic counters: transformed to the
+    # non-negative derivative before the ensemble (reference
+    # analyse_derivatives, skyline_functions.py:1044-1100 — consecutive
+    # diffs, counter resets dropped), so drift is detected on the RATE
+    derivative_stats: frozenset = frozenset()
 
 
 # Status labels for the pass/fail table (FIXTURES.md F5)

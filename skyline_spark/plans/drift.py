@@ -162,42 +162,6 @@ def _empty_out() -> dict:
     return {f.name: [] for f in DRIFT_SCHEMA}
 
 
-def _group_verdicts(
-    pdf: pd.DataFrame,
-    cfg: ValidationConfig,
-    sample_backed: set[str] | None = None,
-    algorithms: dict | None = None,
-) -> pd.DataFrame:
-    """Run the ensemble for every target partition of one (lang, stat) group."""
-    backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
-    pdf = pdf.sort_values("partition_date").reset_index(drop=True)
-    lang = pdf["lang"].iat[0]
-    stat = pdf["stat"].iat[0]
-    P = cfg.partition_seconds
-    dates = pdf["partition_date"].to_numpy()
-    ts_all = np.fromiter((d.toordinal() for d in dates), np.float64, len(dates)) * P
-    values_all = pdf["value"].to_numpy(np.float64)
-    samples_all = pdf["sample"].to_numpy() if "sample" in pdf else None
-    out = _empty_out()
-    _series_verdicts(
-        dates,
-        ts_all,
-        values_all,
-        samples_all,
-        np.flatnonzero(pdf["is_target"].to_numpy()),
-        lang,
-        stat,
-        cfg,
-        backed,
-        out,
-        algorithms,
-    )
-    cols = [f.name for f in DRIFT_SCHEMA]
-    if not out["partition_date"]:
-        return pd.DataFrame(columns=cols)
-    return pd.DataFrame(out, columns=cols)
-
-
 def _ks_on_sample_arrays(ts_all, samples_all, i, lo, now, cfg):
     """ks_test over raw-value samples: prior partitions vs the target.
 
@@ -360,18 +324,42 @@ def _bucket_verdicts(
     stats_s = stats[order]
 
     out = _empty_out()
+    deriv = cfg.derivative_stats
     for a, b in zip(starts, ends):
+        dates_g = dates_s[a:b]
+        ts_g = ts_s[a:b]
+        values_g = values_s[a:b]
+        samples_g = samples_s[a:b] if samples_s is not None else None
+        targets_g = targets_s[a:b] if targets_s is not None else None
+
+        if stats_s[a] in deriv and len(values_g) >= 2:
+            # nonNegativeDerivative (skyline_functions.py:1044-1100):
+            # consecutive diffs; counter resets (negative diffs) are DROPPED
+            # — a reset point gets no verdict, exactly like the reference
+            # skipping it from analysis
+            dv = np.diff(values_g)
+            keep = dv >= 0
+            values_g = dv[keep]
+            dates_g = dates_g[1:][keep]
+            ts_g = ts_g[1:][keep]
+            if samples_g is not None:
+                samples_g = samples_g[1:][keep]
+            if targets_g is not None:
+                targets_g = targets_g[1:][keep]
+
         if latest_only:
-            tgt = np.array([b - a - 1])
+            if len(values_g) == 0:
+                continue
+            tgt = np.array([len(values_g) - 1])
         else:
-            tgt = np.flatnonzero(targets_s[a:b])
+            tgt = np.flatnonzero(targets_g)
         if tgt.size == 0:
             continue
         _series_verdicts(
-            dates_s[a:b],
-            ts_s[a:b],
-            values_s[a:b],
-            samples_s[a:b] if samples_s is not None else None,
+            dates_g,
+            ts_g,
+            values_g,
+            samples_g,
             tgt,
             langs_s[a],
             stats_s[a],

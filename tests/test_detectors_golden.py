@@ -240,3 +240,48 @@ def test_latest_only_matches_explicit_latest_targets(spark):
     assert e == l
     assert len(l) == 4
     assert all(d == base + datetime.timedelta(days=19) for d, _, _ in l)
+
+
+def test_derivative_stats_analyze_the_rate(spark):
+    """Counter-like stats marked in derivative_stats are transformed to the
+    non-negative derivative before the ensemble (analyse_derivatives,
+    skyline_functions.py:1044-1100): a monotonic counter with a rate spike
+    FAILs on the rate; a counter reset drops that point from analysis."""
+    import datetime
+    from pyspark.sql import functions as F
+    from skyline_spark.config import ValidationConfig
+    from skyline_spark.plans.drift import drift_verdicts
+
+    base = datetime.date(2020, 1, 1)
+    # counter: +10/day for 29 days, then +500 on the last day
+    total, rows = 0.0, []
+    for i in range(30):
+        total += 500.0 if i == 29 else 10.0 + (i % 3)
+        rows.append((base + datetime.timedelta(days=i), "eng", "row_count_total", 0, total))
+    stats = spark.createDataFrame(
+        rows, "partition_date date, lang string, stat string, fingerprint long, value double"
+    )
+    samples = stats.limit(0).select(
+        "partition_date", "lang", "stat", F.array().cast("array<double>").alias("sample")
+    )
+    cfg = ValidationConfig(min_history=4, derivative_stats=frozenset({"row_count_total"}))
+    out = drift_verdicts(stats, samples, cfg, latest_only=True,
+                         drift_stats=["row_count_total"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["datapoint"] == 500.0          # the RATE, not the counter value
+    assert r["status"] == "FAIL"            # rate spike reaches consensus
+    # raw counter form: monotonic ramp — the spike is within trend noise for
+    # most kernels, no consensus
+    raw = drift_verdicts(stats, samples, ValidationConfig(min_history=4),
+                         latest_only=True, drift_stats=["row_count_total"]).collect()
+    assert raw[0]["datapoint"] == total
+
+    # counter reset on the target day → the point is dropped, no verdict
+    rows2 = list(rows[:-1]) + [(base + datetime.timedelta(days=29), "eng", "row_count_total", 0, 1.0)]
+    stats2 = spark.createDataFrame(
+        rows2, "partition_date date, lang string, stat string, fingerprint long, value double"
+    )
+    out2 = drift_verdicts(stats2, samples, cfg, latest_only=True,
+                          drift_stats=["row_count_total"]).collect()
+    assert out2 == [] or out2[0]["partition_date"] != base + datetime.timedelta(days=29)
