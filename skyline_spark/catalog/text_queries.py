@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
@@ -578,18 +580,53 @@ FROM ranked WHERE rank <= {LSH_TOPK} ORDER BY query_id, rank
 """
 
 
-def _plane_dot_expr(emb, i: int):
-    weights = F.array(*[F.lit(_w(i, j)) for j in range(1, EMB_DIM + 1)])
-    return _dot_expr(emb, weights)
+_W_MATRIX = None
 
 
-def _lsh_band_expr(emb, b: int):
-    out = F.lit(0)
-    for r in range(4):
-        out = out + F.when(_plane_dot_expr(emb, b * 4 + r) > 0, F.lit(1 << r)).otherwise(
-            F.lit(0)
+def _w_matrix():
+    global _W_MATRIX
+    if _W_MATRIX is None:
+        _W_MATRIX = np.array(
+            [[_w(i, j) for j in range(1, EMB_DIM + 1)] for i in range(LSH_PLANES)],
+            dtype=np.float64,
         )
-    return out
+    return _W_MATRIX
+
+
+def _lsh_bands_pudf():
+    """Arrow-batched signature kernel: all 16 hyperplane dots per vector in
+    one numpy pass. The per-plane dot uses ``np.add.accumulate`` — the exact
+    LEFT-FOLD summation order of the DuckDB oracle's ``list_reduce`` (and of
+    the previous Catalyst ``aggregate`` expression), so signatures stay
+    bit-identical across engines while running ~10× faster than the
+    interpreted higher-order-function fold (HOFs don't codegen)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def bands(emb: pd.Series) -> pd.Series:
+        W = _w_matrix()  # (planes, dim)
+        V = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        prods = V[:, None, :] * W[None, :, :]  # (n, planes, dim)
+        dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+        bits = (dots > 0).astype(np.int32)  # (n, planes)
+        out = np.zeros((V.shape[0], LSH_BANDS), dtype=np.int32)
+        for b in range(LSH_BANDS):
+            for r in range(4):
+                out[:, b] += bits[:, b * 4 + r] << r
+        return pd.Series(list(out))
+
+    return bands
+
+
+def _lsh_sigs(e) -> DataFrame:
+    """(vec_id, band0..bandN) signature frame shared by the ANN and dedup
+    LSH paths."""
+    bands = _lsh_bands_pudf()
+    sig = e.select("vec_id", bands(F.col("embedding")).alias("_bands"))
+    return sig.select(
+        "vec_id",
+        *[F.col("_bands")[b].alias(f"band{b}") for b in range(LSH_BANDS)],
+    )
 
 
 @query(
@@ -606,10 +643,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _spread(load(spark, sf_dir, "embeddings"))
-    sigs = e.select(
-        "vec_id",
-        *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
-    )
+    sigs = _lsh_sigs(e)
 
     def _bands_of(df, id_alias: str):
         return df.select(
@@ -692,12 +726,9 @@ ORDER BY vec_a, vec_b
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load(spark, sf_dir, "embeddings"))
     # signatures materialized ONCE (localCheckpoint, like dedup_minhash_lsh):
-    # the self-join would otherwise recompute the 16 hyperplane folds on BOTH
+    # the self-join would otherwise recompute the signature kernel on BOTH
     # sides — doubling the most expensive stage at any scale
-    sigs = e.select(
-        "vec_id",
-        *[_lsh_band_expr(F.col("embedding"), b).alias(f"band{b}") for b in range(LSH_BANDS)],
-    ).localCheckpoint()
+    sigs = _lsh_sigs(e).localCheckpoint()
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -727,11 +758,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    a_emb = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    b_emb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    # per-VECTOR norms computed once (the naive per-pair form folds each
+    # norm again for every candidate the vector appears in); the per-PAIR
+    # dot runs in the Arrow-batched left-fold kernel — candidate volume is
+    # O(pairs·dim), the stage that dominates verification
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _fold_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.add.accumulate(A * B, axis=1)[:, -1])
+
+    e_n = e.select(
+        "vec_id", "embedding", _norm_expr(F.col("embedding")).alias("norm")
+    ).localCheckpoint()
+    a_emb = e_n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b_emb = e_n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
     cand = cand.join(a_emb, "vec_a").join(b_emb, "vec_b")
-    cos = _dot_expr(F.col("a_emb"), F.col("b_emb")) / (
-        _norm_expr(F.col("a_emb")) * _norm_expr(F.col("b_emb"))
+    cos = _fold_dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_norm") * F.col("b_norm")
     )
     return (
         cand.select("vec_a", "vec_b", cos.alias("_c"))
