@@ -257,8 +257,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ContextCleaner when the DataFrame goes out of scope — repeated
     # build() calls (bench loops, parity sweeps) don't accumulate cache
     d = _spread(load(spark, sf_dir, "documents"))
+    # Arrow-batched shingle kernel — identical output to shingles_expr (the
+    # oracle's value-hash match enforces it); the expression form's HOF
+    # chain was 16 s of this query's 14–16 s at sf0.1
     sh = (
-        d.select("doc_id", X.shingles_expr(F.col("text")).alias("sh"))
+        d.select("doc_id", X.shingles_udf()(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
         .localCheckpoint(eager=False)
     )
