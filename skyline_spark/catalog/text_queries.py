@@ -153,8 +153,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
-        X.fingerprint_expr(F.col("text")).alias("fingerprint"),
-        X.simhash_expr(F.col("text")).alias("simhash"),
+        # Arrow-batched twin of fingerprint_expr/simhash_expr — exact
+        # integer parity, one token pass instead of 33 interpreted folds
+        X.text_hashes_udf()(F.col("text")).getField("fingerprint").alias("fingerprint"),
+        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("simhash"),
     )
 
 
@@ -344,7 +346,8 @@ ORDER BY doc_a, doc_b
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents")).select(
-        "doc_id", X.simhash_expr(F.col("text")).alias("sh")
+        "doc_id",
+        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
     )
     # 4 bands of 8 bits: band b value = (sh >> 8b) & 255, via long arithmetic
     bands = d.select(
