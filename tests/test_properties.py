@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure-python kernels: digest
+merge/error bounds, consensus arithmetic, gate order, and the portable hash
+the Spark/DuckDB oracle parity rests on."""
+
+import math
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from skyline_spark.config import EnsembleConfig
+from skyline_spark.operators.digest import (
+    bin_upper_edge,
+    digest_quantile,
+    digest_total,
+    merge_digests,
+)
+from skyline_spark.operators.ensemble import consensus_anomalous, gate_status
+from skyline_spark.plans.stats import DIGEST_BINS_PER_OCTAVE
+
+K = DIGEST_BINS_PER_OCTAVE
+REL = 2 ** (1 / K) - 1
+
+
+def _digest_of(values):
+    d = {}
+    for v in values:
+        b = int(math.floor(math.log2(v + 1.0) * K))
+        d[b] = d.get(b, 0) + 1
+    return d
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=300))
+def test_digest_quantile_error_bound(values):
+    d = _digest_of(values)
+    assert digest_total(d) == len(values)
+    for q in (0.1, 0.5, 0.9, 0.95):
+        est = digest_quantile(d, q)
+        # type-1 exact quantile
+        s = sorted(values)
+        exact = s[max(0, math.ceil(q * len(s)) - 1)]
+        # estimate is the exclusive upper edge of the exact value's bin
+        assert est > exact or (exact == 0 and est >= bin_upper_edge(0) - 1)
+        assert est <= (exact + 1) * (1 + REL) + 1e-9
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000), max_size=200),
+    st.lists(st.integers(min_value=0, max_value=100_000), max_size=200),
+)
+def test_digest_merge_is_exact(a, b):
+    merged = merge_digests([_digest_of(a), _digest_of(b)])
+    assert merged == _digest_of(a + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from([True, False, None]), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_consensus_matches_reference_formula(ensemble, k):
+    """anomalous iff count(False) <= n - k (algorithms.py:679-687): None and
+    True both count toward consensus."""
+    expect = ensemble.count(False) <= len(ensemble) - k
+    assert consensus_anomalous(ensemble, k) == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_gate_order_tooshort_stale_boring(n, const, staleness):
+    """Gate precedence is TooShort → Stale → Boring (algorithms.py:583-593)."""
+    cfg = EnsembleConfig(min_tolerable_length=50, stale_period=500)
+    ts = np.arange(n, dtype=np.float64) * 60.0
+    values = np.full(n, const)
+    now = float(ts[-1]) + staleness
+    got = gate_status(ts, values, now, cfg)
+    if n < 50:
+        assert got == "TOO_SHORT"
+    elif staleness > 500:
+        assert got == "STALE"
+    else:
+        assert got == "BORING"  # constant series
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+def test_h32_matches_duckdb(s):
+    """The portable hash every dedup oracle rests on: python int(md5[:8],16)
+    must equal DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT for any ASCII
+    string (the Spark side conv(substring(md5,1,8),16,10) is covered by the
+    catalog parity tests)."""
+    import hashlib
+
+    py = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    dk = duckdb.sql(
+        "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", params=[s]
+    ).fetchone()[0]
+    assert py == dk
