@@ -45,7 +45,7 @@ EXEC_MEM_MB = 6144
 KERNEL_SERIES = 250_000   # 15M stat rows, one ensemble per series
 KERNEL_REPS = 4           # report the BEST (min) rep — see methodology note
 VALIDATE_ROWS = 40_000_000
-VALIDATE_REPS = 2
+VALIDATE_REPS = 3          # best-of-3: shared-tenancy CPU steal varies reps up to 2x
 
 _PREP = '''
 import sys; sys.path.insert(0, {repo!r})
@@ -186,17 +186,27 @@ def run_child(n_exec: int, series_path: str, pages_path: str) -> dict:
 
 
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
-    series_path, pages_path = tmp + "/series", tmp + "/pages"
-    print("materializing shared inputs ...", flush=True)
-    subprocess.run(
-        [sys.executable, "-c", _PREP.format(
-            repo=REPO, kernel_series=KERNEL_SERIES,
-            validate_rows=VALIDATE_ROWS,
-            series_path=series_path, pages_path=pages_path,
-        )],
-        check=True,
-    )
+    # --reuse DIR: skip prep and time against already-staged inputs (a prior
+    # run's tmp dir with series/ and pages/ both carrying _SUCCESS markers)
+    if len(sys.argv) == 3 and sys.argv[1] == "--reuse":
+        tmp = sys.argv[2]
+        series_path, pages_path = tmp + "/series", tmp + "/pages"
+        for p in (series_path, pages_path):
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                raise SystemExit(f"--reuse dir incomplete: no _SUCCESS in {p}")
+        print(f"reusing staged inputs in {tmp}", flush=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+        series_path, pages_path = tmp + "/series", tmp + "/pages"
+        print("materializing shared inputs ...", flush=True)
+        subprocess.run(
+            [sys.executable, "-c", _PREP.format(
+                repo=REPO, kernel_series=KERNEL_SERIES,
+                validate_rows=VALIDATE_ROWS,
+                series_path=series_path, pages_path=pages_path,
+            )],
+            check=True,
+        )
     results = {}
     for n in EXECUTORS:
         results[n] = run_child(n, series_path, pages_path)

@@ -32,6 +32,8 @@ from ..sources.synth import PAGE_SCHEMA
 __all__ = [
     "read_page_stream",
     "read_page_stream_tcp",
+    "UdpJsonBridge",
+    "read_page_stream_udp",
     "TCP_WIRE_SCHEMA",
     "apply_skip_list",
     "streaming_partition_stats",
@@ -82,6 +84,104 @@ def read_page_stream_tcp(
         .option("host", host)
         .option("port", port)
         .load()
+    )
+    parsed = raw.select(F.from_json("value", TCP_WIRE_SCHEMA).alias("p")).select("p.*")
+    return parsed.where(F.col("url").isNotNull()).select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+class UdpJsonBridge:
+    """Genuine-UDP ingest bridge — the restatement of the reference's UDP
+    msgpack listener (`horizon/listen.py:229-264`).
+
+    Spark has no UDP streaming source, so the bridge plays the role the
+    reference's listener process plays: it receives datagrams and hands them
+    to the engine's ingest queue. Here each datagram is one newline-JSON page
+    row (msgpack is the reference's wire format; SURVEY §2.10 maps
+    msgpack→Arrow/parquet, and JSON is the self-describing datagram analog);
+    rows are batched and published ATOMICALLY (tmp-write + rename) into a
+    staging directory that ``read_page_stream_udp`` consumes with the file
+    source — rename-visibility is what makes the hand-off exactly-once on the
+    Spark side. Oversized/garbled datagrams are dropped exactly like the
+    reference's try/except-continue (`listen.py:243-255`); queue-full load
+    shedding (`listen.py:202-218`) becomes source rate limiting instead.
+    """
+
+    def __init__(self, staging_dir: str, host: str = "127.0.0.1", port: int = 0,
+                 flush_rows: int = 64, flush_secs: float = 0.25):
+        import os
+        import socket
+        import threading
+
+        os.makedirs(staging_dir, exist_ok=True)
+        self.staging_dir = staging_dir
+        self.flush_rows = flush_rows
+        self.flush_secs = flush_secs
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.05)
+        self.host, self.port = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._seq = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _publish(self, lines: list[bytes]) -> None:
+        import os
+
+        tmp = os.path.join(self.staging_dir, f".batch-{self._seq}.json.tmp")
+        dst = os.path.join(self.staging_dir, f"batch-{self._seq}.json")
+        with open(tmp, "wb") as f:
+            f.write(b"\n".join(lines) + b"\n")
+        os.rename(tmp, dst)  # atomic: the file source never sees a partial file
+        self._seq += 1
+
+    def _run(self) -> None:
+        import socket
+        import time
+
+        buf: list[bytes] = []
+        last = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                datagram, _ = self._sock.recvfrom(65536)
+                if datagram.strip():
+                    buf.append(datagram.strip())
+            except socket.timeout:
+                pass
+            except OSError:
+                break
+            now = time.monotonic()
+            if buf and (len(buf) >= self.flush_rows or now - last >= self.flush_secs):
+                self._publish(buf)
+                buf, last = [], now
+        if buf:
+            self._publish(buf)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._sock.close()
+
+
+def read_page_stream_udp(
+    spark: SparkSession, staging_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming page rows from a :class:`UdpJsonBridge` staging directory.
+
+    Same wire schema as the TCP path (the reference's UDP listener carries
+    the same `(metric, datapoint)` tuples as TCP — `horizon/listen.py:240`);
+    malformed datagrams parse to null urls and are dropped.
+    """
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(staging_dir)
     )
     parsed = raw.select(F.from_json("value", TCP_WIRE_SCHEMA).alias("p")).select("p.*")
     return parsed.where(F.col("url").isNotNull()).select(

@@ -73,6 +73,23 @@ def test_rows_only_runs(spark, name):
     assert rows is not None
 
 
+def test_oracled_outputs_are_driver_canon_safe(spark):
+    """The driver canonicalizes results with pandas ``sort_values`` over all
+    columns, which raises ``unhashable type`` on array/map cells (the round-1
+    failure mode of drift_ensemble_daily). Every oracled query must therefore
+    emit only scalar top-level columns — serialize arrays with concat_ws /
+    to_json at the query boundary."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name in ORACLED:
+        df = QUERIES[name].build(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name} is {f.dataType.simpleString()} — the driver "
+                "canonicalizer cannot sort/hash it; serialize it in the query output"
+            )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

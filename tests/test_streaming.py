@@ -96,6 +96,61 @@ def test_exactly_once_resume(spark, staged):
     assert n1 == n2
 
 
+def test_udp_datagram_ingest(spark, tmp_path):
+    """Genuine-UDP ingestion (horizon/listen.py:229-264 analog): JSON
+    datagrams hit the bridge socket, land atomically in the staging dir, and
+    an availableNow drain reads them with the page schema; a garbled datagram
+    is dropped like the reference's try/except-continue."""
+    import json
+    import socket
+    import time as _time
+
+    from skyline_spark.streaming.ingest import UdpJsonBridge, read_page_stream_udp
+
+    staging = str(tmp_path / "udp_staging")
+    bridge = UdpJsonBridge(staging, flush_rows=3, flush_secs=0.1)
+    rows = [
+        {"url": f"https://host-2.example.org/u/{i}", "warc_ts": "2026-08-02 00:00:0%d" % i,
+         "text": f"udp doc {i}", "lang": "eng"}
+        for i in range(7)
+    ]
+    try:
+        cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for r in rows:
+            cli.sendto(json.dumps(r).encode(), (bridge.host, bridge.port))
+        cli.sendto(b"\x00\x01 not json", (bridge.host, bridge.port))
+        cli.close()
+        # wait for the bridge to flush every datagram to the staging dir
+        import glob
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            staged_rows = sum(
+                1 for f in glob.glob(staging + "/batch-*.json")
+                for _ in open(f, "rb")
+            )
+            if staged_rows >= len(rows) + 1:
+                break
+            _time.sleep(0.1)
+    finally:
+        bridge.stop()
+
+    out = str(tmp_path / "udp_out")
+    ckpt = str(tmp_path / "udp_ckpt")
+    stream = read_page_stream_udp(spark, staging)
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out).collect()
+    assert {r["url"] for r in got} == {r["url"] for r in rows}  # garbage dropped
+    assert all(r["html"] is None for r in got)
+
+
 def test_tcp_socket_ingest(spark):
     """Genuine-TCP ingestion (horizon/listen.py analog): a line-JSON server
     feeds the socket source; malformed frames are dropped, good rows land in
