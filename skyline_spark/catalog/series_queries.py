@@ -463,6 +463,83 @@ def detector_ks_2samp_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# detector: stddev_from_moving_average (EWM)  (analyzer/algorithms.py:219-244)
+# ---------------------------------------------------------------------------
+
+# pandas ewm(com=50, adjust=True) weight for row rn in a series of n points:
+# alpha = 1/(1+com) = 1/51, weight (1-alpha)^(n-rn) = (50/51)^(n-rn).
+# The last-index EWM mean/std that the reference reads (`.iloc[-1]`) are then
+# plain weighted moments, so both engines can compute them as pow-weighted
+# sums — no recursion needed. std uses pandas' bias=False reliability-weight
+# correction sw^2/(sw^2 - sw2). Formula parity with pandas.ewm is asserted in
+# tests/test_detectors_golden.py.
+_EWM_SQL = """
+, w AS (
+  SELECT event_type, value, rn, n, pow(50.0/51.0, n - rn) AS wt FROM e
+), a AS (
+  SELECT event_type,
+         sum(wt)                 AS sw,
+         sum(wt * wt)            AS sw2,
+         sum(wt * value)         AS swx,
+         sum(wt * value * value) AS swx2,
+         max(CASE WHEN rn = n THEN value END) AS last_value
+  FROM w GROUP BY event_type
+), m AS (
+  SELECT event_type, last_value,
+         swx / sw AS ewma,
+         sqrt(greatest(0.0, (swx2 / sw - (swx / sw) * (swx / sw))
+                            * (sw * sw / (sw * sw - sw2)))) AS ewm_std
+  FROM a
+)
+SELECT event_type,
+       round(ewma, 6) AS ewma,
+       round(ewm_std, 6) AS ewm_std,
+       round(last_value, 6) AS last_value,
+       (abs(last_value - ewma) > 3 * ewm_std) AS anomalous
+FROM m ORDER BY event_type
+"""
+
+
+@query(
+    "detector_stddev_from_moving_average",
+    _E_CTE + _EWM_SQL,
+    doc="EWM detector (analyzer/algorithms.py:219-244): anomalous iff "
+        "|last − ewm_mean| > 3·ewm_std with pandas ewm(com=50, adjust=True) "
+        "semantics, std bias=False — restated as closed-form pow-weighted "
+        "moments so the plan is one shuffle + codegen'd aggregate (the "
+        "pandas-recursive form lives in operators/detectors.py:199)",
+)
+def detector_stddev_from_moving_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _series(spark, sf_dir)
+    wt = F.pow(F.lit(50.0 / 51.0), F.col("n") - F.col("rn"))
+    w = e.select("event_type", "value", "rn", "n", wt.alias("wt"))
+    a = w.groupBy("event_type").agg(
+        F.sum("wt").alias("sw"),
+        F.sum(F.col("wt") * F.col("wt")).alias("sw2"),
+        F.sum(F.col("wt") * F.col("value")).alias("swx"),
+        F.sum(F.col("wt") * F.col("value") * F.col("value")).alias("swx2"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias(
+            "last_value"
+        ),
+    )
+    ewma = F.col("swx") / F.col("sw")
+    var_biased = F.col("swx2") / F.col("sw") - ewma * ewma
+    corr = (F.col("sw") * F.col("sw")) / (
+        F.col("sw") * F.col("sw") - F.col("sw2")
+    )
+    ewm_std = F.sqrt(F.greatest(F.lit(0.0), var_biased * corr))
+    return a.select(
+        "event_type",
+        F.round(ewma, 6).alias("ewma"),
+        F.round(ewm_std, 6).alias("ewm_std"),
+        F.round("last_value", 6).alias("last_value"),
+        (F.abs(F.col("last_value") - ewma) > 3 * ewm_std).alias("anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # gates: TooShort / Stale / Boring  (analyzer/algorithms.py:583-593)
 # ---------------------------------------------------------------------------
 

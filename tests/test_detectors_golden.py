@@ -285,3 +285,28 @@ def test_derivative_stats_analyze_the_rate(spark):
     out2 = drift_verdicts(stats2, samples, cfg, latest_only=True,
                           drift_stats=["row_count_total"]).collect()
     assert out2 == [] or out2[0]["partition_date"] != base + datetime.timedelta(days=29)
+
+
+def test_ewm_closed_form_matches_pandas():
+    """The relational EWM restatement (catalog detector_stddev_from_moving_
+    average) computes the last-index ewm mean/std as pow-weighted moments;
+    pandas ewm(com=50, adjust=True) / std(bias=False) is the reference
+    semantics (analyzer/algorithms.py:227-231). The two must agree to float
+    precision on an arbitrary series."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for n in (5, 60, 2000):
+        x = rng.gamma(2.0, 25.0, size=n)
+        s = pd.Series(x)
+        ref_mean = s.ewm(com=50).mean().iloc[-1]
+        ref_std = s.ewm(com=50).std(bias=False).iloc[-1]
+
+        w = (50.0 / 51.0) ** np.arange(n - 1, -1, -1.0)
+        sw, sw2 = w.sum(), (w * w).sum()
+        m = (w * x).sum() / sw
+        var_b = (w * x * x).sum() / sw - m * m
+        std = np.sqrt(max(0.0, var_b * (sw * sw / (sw * sw - sw2))))
+
+        assert abs(m - ref_mean) < 1e-9 * max(1.0, abs(ref_mean))
+        assert abs(std - ref_std) < 1e-8 * max(1.0, abs(ref_std))
