@@ -325,14 +325,19 @@ def _minhash_from_shingles(sh):
     )
 
 
-_SIMHASH_ORACLE = f"""
-WITH s AS (
+# pair-list fragment shared by dedup_simhash and dedup_clusters
+_SIMHASH_PAIRS_SQL = f"""s AS (
   SELECT doc_id, {X.simhash_sql('text')} AS sh FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+), sim_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+)"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_PAIRS_SQL}
+SELECT doc_a, doc_b, hamming FROM sim_pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -386,6 +391,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )
+
+
+# edges must be MATERIALIZED: DuckDB otherwise inlines the CTE chain into
+# every recursive step, re-running the O(n²) simhash pair scan per round
+# (19 s → 0.4 s at sf0.01)
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SIMHASH_PAIRS_SQL},
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM sim_pairs
+  UNION
+  SELECT doc_b, doc_a FROM sim_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id
+),
+lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       (doc_id = cluster_id) AS is_keeper
+FROM lab ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    doc="near-dup clustering: SimHash pairs → connected components "
+        "(min-label propagation + pointer jumping, operators/components.py) "
+        "→ one keeper per component. Fixes the chain-dup over-delete that "
+        "pairwise dedup alone causes (a~b, b~c ⇒ keep only min(a,b,c)); "
+        "the oracle is a recursive-CTE transitive closure over the same "
+        "pair set",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from skyline_spark.operators.components import connected_components
+
+    pairs = dedup_simhash(spark, sf_dir)
+    lab = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 

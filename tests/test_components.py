@@ -1,0 +1,28 @@
+"""connected_components: clustering near-dup pairs (operators/components.py)."""
+
+from skyline_spark.operators.components import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = connected_components(df)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 (transitive dups) + island 10-11; 99 is a singleton pair
+    got = _cc(spark, [(2, 1), (2, 3), (4, 3), (10, 11), (99, 98)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # path of 40 nodes — naive propagation needs 39 rounds; pointer jumping
+    # must finish well inside the 25-round cap
+    n = 40
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_and_reversed_pairs(spark):
+    got = _cc(spark, [(5, 6), (6, 5), (5, 6), (7, 6)])
+    assert got == {5: 5, 6: 5, 7: 5}
