@@ -853,3 +853,143 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_c") >= EMB_COS_DUP_T)
         .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality (Gopher-style) + stratified sampling
+# ---------------------------------------------------------------------------
+
+# Gopher repetition rules (Rae et al. 2021, "Scaling Language Models",
+# table A1) restated over the documents table: a doc is repetition-flagged
+# when its most frequent word dominates or its 3-grams are mostly repeats.
+TOP_WORD_FRAC_T = 0.20
+DUP_3GRAM_FRAC_T = 0.50
+
+_REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.tokens_sql('text')}) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c)::BIGINT AS top_c
+  FROM wc GROUP BY doc_id
+), tg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS tgs
+  FROM (SELECT doc_id, {X.tokens_sql('text')} AS t FROM documents)
+), tagg AS (
+  SELECT doc_id,
+         CASE WHEN len(tgs) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tgs))::DOUBLE / len(tgs) END AS dupf
+  FROM tg
+)
+SELECT w.doc_id,
+       w.n_tokens,
+       {X.r6_sql('w.top_c::DOUBLE / w.n_tokens')} AS top_word_frac,
+       {X.r6_sql('t.dupf')} AS dup_3gram_frac,
+       (w.top_c::DOUBLE / w.n_tokens > {TOP_WORD_FRAC_T}
+        OR t.dupf > {DUP_3GRAM_FRAC_T}) AS repetition_flagged
+FROM wagg w JOIN tagg t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "text_repetition",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition quality: top-word fraction (explode → "
+        "count, map-side partial agg) + duplicate-3-gram fraction "
+        "(array_distinct/size expressions, no explode); both codegen/"
+        "shuffle-on-doc_id plans that hold at 10^12 docs",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens_expr(F.col("text")).alias("t"))
+    wc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    wagg = wc.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_tokens"),
+        F.max("count").cast("long").alias("top_c"),
+    )
+    tgs = F.when(
+        F.size("t") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+                F.element_at(F.col("t"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagg = toks.select(
+        "doc_id",
+        F.when(F.size(tgs) == 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.size(F.array_distinct(tgs)).cast("double") / F.size(tgs)
+        )
+        .alias("dupf"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
+    return wagg.join(tagg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        X.r6(top_frac).alias("top_word_frac"),
+        X.r6(F.col("dupf")).alias("dup_3gram_frac"),
+        (
+            (top_frac > TOP_WORD_FRAC_T) | (F.col("dupf") > DUP_3GRAM_FRAC_T)
+        ).alias("repetition_flagged"),
+    )
+
+
+#: per-mille keep rates per lang for the deterministic stratified sample
+SAMPLE_RATES = {"en": 300, "zh": 150}
+SAMPLE_RATE_DEFAULT = 100
+
+
+def _sample_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {cases} ELSE {SAMPLE_RATE_DEFAULT} END"
+
+
+@query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang,
+           ({_sample_rate_sql()})::BIGINT AS rate_per_mille
+    FROM documents
+    WHERE {X.h32_sql("concat('sample:', doc_id::VARCHAR)")} % 1000
+          < ({_sample_rate_sql()})
+    ORDER BY doc_id
+    """,
+    doc="deterministic per-lang stratified Bernoulli sample: keep iff "
+        "h32('sample:'||doc_id) % 1000 < rate(lang). Hash-based (not rand()) "
+        "so the sample is reproducible across runs/executors/engines and "
+        "stable under repartitioning — the property TABLESAMPLE/rand() "
+        "cannot give a distributed pipeline",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(SAMPLE_RATES.items())
+        ],
+        F.lit(SAMPLE_RATE_DEFAULT),
+    )
+    keep = (
+        X.h32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 1000
+        < rate
+    )
+    return d.where(keep).select(
+        "doc_id", "lang", rate.cast("long").alias("rate_per_mille")
+    )
