@@ -813,11 +813,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = bands.select(
         F.col("vec_id").alias("vec_b"), "band_id", "band_val"
     )
+    # multi-band duplicate candidates are NOT deduped before verification:
+    # band overlap here is ~10%, so a pre-verify dropDuplicates costs a full
+    # candidate-width shuffle to save 10% of a cheap vectorized fold — the
+    # dedup runs after the cosine filter, on the few surviving pairs
     cand = (
         lo.join(hi, ["band_id", "band_val"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
     # per-VECTOR norms computed once (the naive per-pair form folds each
     # norm again for every candidate the vector appears in); the per-PAIR
@@ -844,13 +847,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
     )
-    cand = cand.join(a_emb, "vec_a").join(b_emb, "vec_b")
+    # broadcast the embedding fetch: the vector table is the SMALL side of
+    # the candidate join by construction (candidates are O(pairs), vectors
+    # O(n)); at corpus scales past broadcast range this becomes a shuffled
+    # hash join on vec_id — the plan shape AQE already picks
+    cand = cand.join(F.broadcast(a_emb), "vec_a").join(
+        F.broadcast(b_emb), "vec_b"
+    )
     cos = _fold_dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_norm") * F.col("b_norm")
     )
     return (
         cand.select("vec_a", "vec_b", cos.alias("_c"))
         .where(F.col("_c") >= EMB_COS_DUP_T)
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
     )
 

@@ -37,6 +37,7 @@ __all__ = [
     "TCP_WIRE_SCHEMA",
     "apply_skip_list",
     "streaming_partition_stats",
+    "alert_streaks",
     "run_to_sink",
 ]
 
@@ -254,4 +255,74 @@ def run_to_sink(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: Boundary ALERT_THRESHOLD streaks
+# ---------------------------------------------------------------------------
+
+ALERT_STREAK_OUTPUT = "lang string, warc_ts timestamp, value double, streak integer"
+ALERT_STREAK_STATE = "streak integer"
+
+
+def alert_streaks(
+    pages: DataFrame, limit: float, alert_threshold: int = 3
+) -> DataFrame:
+    """Boundary's ALERT_THRESHOLD k-consecutive-triggers rule
+    (`boundary/boundary_algorithms.py:287-383`) as a custom *stateful*
+    streaming operator: per ``lang``, count consecutive rows whose
+    ``length(text)`` exceeds ``limit`` and emit one alert row the moment a
+    run reaches ``alert_threshold``.
+
+    This is the ``applyInPandasWithState`` restatement of the reference's
+    Redis trigger-count keys: the streak survives micro-batch boundaries AND
+    query restarts (it lives in the state store under the sink checkpoint),
+    which the batch twin (`boundary_alert_threshold`, gaps-and-islands over
+    run history) cannot express incrementally.
+
+    Rows are ordered by ``warc_ts`` *within* each micro-batch; cross-batch
+    order is source order, as with any arbitrary-stateful Spark operator.
+    The streak scan itself is vectorized (cumulative-maximum reset trick),
+    not a per-row Python loop; state per key is a single int, so state-store
+    size is O(distinct langs).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        carry = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            rows = (
+                pd.concat(frames).sort_values("warc_ts", kind="mergesort")
+                if len(frames) > 1
+                else frames[0].sort_values("warc_ts", kind="mergesort")
+            )
+            trig = rows["value"].to_numpy() > limit
+            n = len(trig)
+            idx = np.arange(n)
+            # streak length at each position: distance since the last
+            # non-trigger, plus the carried-in streak before the first one
+            last_reset = np.maximum.accumulate(np.where(~trig, idx, -1))
+            streaks = idx - last_reset + np.where(last_reset == -1, carry, 0)
+            hit = trig & (streaks == alert_threshold)
+            carry = int(streaks[-1]) if trig[-1] else 0
+            if hit.any():
+                out = rows.loc[hit, ["warc_ts", "value"]].copy()
+                out.insert(0, "lang", key[0])
+                out["streak"] = streaks[hit].astype("int32")
+                yield out
+        state.update((carry,))
+
+    ev = pages.select(
+        "lang", "warc_ts", F.length("text").cast("double").alias("value")
+    )
+    return ev.groupBy("lang").applyInPandasWithState(
+        update,
+        ALERT_STREAK_OUTPUT,
+        ALERT_STREAK_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )

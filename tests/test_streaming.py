@@ -209,3 +209,72 @@ def test_tcp_socket_ingest(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_alert_streaks_state_survives_restart(spark, tmp_path):
+    """Boundary ALERT_THRESHOLD as applyInPandasWithState: a streak of
+    over-limit rows spans two separate availableNow drains — the alert fires
+    in the second run only because the streak count was recovered from the
+    state store under the checkpoint."""
+    import datetime
+
+    from skyline_spark.streaming.ingest import alert_streaks
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(ts_min, lang, n_chars):
+        return (
+            f"https://x.example.org/{lang}/{ts_min}",
+            datetime.datetime(2026, 8, 1, 0, ts_min),
+            None,
+            "x" * n_chars,
+            lang,
+        )
+
+    from skyline_spark.sources.synth import PAGE_SCHEMA
+
+    # batch 1: eng ends with TWO over-limit rows (threshold 3 — no alert
+    # yet); spa never triggers
+    b1 = [
+        page(0, "eng", 50),
+        page(1, "eng", 200),
+        page(2, "eng", 200),
+        page(0, "spa", 50),
+        page(1, "spa", 60),
+    ]
+    spark.createDataFrame(b1, PAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_to_sink(
+        alert_streaks(read_page_stream(spark, src), limit=100.0, alert_threshold=3),
+        out,
+        ckpt,
+    )
+    got = spark.read.schema(
+        "lang string, warc_ts timestamp, value double, streak integer"
+    ).parquet(out)
+    assert got.count() == 0
+
+    # batch 2: one more over-limit eng row completes the cross-run streak
+    b2 = [page(3, "eng", 300), page(2, "spa", 70)]
+    spark.createDataFrame(b2, PAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_to_sink(
+        alert_streaks(read_page_stream(spark, src), limit=100.0, alert_threshold=3),
+        out,
+        ckpt,
+    )
+    rows = (
+        spark.read.schema(
+            "lang string, warc_ts timestamp, value double, streak integer"
+        )
+        .parquet(out)
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lang"], r["streak"], r["value"]) == ("eng", 3, 300.0)
+    assert r["warc_ts"] == datetime.datetime(2026, 8, 1, 0, 3)
