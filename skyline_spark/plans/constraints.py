@@ -107,12 +107,29 @@ def schema_violations(pages: DataFrame, expected: T.StructType) -> DataFrame:
 def uniqueness_violations(pages: DataFrame, key: str = "url", max_examples: int = 20) -> DataFrame:
     """Duplicate-key rows per partition (url uniqueness, north_star).
 
-    One shuffle on (partition, key); example rows capped per partition with
-    the exact duplicate count kept in ``observed``.
+    Two-phase hash prefilter: phase 1 shuffles only ``(partition,
+    xxhash64(key))`` — 8 bytes instead of a full url string, the whole-table
+    shuffle that dominates this check — and keeps hash groups seen more
+    than once. Phase 2 re-groups ONLY rows whose hash is a candidate by the
+    actual key, which both restores exactness (64-bit collisions drop out
+    here) and fetches the example urls. When duplicates are rare (the
+    steady-state for a crawl table) phase 2 touches a negligible row set;
+    the candidate side is broadcast, and a duplicate-heavy table at scale
+    would flip that join to shuffled-hash via AQE by removing the hint.
     """
     pages = with_partition(pages)
+    kh = F.xxhash64(F.col(key).cast("string"))
+    cand_hashes = (
+        pages.select(*PARTITION_COLS, kh.alias("_kh"))
+        .groupBy(*PARTITION_COLS, "_kh")
+        .count()
+        .where(F.col("count") > 1)
+        .select(*PARTITION_COLS, "_kh")
+    )
     dup_counts = (
-        pages.groupBy(*PARTITION_COLS, key)
+        pages.withColumn("_kh", kh)
+        .join(F.broadcast(cand_hashes), [*PARTITION_COLS, "_kh"], "left_semi")
+        .groupBy(*PARTITION_COLS, key)
         .count()
         .where(F.col("count") > 1)
     )
