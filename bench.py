@@ -148,6 +148,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "text_quality",
         "detector_stddev_from_average",
         "detector_median_absolute_deviation",
+        "detector_stddev_from_moving_average",
         "detector_ks_2samp_d",
         "replay_stddev_from_average",
         "luminosity_correlation",
@@ -156,6 +157,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ionosphere_layers",
         "roomba_vacuum",
         "dedup_embedding_lsh",
+        "dedup_clusters",
+        "text_repetition",
+        "sample_stratified",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

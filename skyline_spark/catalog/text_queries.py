@@ -752,6 +752,108 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-style ANN (inverted-file cells, the other scale path) -------------
+
+IVF_K = 16        # centroid / cell count
+IVF_NPROBE = 4    # cells searched per query
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_K}
+), ac AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cemb')} AS cc
+  FROM embeddings e, cent c
+), cell AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM ac
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, embedding AS qemb, cid FROM (
+    SELECT a.*, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM ac a WHERE vec_id IN ({_ANN_IDS})
+  ) WHERE rn <= {IVF_NPROBE}
+), ranked AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_cos_sql('q.qemb', 'v.embedding')} AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_cos_sql('q.qemb', 'v.embedding')} DESC, v.vec_id
+         ) AS rank
+  FROM qprobe q JOIN cell v ON v.cid = q.cid
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    _IVF_ORACLE,
+    doc=f"IVF-style ANN: every vector is assigned to its nearest of {IVF_K} "
+        f"seed centroids (broadcast cross join, K tiny rows per vector, then "
+        f"a per-vector argmax; in production the K centroids inline as plan "
+        f"literals and assignment is a pure map stage), and a query searches "
+        f"only its {IVF_NPROBE} nearest cells — the classic "
+        "inverted-file recall/cost dial. Seed centroids (first K corpus "
+        "vectors) stand in for k-means training; each Lloyd iteration at "
+        "scale is the SAME broadcast-join + groupBy-average plan shape. At "
+        "10^12 rows cells become bucketed table partitions so a probe is a "
+        "partition-pruned scan. Cosines fold left in array order in both "
+        "engines, so cell argmax and ranks are bit-deterministic",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _spread(load(spark, sf_dir, "embeddings"))
+    cent = e.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cc = _dot_expr(F.col("embedding"), F.col("cemb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("cemb"))
+    )
+    ac = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", cc.alias("cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cid")
+    )
+    ranked_cells = ac.withColumn("rn", F.row_number().over(w_assign))
+    cell = ranked_cells.where(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cid"
+    )
+    qprobe = (
+        ranked_cells.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            "cid",
+        )
+    )
+    cos = _dot_expr(F.col("qemb"), F.col("embedding")) / (
+        _norm_expr(F.col("qemb")) * _norm_expr(F.col("embedding"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        cell.join(F.broadcast(qprobe), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
 # --- LSH-bucketed embedding dedup (the scale path) -------------------------
 
 _EMB_LSH_DUP_ORACLE = f"""

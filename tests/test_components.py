@@ -26,3 +26,42 @@ def test_long_path_converges_via_pointer_jumping(spark):
 def test_duplicate_and_reversed_pairs(spark):
     got = _cc(spark, [(5, 6), (6, 5), (5, 6), (7, 6)])
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_random_graph_matches_union_find(spark):
+    """Seeded random graph: the distributed min-label result must equal a
+    driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(100))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # union-find roots are not necessarily component minima — normalize
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+
+    got = _cc(spark, pairs)
+    assert got == want
