@@ -158,8 +158,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "roomba_vacuum",
         "dedup_embedding_lsh",
         "dedup_clusters",
+        "dedup_passages",
         "text_repetition",
+        "text_tfidf_topk",
         "sample_stratified",
+        "corpus_shuffle_shards",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -1105,3 +1105,225 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(keep).select(
         "doc_id", "lang", rate.cast("long").alias("rate_per_mille")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (CCNet/RefinedWeb line-dedup analog)
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 8          # non-overlapping chunk size
+DUP_PASSAGE_FRAC_T = 0.30   # flag docs whose dup-passage share exceeds this
+
+_PASSAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS t FROM documents
+), pas AS (
+  SELECT doc_id,
+         list_transform(
+           case when len(t) >= {PASSAGE_TOKENS}
+                then generate_series(0, len(t) // {PASSAGE_TOKENS} - 1)
+                else []::BIGINT[] end,
+           i -> {X.h32_sql(f"array_to_string(t[i * {PASSAGE_TOKENS} + 1 : (i + 1) * {PASSAGE_TOKENS}], ' ')")}
+         ) AS ph
+  FROM tok
+), ex AS (
+  SELECT doc_id, unnest(ph) AS h FROM pas
+), freq AS (
+  SELECT h, count(*) AS c FROM ex GROUP BY h
+), perdoc AS (
+  SELECT e.doc_id,
+         count(*) AS n_passages,
+         sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS n_dup_passages
+  FROM ex e JOIN freq f USING (h)
+  GROUP BY e.doc_id
+)
+SELECT doc_id,
+       n_passages::BIGINT AS n_passages,
+       n_dup_passages::BIGINT AS n_dup_passages,
+       {X.r6_sql('n_dup_passages / n_passages')} AS dup_passage_frac,
+       (n_dup_passages / n_passages) > {DUP_PASSAGE_FRAC_T} AS passage_flagged
+FROM perdoc ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_passages",
+    _PASSAGE_ORACLE,
+    doc="passage-level exact dedup (CCNet/RefinedWeb line-dedup analog; the "
+        "reference's closest op is Roomba timestamp dedup, horizon/roomba.py"
+        ":86-181): docs split into non-overlapping 8-token passages, each "
+        "h32-hashed; a passage occurring >=2 times corpus-wide is duplicated, "
+        "and docs whose duplicated share exceeds 30% are flagged. Plan: one "
+        "scan -> explode -> count on the passage hash (map-side partial agg) "
+        "-> equi-join back on the hash -> per-doc agg. Both shuffles move "
+        "only (doc_id, hash8) pairs; boilerplate passages are the classic "
+        "hot keys and split under AQE skew-join at 10^12 docs",
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens_expr(F.col("text")).alias("t"))
+    n_chunks = (F.size("t") / PASSAGE_TOKENS).cast("long")
+    chunk = F.when(
+        F.size("t") >= PASSAGE_TOKENS,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: X.h32(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("t"), i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # exploded (doc_id, hash8) pairs materialized ONCE (localCheckpoint, like
+    # dedup_minhash_lsh staging): the freq branch and the join-back branch
+    # would otherwise each rescan + retokenize the full text column
+    ex = toks.select("doc_id", F.explode(chunk).alias("h")).localCheckpoint()
+    freq = ex.groupBy("h").agg(F.count("*").alias("c"))
+    perdoc = (
+        ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum((F.col("c") >= 2).cast("long")).alias("n_dup_passages"),
+        )
+    )
+    frac = F.col("n_dup_passages").cast("double") / F.col("n_passages")
+    return perdoc.select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        X.r6(frac).alias("dup_passage_frac"),
+        (frac > DUP_PASSAGE_FRAC_T).alias("passage_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k salient terms per doc
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.tokens_sql('text')}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tf) GROUP BY w
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+  SELECT t.doc_id, t.w,
+         t.tf * (n.n_docs + 1.0) / (d.df + 1.0) AS tfidf
+  FROM tf t JOIN df d USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, w, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, w
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, w AS term, {X.r6_sql('tfidf')} AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOPK} ORDER BY doc_id, rank
+"""
+
+
+@query(
+    "text_tfidf_topk",
+    _TFIDF_ORACLE,
+    doc=f"top-{TFIDF_TOPK} TF-IDF terms per doc — the classic two-pass "
+        "aggregate-then-broadcast shape the reference uses for Mirage "
+        "(SURVEY 2.5): term frequencies shuffle once on (doc_id, w), the "
+        "small document-frequency table broadcasts back, and a per-doc "
+        "window picks the top terms. IDF is the rational (N+1)/(df+1) "
+        "rather than its logarithm: pure IEEE-754 arithmetic is "
+        "bit-identical across engines while libm log implementations are "
+        "not, and rank order is unchanged (x -> ln x monotone)",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens_expr(F.col("text"))).alias("w"))
+    # term frequencies materialized ONCE: the df and n_docs branches reuse
+    # them instead of rescanning + retokenizing the text column per branch
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint()
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("w").alias("term"),
+            X.r6(F.col("tfidf")).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle + training-shard assignment
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {X.h32_sql("concat('shuf:', doc_id::VARCHAR)")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       (shuffle_key % {N_SHARDS})::BIGINT AS shard,
+       row_number() OVER (
+         PARTITION BY shuffle_key % {N_SHARDS}
+         ORDER BY shuffle_key, doc_id
+       )::BIGINT AS pos
+FROM keyed ORDER BY shard, pos
+"""
+
+
+@query(
+    "corpus_shuffle_shards",
+    _SHARD_ORACLE,
+    doc=f"deterministic corpus shuffle into {N_SHARDS} training shards: "
+        "shard = h32('shuf:'||doc_id) % n, position = rank of the hash "
+        "within the shard. Reproducible across runs/engines/partitionings "
+        "(hash order, not rand()), which is what lets a 10^12-doc training "
+        "run resume mid-epoch. At scale this is repartition(shard) + "
+        "sortWithinPartitions(shuffle_key) + partitioned parquet write — "
+        "one shuffle, no global sort; the window here computes the same "
+        "in-shard rank relationally so the oracle can check it",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        X.h32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn("shard", (F.col("shuffle_key") % N_SHARDS).cast("long"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
