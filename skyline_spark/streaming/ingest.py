@@ -326,3 +326,133 @@ def alert_streaks(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: rolling stddev_from_average drift detection
+# ---------------------------------------------------------------------------
+
+ROLLING_DRIFT_OUTPUT = (
+    "lang string, day date, n bigint, day_mean double, "
+    "base_mean double, base_std double, sigma double, anomalous boolean"
+)
+ROLLING_DRIFT_STATE = (
+    "days array<long>, means array<double>, "
+    "open_day long, open_cnt long, open_sum double"
+)
+
+#: verdicts need at least this many closed baseline days before firing
+ROLLING_MIN_HISTORY = 3
+
+
+def rolling_drift_alerts(
+    pages: DataFrame,
+    lookback_days: int = 7,
+    sigma_t: float = 3.0,
+) -> DataFrame:
+    """The analyzer's continuously-running ``stddev_from_average`` detector
+    (`analyzer/algorithms.py:118-135` semantics, `analyzer/analyzer.py`'s
+    always-on loop) as a custom *stateful* streaming operator: per ``lang``,
+    daily mean text lengths accumulate in the state store; when a later
+    day's first row arrives the open day closes and its mean is scored
+    against the trailing ``lookback_days`` closed days — ``sigma`` standard
+    deviations from the rolling baseline, anomalous above ``sigma_t``.
+
+    State per key is O(lookback): two parallel arrays of (day, mean) plus
+    the open day's partial count/sum — a mergeable running aggregate, never
+    raw rows. Late rows for an already-closed day are dropped, the
+    imperative restatement of the watermark in
+    :func:`streaming_partition_stats`. Verdicts only fire with
+    ``ROLLING_MIN_HISTORY`` closed baseline days, mirroring the batch
+    plan's TOO_SHORT gate; earlier closings emit ``anomalous = false`` with
+    null baseline columns so day closure is still observable downstream.
+
+    The batch twin is the ``detector_stddev_from_average`` catalog query /
+    the drift plan's 3-sigma kernel; the streaming form is incremental and
+    restart-safe (state lives under the sink checkpoint), which a batch
+    window cannot express.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            days, means, open_day, open_cnt, open_sum = state.get
+            days = list(days)
+            means = list(means)
+        else:
+            days, means, open_day, open_cnt, open_sum = [], [], -1, 0, 0.0
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out_rows = []
+        if frames:
+            rows = pd.concat(frames) if len(frames) > 1 else frames[0]
+            day = (
+                rows["warc_ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            )
+            val = rows["value"].to_numpy(dtype=np.float64)
+            order = np.argsort(day, kind="mergesort")
+            day, val = day[order], val[order]
+            uniq, start = np.unique(day, return_index=True)
+            sums = np.add.reduceat(val, start)
+            cnts = np.diff(np.append(start, len(val)))
+            for d, c, s in zip(uniq.tolist(), cnts.tolist(), sums.tolist()):
+                if open_day == -1:
+                    open_day, open_cnt, open_sum = d, c, s
+                    continue
+                if d < open_day:
+                    continue  # late data for a closed day: dropped
+                if d == open_day:
+                    open_cnt += c
+                    open_sum += s
+                    continue
+                # d > open_day: close the open day and score it
+                day_mean = open_sum / open_cnt
+                if len(means) >= ROLLING_MIN_HISTORY:
+                    base = np.asarray(means[-lookback_days:], dtype=np.float64)
+                    base_mean = float(base.mean())
+                    base_std = float(base.std())
+                    sigma = (
+                        abs(day_mean - base_mean) / base_std
+                        if base_std > 0.0
+                        else 0.0
+                    )
+                    out_rows.append(
+                        (key[0], open_day, open_cnt, day_mean,
+                         base_mean, base_std, sigma, sigma > sigma_t)
+                    )
+                else:
+                    out_rows.append(
+                        (key[0], open_day, open_cnt, day_mean,
+                         None, None, None, False)
+                    )
+                days.append(open_day)
+                means.append(day_mean)
+                if len(days) > lookback_days:
+                    days = days[-lookback_days:]
+                    means = means[-lookback_days:]
+                open_day, open_cnt, open_sum = d, c, s
+
+        state.update((days, means, open_day, open_cnt, open_sum))
+        if out_rows:
+            out = pd.DataFrame(
+                out_rows,
+                columns=[
+                    "lang", "day", "n", "day_mean",
+                    "base_mean", "base_std", "sigma", "anomalous",
+                ],
+            )
+            out["day"] = pd.to_datetime(out["day"], unit="D").dt.date
+            yield out
+
+    ev = pages.select(
+        "lang", "warc_ts", F.length("text").cast("double").alias("value")
+    )
+    return ev.groupBy("lang").applyInPandasWithState(
+        update,
+        ROLLING_DRIFT_OUTPUT,
+        ROLLING_DRIFT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -278,3 +278,103 @@ def test_alert_streaks_state_survives_restart(spark, tmp_path):
     r = rows[0]
     assert (r["lang"], r["streak"], r["value"]) == ("eng", 3, 300.0)
     assert r["warc_ts"] == datetime.datetime(2026, 8, 1, 0, 3)
+
+
+def test_rolling_drift_alerts_match_batch_twin_across_restart(spark, tmp_path):
+    """Streaming stddev_from_average: daily means accumulate in the state
+    store across two availableNow drains; the anomalous day in run 2 is
+    scored against baseline days closed in run 1 (state recovery), late
+    rows for closed days are dropped, and every verdict matches a pure
+    pandas batch twin."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from skyline_spark.sources.synth import PAGE_SCHEMA
+    from skyline_spark.streaming.ingest import (
+        ROLLING_DRIFT_OUTPUT,
+        rolling_drift_alerts,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(day, minute, lang, n_chars):
+        return (
+            f"https://x.example.org/{lang}/{day}/{minute}",
+            datetime.datetime(2026, 8, 1 + day, 0, minute),
+            None,
+            "x" * n_chars,
+            lang,
+        )
+
+    # eng: day d has rows (m-10, m, m+10) → daily mean m; m = 100 + d for
+    # days 0-7, day 8 jumps to 500 (the anomaly), day 9 stays open.
+    # spa: constant 50 → base_std 0 → sigma 0, never anomalous.
+    def day_rows(day):
+        m = 500 if day == 8 else 100 + day
+        return [
+            page(day, 0, "eng", m - 10),
+            page(day, 1, "eng", m),
+            page(day, 2, "eng", m + 10),
+            page(day, 0, "spa", 50),
+            page(day, 1, "spa", 50),
+        ]
+
+    def drain(rows):
+        spark.createDataFrame(rows, PAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_to_sink(
+            rolling_drift_alerts(read_page_stream(spark, src)), out, ckpt
+        )
+        return (
+            spark.read.schema(ROLLING_DRIFT_OUTPUT).parquet(out).toPandas()
+        )
+
+    got1 = drain([r for d in range(6) for r in day_rows(d)])
+    # run 1 closes days 0-4 (day 5 open): 5 verdicts per lang
+    assert sorted(got1["day"].astype(str).unique()) == [
+        f"2026-08-0{d}" for d in range(1, 6)
+    ]
+    assert len(got1) == 10
+    # first ROLLING_MIN_HISTORY closings have no baseline yet
+    eng1 = got1[got1["lang"] == "eng"].sort_values("day")
+    assert eng1["base_mean"].isna().tolist() == [True, True, True, False, False]
+    assert not eng1["anomalous"].any()
+
+    # run 2: days 6-9 plus a LATE row for closed day 3 (must be dropped —
+    # day 3's verdict already emitted in run 1 and must not repeat)
+    got2 = drain([r for d in range(6, 10) for r in day_rows(d)] + [
+        page(3, 30, "eng", 10_000)
+    ])
+
+    # batch twin in pure pandas over all closed days
+    eng = got2[got2["lang"] == "eng"].sort_values("day").reset_index(drop=True)
+    assert len(eng) == 9  # days 0-8 closed exactly once
+    daily = {d: (500.0 if d == 8 else 100.0 + d) for d in range(9)}
+    for i, row in eng.iterrows():
+        d = (row["day"] - datetime.date(2026, 8, 1)).days
+        assert row["day_mean"] == daily[d]
+        hist = [daily[j] for j in range(d)][-7:]
+        if len([j for j in range(d)]) >= 3:
+            base = np.asarray(hist[-7:], dtype=np.float64)
+            assert row["base_mean"] == pytest.approx(base.mean(), abs=1e-9)
+            assert row["base_std"] == pytest.approx(base.std(), abs=1e-9)
+            want_sigma = (
+                abs(daily[d] - base.mean()) / base.std() if base.std() else 0.0
+            )
+            assert row["sigma"] == pytest.approx(want_sigma, abs=1e-9)
+            assert bool(row["anomalous"]) == (want_sigma > 3.0)
+        else:
+            assert pd.isna(row["base_mean"])
+
+    # the jump day IS anomalous, and its baseline spans both runs
+    d8 = eng[eng["day"] == datetime.date(2026, 8, 9)].iloc[0]
+    assert bool(d8["anomalous"])
+    # spa: zero variance baseline → sigma 0, never anomalous
+    spa = got2[got2["lang"] == "spa"]
+    assert len(spa) == 9 and not spa["anomalous"].any()
+    assert (spa["sigma"].dropna() == 0.0).all()
