@@ -161,6 +161,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dedup_passages",
         "text_repetition",
         "text_tfidf_topk",
+        "filter_pipeline",
         "sample_stratified",
         "corpus_shuffle_shards",
         "events_daily_stats",

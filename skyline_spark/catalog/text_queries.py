@@ -1327,3 +1327,117 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composite keep/drop filter pipeline with per-doc reasons
+# ---------------------------------------------------------------------------
+
+FILTER_MIN_TOKENS = 20
+FILTER_MIN_QUALITY = 0.45
+
+#: duplicate-3-gram fraction as a scalar SQL expression over a bound token
+#: list ``t`` (the same formula text_repetition's oracle computes in its CTE)
+_DUP3_SQL = (
+    "CASE WHEN len(t) < 3 THEN 0.0 ELSE "
+    "1.0 - len(list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE / (len(t) - 2) END"
+)
+
+
+def _dup3_expr(toks):
+    """Duplicate-3-gram fraction (Spark twin of ``_DUP3_SQL``)."""
+    tgs = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(tgs) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(tgs)).cast("double") / F.size(tgs)
+    )
+
+
+_FILTER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {X.tokens_sql('text')} AS t FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         {X.quality_score_sql('text')} AS quality,
+         {X.lang_id_sql('text')} AS lang_guess,
+         {_DUP3_SQL} AS dup3
+  FROM tok
+)
+SELECT doc_id, n_tokens, quality,
+       coalesce(array_to_string(list_filter([
+         CASE WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
+         CASE WHEN quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
+         CASE WHEN dup3 > {DUP_3GRAM_FRAC_T} THEN 'repetitive' END,
+         CASE WHEN lang_guess <> 'en' THEN 'lang' END
+       ], r -> r IS NOT NULL), ','), '') AS reasons,
+       (n_tokens >= {FILTER_MIN_TOKENS} AND quality >= {FILTER_MIN_QUALITY}
+        AND dup3 <= {DUP_3GRAM_FRAC_T} AND lang_guess = 'en') AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
+@query(
+    "filter_pipeline",
+    _FILTER_ORACLE,
+    doc="FineWeb/Dolma-style composite keep/drop filter with per-doc drop "
+        "reasons (comma-joined, canon-safe): min token count, quality-score "
+        "floor, duplicate-3-gram repetition cap, and target-language gate, "
+        "all from one tokenize. Deliberately a PURE MAP STAGE — every signal "
+        "is a Catalyst expression over the row's own text, no shuffle, no "
+        "join — because at 10^12 docs this is the first pass that shrinks "
+        "the corpus before any shuffling op (dedup, TF-IDF) runs. The "
+        "reference's analog is the per-metric gate chain in "
+        "analyzer/algorithms.py:560-607 (TooShort/Stale/Boring before the "
+        "expensive ensemble)",
+)
+def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = X.tokens_expr(F.col("text"))
+    n_tokens = X.token_count_expr(F.col("text"))
+    quality = X.quality_score_expr(F.col("text"))
+    lang_guess = X.lang_id_expr(F.col("text"))
+    dup3 = _dup3_expr(toks)
+    sig = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        lang_guess.alias("lang_guess"),
+        dup3.alias("dup3"),
+    )
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, F.lit("short")),
+                F.when(F.col("quality") < FILTER_MIN_QUALITY, F.lit("low_quality")),
+                F.when(F.col("dup3") > DUP_3GRAM_FRAC_T, F.lit("repetitive")),
+                F.when(F.col("lang_guess") != "en", F.lit("lang")),
+            ),
+            lambda r: r.isNotNull(),
+        ),
+        ",",
+    )
+    keep = (
+        (F.col("n_tokens") >= FILTER_MIN_TOKENS)
+        & (F.col("quality") >= FILTER_MIN_QUALITY)
+        & (F.col("dup3") <= DUP_3GRAM_FRAC_T)
+        & (F.col("lang_guess") == "en")
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        reasons.alias("reasons"),
+        keep.alias("keep"),
+    )
