@@ -159,6 +159,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dedup_embedding_lsh",
         "dedup_clusters",
         "dedup_passages",
+        "kmeans_lloyd",
         "text_repetition",
         "text_tfidf_topk",
         "filter_pipeline",

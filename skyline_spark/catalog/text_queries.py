@@ -1441,3 +1441,121 @@ def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd iterations (the IVF centroid-training step, made real)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_Q = 1 << 20   # fixed-point quantization scale
+
+
+def _quant_sql(col: str) -> str:
+    return f"list_transform({col}, x -> floor(x * {KMEANS_Q}.0 + 0.5))"
+
+
+_KMEANS_COS0 = _cos_sql("e.q", "c.cq")
+_KMEANS_COS1 = _cos_sql("e.q", "c.cq")
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < {KMEANS_K}
+), a1 AS (
+  SELECT vec_id, q, cid AS cluster FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_KMEANS_COS0} DESC, c.cid
+           ) AS rn
+    FROM e, c0 c
+  ) WHERE rn = 1
+), x1 AS (
+  SELECT cluster, pos,
+         sum(q[pos]::BIGINT)::DOUBLE / count(*) AS cv
+  FROM a1, generate_series(1, {EMB_DIM}) t(pos)
+  GROUP BY cluster, pos
+), c1 AS (
+  SELECT cluster AS cid, list(cv ORDER BY pos) AS cq FROM x1 GROUP BY cluster
+), a2 AS (
+  SELECT vec_id, cid AS cluster, cos FROM (
+    SELECT e.vec_id, c.cid, {_KMEANS_COS1} AS cos,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_KMEANS_COS1} DESC, c.cid
+           ) AS rn
+    FROM e, c1 c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster::BIGINT AS cluster, {X.r6_sql('cos')} AS cosine
+FROM a2 ORDER BY vec_id
+"""
+
+
+def _kmeans_assign(e, cents, keep_q: bool):
+    """One Lloyd assignment step: nearest centroid by cosine, ties to the
+    lower cluster id."""
+    from pyspark.sql import Window
+
+    cos = _dot_expr(F.col("q"), F.col("cq")) / (
+        _norm_expr(F.col("q")) * _norm_expr(F.col("cq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    cols = ["vec_id", "q"] if keep_q else ["vec_id"]
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(*cols, "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*cols, F.col("cid").alias("cluster"), "cos")
+    )
+
+
+def _kmeans_recenter(assigned):
+    """New centroids: exact elementwise integer mean of member vectors."""
+    expl = assigned.select("cluster", F.posexplode("q").alias("pos", "qv"))
+    comp = expl.groupBy("cluster", "pos").agg(
+        (F.sum(F.col("qv").cast("long")).cast("double") / F.count("*")).alias("cv")
+    )
+    return comp.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("cq")
+    ).select(F.col("cluster").alias("cid"), "cq")
+
+
+@query(
+    "kmeans_lloyd",
+    _KMEANS_ORACLE,
+    doc=f"two unrolled Lloyd iterations of k-means (K={KMEANS_K}, cosine, "
+        "seed centroids = first K vectors) — the actual training step the "
+        "IVF index (ann_ivf_topk) stands on. Distributed float means are "
+        "order-dependent, so components quantize to integers first "
+        f"(floor(x*2^20+0.5)): integer sums are exact and associative, the "
+        "mean is one deterministic double division, and both engines' "
+        "assignments agree bit-for-bit — no tolerance windows. Each "
+        "iteration is broadcast(K centroids) + per-vector argmax + one "
+        "(cluster, pos) shuffle of scalar components; at 10^12 rows that "
+        "shuffle carries K*dim partial sums per map task (map-side "
+        "combine), not vectors",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * float(KMEANS_Q) + 0.5).cast("double"),
+        ).alias("q"),
+    )
+    c0 = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    a1 = _kmeans_assign(e, c0, keep_q=True)
+    c1 = _kmeans_recenter(a1)
+    a2 = _kmeans_assign(e, c1, keep_q=False)
+    return a2.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        X.r6(F.col("cos")).alias("cosine"),
+    )
