@@ -1018,7 +1018,7 @@ ORDER BY doc_id
         "shuffle-on-doc_id plans that hold at 10^12 docs",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", X.tokens_expr(F.col("text")).alias("t"))
     wc = (
         toks.select("doc_id", F.explode("t").alias("w"))
@@ -1029,26 +1029,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("count").cast("long").alias("n_tokens"),
         F.max("count").cast("long").alias("top_c"),
     )
-    tgs = F.when(
-        F.size("t") >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("t"), i + 1),
-                F.element_at(F.col("t"), i + 2),
-                F.element_at(F.col("t"), i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tagg = toks.select(
-        "doc_id",
-        F.when(F.size(tgs) == 0, F.lit(0.0))
-        .otherwise(
-            1.0 - F.size(F.array_distinct(tgs)).cast("double") / F.size(tgs)
-        )
-        .alias("dupf"),
-    )
+    tg = toks.select("doc_id", _tgs_expr(F.col("t")).alias("tgs"))
+    tagg = tg.select("doc_id", _dupf_expr(F.col("tgs")).alias("dupf"))
     top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
     return wagg.join(tagg, "doc_id").select(
         "doc_id",
@@ -1345,9 +1327,12 @@ _DUP3_SQL = (
 )
 
 
-def _dup3_expr(toks):
-    """Duplicate-3-gram fraction (Spark twin of ``_DUP3_SQL``)."""
-    tgs = F.when(
+def _tgs_expr(toks):
+    """Word-3-gram array from a bound token-array column.
+
+    Callers MUST alias this into its own column before referencing it more
+    than once — inlined copies re-run the transform per reference."""
+    return F.when(
         F.size(toks) >= 3,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
@@ -1359,6 +1344,11 @@ def _dup3_expr(toks):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _dupf_expr(tgs):
+    """Duplicate-3-gram fraction from a bound 3-gram-array column (Spark
+    twin of ``_DUP3_SQL``)."""
     return F.when(F.size(tgs) == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(tgs)).cast("double") / F.size(tgs)
     )
@@ -1403,18 +1393,21 @@ FROM sig ORDER BY doc_id
         "expensive ensemble)",
 )
 def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = X.tokens_expr(F.col("text"))
-    n_tokens = X.token_count_expr(F.col("text"))
-    quality = X.quality_score_expr(F.col("text"))
-    lang_guess = X.lang_id_expr(F.col("text"))
-    dup3 = _dup3_expr(toks)
-    sig = d.select(
+    # Tokenize ONCE into a bound array column, then derive every signal from
+    # that attribute. Inlining tokens_expr into each signal looks equivalent
+    # but is catastrophically slower: higher-order lambdas (the 3-gram
+    # element_at calls, the stopword filter) re-evaluate an inlined split per
+    # element — O(tokens²) per doc, measured 34s vs <1s at sf0.1.
+    tok = _spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", X.tokens_expr(F.col("text")).alias("toks")
+    )
+    tg = tok.select("doc_id", "toks", _tgs_expr(F.col("toks")).alias("tgs"))
+    sig = tg.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality"),
-        lang_guess.alias("lang_guess"),
-        dup3.alias("dup3"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        X.quality_score_from_tokens_expr(F.col("toks")).alias("quality"),
+        X.lang_id_from_tokens_expr(F.col("toks")).alias("lang_guess"),
+        _dupf_expr(F.col("tgs")).alias("dup3"),
     )
     reasons = F.array_join(
         F.filter(

@@ -167,10 +167,20 @@ def _stop_list_sql() -> str:
     return "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
-def stopword_ratio_expr(col: Column) -> Column:
-    toks = tokens_expr(col)
+def stopword_ratio_from_tokens_expr(toks: Column) -> Column:
+    """Stopword ratio over an already-materialized token-array column.
+
+    Prefer this over :func:`stopword_ratio_expr` whenever several signals
+    share one tokenization: passing a bound array *column* means lambda
+    bodies reference a cheap attribute, while inlining ``tokens_expr``
+    re-evaluates the split per higher-order-function element (O(tokens²)
+    per row in the worst case)."""
     stops = F.size(F.filter(toks, lambda t: F.array_contains(_stop_array(), t)))
     return r6(stops / F.greatest(F.size(toks), F.lit(1)))
+
+
+def stopword_ratio_expr(col: Column) -> Column:
+    return stopword_ratio_from_tokens_expr(tokens_expr(col))
 
 
 def stopword_ratio_sql(expr: str) -> str:
@@ -194,6 +204,14 @@ def lang_id_expr(col: Column) -> Column:
     )
 
 
+def lang_id_from_tokens_expr(toks: Column) -> Column:
+    """Token-column twin of :func:`lang_id_expr` (see
+    :func:`stopword_ratio_from_tokens_expr` for why)."""
+    return F.when(
+        stopword_ratio_from_tokens_expr(toks) > LANG_EN_THRESHOLD, F.lit("en")
+    ).otherwise(F.lit("other"))
+
+
 def lang_id_sql(expr: str) -> str:
     return (
         f"case when {stopword_ratio_sql(expr)} > {LANG_EN_THRESHOLD} "
@@ -211,7 +229,12 @@ def quality_score_expr(col: Column) -> Column:
     score = 0.4·min(1, words/100) + 0.3·type_token_ratio
           + 0.3·min(1, avg_word_len/8); rounded to 6dp.
     """
-    toks = tokens_expr(col)
+    return quality_score_from_tokens_expr(tokens_expr(col))
+
+
+def quality_score_from_tokens_expr(toks: Column) -> Column:
+    """Token-column twin of :func:`quality_score_expr` (see
+    :func:`stopword_ratio_from_tokens_expr` for why)."""
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     words = F.size(toks).cast("double")
     ttr = F.size(F.array_distinct(toks)) / n
