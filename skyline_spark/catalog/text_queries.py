@@ -119,10 +119,19 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matching, skyline_functions.py:1103-1129)",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens_expr(F.col("text")).alias("toks")
+    )
+    ratio = tok.select(
         "doc_id",
-        X.stopword_ratio_expr(F.col("text")).alias("stopword_ratio"),
-        X.lang_id_expr(F.col("text")).alias("lang_guess"),
+        X.stopword_ratio_from_tokens_expr(F.col("toks")).alias("stopword_ratio"),
+    )
+    return ratio.select(
+        "doc_id",
+        "stopword_ratio",
+        F.when(F.col("stopword_ratio") > X.LANG_EN_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
     )
 
 
@@ -135,8 +144,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="length/diversity quality score, pure Catalyst expressions",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", X.quality_score_expr(F.col("text")).alias("quality")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens_expr(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            X.quality_score_from_tokens_expr(F.col("toks")).alias("quality"),
+        )
     )
 
 
