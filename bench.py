@@ -163,6 +163,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "text_repetition",
         "text_tfidf_topk",
         "filter_pipeline",
+        "decontaminate_ngrams",
         "sample_stratified",
         "corpus_shuffle_shards",
         "events_daily_stats",

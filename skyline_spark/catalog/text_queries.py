@@ -481,9 +481,13 @@ ORDER BY doc_a, doc_b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id", "lang", X.shingles_expr(F.col("text")).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = (
+        d.select("doc_id", "lang", X.tokens_expr(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "lang", X.shingles_from_tokens_expr(F.col("toks")).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(
         b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1447,6 +1451,96 @@ def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         reasons.alias("reasons"),
         keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+#: shingle width for contamination matching. Real pipelines use 8-13-gram
+#: collision (the GPT-3 appendix-C / Dolma decontamination rule); the
+#: synthetic corpus is ~60 tokens over a ~40-word vocabulary, where 8-grams
+#: never collide, so the TEST BED runs the same plan at k=3 — the parameter,
+#: not the plan, changes at production scale.
+DECON_K = 3
+#: flag a training doc when this fraction of its distinct k-grams appears in
+#: the eval set
+DECON_OVERLAP_T = 0.05
+#: deterministic stand-in eval split: every 97th doc acts as the benchmark
+DECON_EVAL_MOD = 97
+
+_DECON_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {X.shingles_sql('t', DECON_K)} AS sh FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+), corp AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM corp
+), hits AS (
+  SELECT grams.doc_id, count(ev.g)::BIGINT AS n_matched
+  FROM grams LEFT JOIN ev USING (g) GROUP BY grams.doc_id
+)
+SELECT c.doc_id,
+       len(c.sh)::BIGINT AS n_ngrams,
+       coalesce(h.n_matched, 0)::BIGINT AS n_matched,
+       {X.r6_sql('coalesce(h.n_matched, 0)::DOUBLE / greatest(len(c.sh), 1)')} AS overlap_frac,
+       coalesce(h.n_matched, 0)::DOUBLE / greatest(len(c.sh), 1)
+         >= {DECON_OVERLAP_T} AS contaminated
+FROM corp c LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "decontaminate_ngrams",
+    _DECON_ORACLE,
+    doc="benchmark decontamination: flag training docs whose distinct "
+        f"{DECON_K}-gram shingles overlap a held-out eval set beyond "
+        f"{DECON_OVERLAP_T:.0%} (GPT-3-appendix-C / Dolma style). Scale "
+        "shape: the eval-gram side is a benchmark suite — megabytes even "
+        "when the corpus is 100 TB — so it broadcasts and the corpus makes "
+        "exactly one pass: shingle → explode → broadcast-hash probe → "
+        "per-doc agg; no corpus-side shuffle beyond the doc_id agg. "
+        "Reference analog: the skip-list gate before analysis "
+        "(analyzer/analyzer.py skip_list), restated for training-data "
+        "hygiene",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", X.tokens_expr(F.col("text")).alias("toks")).select(
+        "doc_id", X.shingles_from_tokens_expr(F.col("toks"), DECON_K).alias("sh")
+    )
+    ev = (
+        sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp = sh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    grams = corp.select("doc_id", F.explode("sh").alias("g"))
+    hits = (
+        grams.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_matched"))
+    )
+    overlap = F.coalesce("n_matched", F.lit(0)).cast("double") / F.greatest(
+        F.col("n_ngrams"), F.lit(1)
+    )
+    return (
+        corp.select("doc_id", F.size("sh").cast("long").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            X.r6(overlap).alias("overlap_frac"),
+            (overlap >= DECON_OVERLAP_T).alias("contaminated"),
+        )
     )
 
 

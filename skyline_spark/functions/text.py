@@ -284,8 +284,17 @@ def fingerprint_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def shingles_expr(col: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined), [] when fewer than k tokens."""
-    toks = tokens_expr(col)
+    """Distinct k-token shingles (space-joined), [] when fewer than k tokens.
+
+    Only for one-shot use over a raw text column; when the caller already has
+    (or reuses) a token array, bind it to a column and call
+    :func:`shingles_from_tokens_expr` — inlining the tokenizer here puts a
+    split inside every element_at lambda call (O(k·tokens) splits per row)."""
+    return shingles_from_tokens_expr(tokens_expr(col), k)
+
+
+def shingles_from_tokens_expr(toks: Column, k: int = 3) -> Column:
+    """Shingles over a bound token-array column (see :func:`shingles_expr`)."""
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
