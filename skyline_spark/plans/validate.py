@@ -246,7 +246,12 @@ def validate(
             F.col("triggered").alias("triggered_algorithms"),
         )
     )
-    violations = violations.unionAll(drift_viol)
+    # cached: the sidecar is example-capped (tiny) but PRODUCING it scans
+    # slim twice (uniqueness shuffle + referential), and it has two
+    # consumers — the returned sidecar and the per-pair constraint counts
+    # folded into verdicts below. Without the cache each action pays the
+    # constraint scans again.
+    violations = violations.unionAll(drift_viol).cache()
 
     # ---- stage 6: per-(partition, lang) verdict assembly -------------------
     drift_agg = drift.groupBy(*PARTITION_COLS).agg(
@@ -305,7 +310,8 @@ def validate(
             F.col("ensemble"),
             F.col("consensus"),
         )
-    )
+    ).cache()  # one row per partition×lang; consumed by the caller AND the
+    # checkpoint rows below
 
     # ---- stage 7: checkpoint rows ------------------------------------------
     validated_at = _dt.datetime.utcfromtimestamp(run_ts)
