@@ -504,6 +504,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH quality measurement: candidate recall vs the exact pair set
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH exact AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE.replace("ORDER BY doc_a, doc_b", "")})
+), lsh AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")})
+)
+SELECT count(*)::BIGINT AS n_exact,
+       (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+       count(l.doc_a)::BIGINT AS n_matched,
+       {X.r6_sql('count(l.doc_a)::DOUBLE / greatest(count(*), 1)')} AS recall
+FROM exact e LEFT JOIN lsh l USING (doc_a, doc_b)
+"""
+
+
+@query(
+    "dedup_lsh_recall",
+    _RECALL_ORACLE,
+    doc="measures MinHash-LSH candidate recall against the exact pairwise "
+        "Jaccard pair set — the number that justifies shipping the LSH plan "
+        "at scale. The exact side is O(n²) within lang blocks, so this is a "
+        "sampled-scale QUALITY GAUGE (run at test sf, or on a corpus "
+        "sample), not a production operator; the LSH side is the production "
+        "path",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    joined = exact.join(
+        lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_matched"),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    return agg.crossJoin(n_lsh).select(
+        "n_exact",
+        "n_lsh",
+        "n_matched",
+        X.r6(
+            F.col("n_matched").cast("double")
+            / F.greatest(F.col("n_exact"), F.lit(1))
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embeddings: cosine dedup + ANN
 # ---------------------------------------------------------------------------
 
