@@ -1562,9 +1562,11 @@ ORDER BY doc_id
 )
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", X.tokens_expr(F.col("text")).alias("toks")).select(
-        "doc_id", X.shingles_from_tokens_expr(F.col("toks"), DECON_K).alias("sh")
-    )
+    # Arrow-batched shingle kernel, NOT the expression form: with the token
+    # array referenced only once Catalyst collapses the projects and
+    # re-inlines the tokenizer into the shingle lambda (O(tokens²)/row —
+    # measured 10s vs 1.5s for this query at sf0.1)
+    sh = d.select("doc_id", X.shingles_udf(DECON_K)(F.col("text")).alias("sh"))
     ev = (
         sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
         .select(F.explode("sh").alias("g"))

@@ -389,15 +389,15 @@ def simhash_sql(expr: str) -> str:
     )
 
 
-def shingles_udf():
-    """Arrow-batched twin of :func:`shingles_expr` for the minhash hot path.
+def shingles_udf(k: int = 3):
+    """Arrow-batched twin of :func:`shingles_expr` for shingle hot paths.
 
     The expression form chains interpreted higher-order functions (split →
-    filter → transform(concat_ws(element_at×3)) → array_distinct), which
+    filter → transform(concat_ws(element_at×k)) → array_distinct), which
     don't enter whole-stage codegen and dominated the MinHash pipeline
     (measured 16 s of a 14–16 s query at sf0.1). This kernel produces the
     IDENTICAL output — lowercase, ASCII-\\s+ split, empties dropped,
-    3-token space-joined shingles, first-occurrence-order distinct — which
+    k-token space-joined shingles, first-occurrence-order distinct — which
     the oracle's value-hash equality check enforces end-to-end.
     """
     import re
@@ -414,13 +414,14 @@ def shingles_udf():
                 out.append([])
                 continue
             toks = [w for w in ws.split(t.lower()) if w]
-            if len(toks) < 3:
+            if len(toks) < k:
                 out.append([])
                 continue
             out.append(
                 list(
                     dict.fromkeys(
-                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
                     )
                 )
             )
