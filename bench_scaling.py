@@ -19,9 +19,10 @@ Fairness controls (each was measured to distort the comparison otherwise):
   a shared-tenancy VM whose reps vary up to 2.2x at identical inputs (CPU
   steal); the minimum is the least-contaminated observation of what the
   engine does with the cores, and all reps are recorded alongside;
-- workloads are sized so variable work dominates the ~5 s of fixed per-job
-  cost (driver-side broadcast build, stage scheduling) that does not scale
-  by construction.
+- workloads are sized so variable work dominates the fixed per-sweep cost
+  (driver-side broadcast build, stage scheduling: ~4 s for the kernel stage,
+  ~28 s for the full validate pipeline) that does not scale by construction
+  and is amortized to nothing on a real multi-hour sweep.
 
 Hardware context recorded alongside the numbers: pure-CPU multiprocess
 scaling on this box (32 × 2.1 GHz vCPU) measures 0.84 efficiency from 2→8
@@ -42,10 +43,19 @@ EXECUTORS = [2, 8]
 EXEC_CORES = 1
 EXEC_MEM_MB = 6144
 
-KERNEL_SERIES = 250_000   # 15M stat rows, one ensemble per series
-KERNEL_REPS = 4           # report the BEST (min) rep — see methodology note
-VALIDATE_ROWS = 40_000_000
+KERNEL_SERIES = 500_000   # 30M stat rows, one ensemble per series
+KERNEL_REPS = 5           # report the BEST (min) rep — see methodology note
+VALIDATE_ROWS = 80_000_000
 VALIDATE_REPS = 3          # best-of-3: shared-tenancy CPU steal varies reps up to 2x
+
+# Sizing rationale: a fit of earlier runs at 250k series / 40M pages gives a
+# per-sweep FIXED cost (driver-side plan build, broadcast materialization,
+# job scheduling across the pipeline's ~dozen jobs) of ~4 s for the kernel
+# stage and ~28 s for the full validate() sweep — costs that are constant in
+# the input and therefore 30% of an 8-executor 40M-row sweep, but noise on a
+# multi-hour production sweep. The workload is sized so variable work
+# dominates at BOTH cluster sizes; the fixed cost itself is reported by the
+# fit above, not hidden.
 
 _PREP = '''
 import sys; sys.path.insert(0, {repo!r})
