@@ -256,6 +256,15 @@ def main() -> None:
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "scaling_results.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    # staged inputs are ~15 GB — leaking them across runs fills /tmp and the
+    # NEXT run dies spilling. Keep them only when explicitly asked (--keep,
+    # for a later --reuse), never by default.
+    if "--keep" in sys.argv:
+        print(f"staged inputs kept for --reuse: {tmp}")
+    else:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
