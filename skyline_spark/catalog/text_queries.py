@@ -102,7 +102,7 @@ WITH tok AS (
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        X.token_count_expr(F.col("text")).alias("n_tokens"),
+        X.token_count_codegen_expr(F.col("text")).alias("n_tokens"),
         X.regex_token_count_expr("text").alias("n_regex_tokens"),
     )
 
@@ -144,13 +144,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="length/diversity quality score, pure Catalyst expressions",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", X.tokens_expr(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            X.quality_score_from_tokens_expr(F.col("toks")).alias("quality"),
-        )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.quality_score_codegen_expr(F.col("text")).alias("quality"),
     )
 
 

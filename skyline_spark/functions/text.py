@@ -32,7 +32,9 @@ __all__ = [
     "tokens_expr",
     "tokens_sql",
     "token_count_expr",
+    "token_count_codegen_expr",
     "token_count_sql",
+    "quality_score_codegen_expr",
     "regex_token_count_expr",
     "regex_token_count_sql",
     "stopword_ratio_expr",
@@ -138,6 +140,51 @@ def tokens_sql(expr: str) -> str:
 
 def token_count_expr(col: Column) -> Column:
     return F.size(tokens_expr(col)).cast("long")
+
+
+def _trim_toks(col: Column) -> Column:
+    # trim first: `\s+` runs collapse, so only the string's edges can
+    # produce empty tokens — trimming removes them without a filter lambda
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count_codegen_expr(col: Column) -> Column:
+    """Whole-stage-codegen twin of :func:`token_count_expr`.
+
+    ``F.filter(...)`` is a higher-order function — a CodegenFallback
+    expression that ejects its whole Project from whole-stage codegen.
+    The trim+split form needs no lambda, stays inside the codegen span,
+    and returns the same value for every input.
+    """
+    return (
+        F.when(F.trim(col) == "", F.lit(0))
+        .otherwise(F.size(_trim_toks(col)))
+        .cast("long")
+    )
+
+
+def quality_score_codegen_expr(col: Column) -> Column:
+    """Whole-stage-codegen twin of :func:`quality_score_expr`.
+
+    The two higher-order folds become codegen-able scalars: Σ len(token)
+    equals the count of non-whitespace characters (one regexp_replace), and
+    the TTR token array comes from trim+split so no filter lambda is needed.
+    All intermediates are exact (integer-valued doubles), so the score is
+    bit-identical to the HOF form.
+    """
+    toks = _trim_toks(col)
+    empty = F.trim(col) == ""
+    words = F.when(empty, F.lit(0.0)).otherwise(F.size(toks).cast("double"))
+    n = F.greatest(words, F.lit(1.0))
+    ndistinct = F.when(empty, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double")
+    )
+    awl = F.length(F.regexp_replace(F.lower(col), r"\s", "")).cast("double") / n
+    return r6(
+        F.least(words / 100.0, F.lit(1.0)) * 0.4
+        + (ndistinct / n) * 0.3
+        + F.least(awl / 8.0, F.lit(1.0)) * 0.3
+    )
 
 
 def token_count_sql(expr: str) -> str:

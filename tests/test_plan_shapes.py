@@ -1,0 +1,153 @@
+"""Plan-shape regression tests: the scale-readiness claims, enforced.
+
+Correctness tests prove the queries return the right rows at sf0.001; these
+prove the PLANS are the ones that survive a 100x scale-up. Each assertion
+pins a property the docs claim (README "Operator coverage", VERDICT round-1
+scale notes) so a future edit cannot silently regress it:
+
+- candidate generation in every LSH path is an equi-join (hash-partitionable
+  Exchange), never a CartesianProduct / BroadcastNestedLoopJoin;
+- small dimension tables broadcast (BroadcastHashJoin), the fact table is
+  never shuffled for the join itself;
+- filters reach the parquet scan (PushedFilters) and unused columns are
+  pruned out of ReadSchema;
+- aggregations are partial (map-side combine) before the shuffle;
+- the pure-expression text family stays inside WholeStageCodegen with no
+  row-at-a-time Python (BatchEvalPython) anywhere.
+
+``df.explain`` only plans (no job runs), so these are cheap. AQE may later
+improve a plan at runtime; asserting on the static plan is strictly
+conservative.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from skyline_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def build(spark, name: str):
+    return QUERIES[name].build(spark, SF_DIR)
+
+
+# Queries whose build() is a pure plan (no eager materialization) spanning
+# every operator family with a Python boundary or a join. Kept explicit:
+# some builds (kmeans_lloyd, dedup_* with eager localCheckpoint) run jobs
+# during construction and are covered by the parity tests instead.
+NO_ROWWISE_PYTHON = [
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_simhash",
+    "join_orders_by_nation",
+    "tpch_q1_pricing_summary",
+    "window_top_orders_per_nation",
+    "ann_cosine_topk",
+    "detector_median_absolute_deviation",
+    "detector_ks_2samp_d",
+    "series_gates",
+    "boundary_autoaggregate",
+    "ionosphere_layers",
+]
+
+
+@pytest.mark.parametrize("name", NO_ROWWISE_PYTHON)
+def test_no_rowwise_python(spark, name):
+    # row-at-a-time Python UDFs (BatchEvalPython) are the 10-100x slow path;
+    # the only sanctioned Python boundaries are Arrow-vectorized
+    # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
+    assert "BatchEvalPython" not in plan_of(build(spark, name))
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_lsh"]
+)
+def test_lsh_candidates_are_equi_joins(spark, name):
+    # the round-1 ann_lsh shape (OR-of-band-equalities) planned a
+    # BroadcastNestedLoopJoin — correct for 5 query vectors, quadratic for a
+    # real query set. The exploded (vec_id, band_id, band_key) form must
+    # plan a hash-partitionable equi-join at any input size.
+    p = plan_of(build(spark, name))
+    assert "CartesianProduct" not in p
+    if name == "ann_ivf_topk":
+        # the centroid-assignment cross join is sanctioned: corpus × K where
+        # K is a compile-time constant (linear in corpus size; at scale the
+        # centroids inline as plan literals). It appears twice in the tree —
+        # once under the cell branch (full corpus) and once under the probe
+        # branch, where the query-id filter is pushed to the scan so that
+        # instance joins only the handful of query rows. Candidate
+        # generation — probe query → cell members — must still hash-join.
+        tree = p.split("\n\n", 1)[0]
+        assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == 2
+        assert "BroadcastHashJoin" in tree
+    else:
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_small_dims_broadcast(spark):
+    # customer and nation are the small sides: both joins must broadcast, so
+    # the orders fact is never shuffled for the join (only the final group)
+    p = plan_of(build(spark, "join_orders_by_nation"))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_scan_pushdown_and_pruning(spark):
+    # Q1's shipdate filter must reach the parquet reader, and the scan must
+    # not read columns the query never touches (l_comment is ~40% of the
+    # row's bytes in TPC-H lineitem)
+    p = plan_of(build(spark, "tpch_q1_pricing_summary"))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "shipdate filter was not pushed to the scan"
+    assert "l_comment" not in p, "scan reads a column the query never uses"
+    assert "l_orderkey" not in p.split("ReadSchema", 1)[1].splitlines()[0]
+
+
+def test_aggregation_is_partial(spark):
+    # map-side combine before the shuffle: without it the groupBy ships
+    # every input row across the wire
+    p = plan_of(build(spark, "tpch_q1_pricing_summary"))
+    assert "partial_sum" in p or "partial" in p.lower()
+
+
+@pytest.mark.parametrize("name", ["text_token_count", "text_quality"])
+def test_text_family_stays_in_codegen(spark, name):
+    # the pure-expression text analyzers must compile into whole-stage
+    # codegen spans (JVM-side, vectorized) end to end. Higher-order
+    # functions (F.filter/F.aggregate lambdas) are CodegenFallback and
+    # eject their Project from the span — these two queries use the
+    # codegen twins (token_count_codegen_expr / quality_score_codegen_expr)
+    # precisely so that does not happen. In formatted mode a codegen'd
+    # node is starred and carries a "[codegen id : N]" tag.
+    p = plan_of(build(spark, name))
+    assert "[codegen id :" in p
+    for line in p.splitlines():
+        stripped = line.strip()
+        if stripped.startswith(("Project", "+- Project", ":- Project")):
+            pytest.fail(f"Project fell out of whole-stage codegen: {line}")
+
+
+def test_exact_dedup_single_shuffle(spark):
+    # exact dedup is one shuffle on text_hash: more than one Exchange over
+    # the documents scan means a redundant repartition crept in
+    p = plan_of(build(spark, "dedup_exact"))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
