@@ -188,6 +188,104 @@ def docs_nchars_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Java regex and DuckDB's RE2 both accept these verbatim (no lookarounds,
+# which RE2 lacks). Redaction order is email → phone → IPv4, identical in
+# both engines, so nested matches (an IP-shaped host inside an email) cannot
+# diverge.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\(\d\d\d\) \d\d\d-\d\d\d\d"
+PII_IPV4_RE = r"\b\d+\.\d+\.\d+\.\d+\b"
+
+_PII_PLANT_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN ' Contact user' || doc_id || '@example.com now.'
+      WHEN 1 THEN ' Call (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.'
+      ELSE ' Host 10.' || (doc_id % 256) || '.' || (doc_id % 100) || '.7 up.'
+    END
+"""
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, text || {_PII_PLANT_SQL} AS t FROM documents
+), scrubbed AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(t, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_IPV4_RE}', '[IP]', 'g') AS clean
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       length(clean)::BIGINT AS clean_len,
+       {X.h32_sql('clean')} AS clean_hash
+FROM scrubbed ORDER BY doc_id
+"""
+
+
+@query(
+    "text_pii_scrub",
+    _PII_ORACLE,
+    doc="PII redaction (email / US-phone / IPv4 → typed placeholders) with "
+        "per-doc match counts — the standard pre-training privacy scrub "
+        "(C4/Dolma-style). The synthetic corpus carries no PII, so each doc "
+        "first gets one deterministic planted PII token derived from doc_id "
+        "(same expression in both engines) to exercise every pattern for "
+        "real; production drops the planting and keeps the scrub. Pure "
+        "regexp codegen expressions — one scan, no shuffle, no Python; the "
+        "clean text is emitted as (length, h32) so the driver canonicalizer "
+        "compares it without hauling full bodies",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plant = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" Contact user"), F.col("doc_id"), F.lit("@example.com now.")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" Call (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" Host 10."),
+                F.col("doc_id") % 256,
+                F.lit("."),
+                F.col("doc_id") % 100,
+                F.lit(".7 up."),
+            )
+        )
+    )
+    t = F.concat(F.col("text"), plant)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        X.h32(clean).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
 

@@ -98,3 +98,35 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_pii_scrub_is_complete(spark):
+    """Every doc gets exactly one planted PII token, the counters see it,
+    and the redacted text contains no residual matches of any pattern."""
+    from pyspark.sql import functions as F
+
+    from skyline_spark.catalog import text_queries as tq
+
+    df = QUERIES["text_pii_scrub"].build(spark, SF_DIR)
+    per_doc = df.withColumn(
+        "hits", F.col("n_emails") + F.col("n_phones") + F.col("n_ips")
+    )
+    assert per_doc.where(F.col("hits") != 1).count() == 0
+
+    # rebuild the planted+scrubbed text and assert the scrub left nothing:
+    # redaction completeness is the property the hash alone cannot show
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plant = F.concat(F.col("text"), F.lit(" x user7@example.com y (555) 010-0042 z 10.1.2.7 w"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(plant, tq.PII_EMAIL_RE, "[EMAIL]"),
+            tq.PII_PHONE_RE, "[PHONE]",
+        ),
+        tq.PII_IPV4_RE, "[IP]",
+    )
+    residual = (
+        F.regexp_count(clean, F.lit(tq.PII_EMAIL_RE))
+        + F.regexp_count(clean, F.lit(tq.PII_PHONE_RE))
+        + F.regexp_count(clean, F.lit(tq.PII_IPV4_RE))
+    )
+    assert d.select(residual.alias("r")).where(F.col("r") > 0).count() == 0

@@ -53,6 +53,7 @@ NO_ROWWISE_PYTHON = [
     "text_lang_id",
     "text_fingerprint",
     "text_repetition",
+    "text_pii_scrub",
     "dedup_exact",
     "dedup_simhash",
     "join_orders_by_nation",
