@@ -170,6 +170,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ann_lsh_topk",
         "text_fingerprint",
         "text_quality",
+        "text_pii_scrub",
         "detector_stddev_from_average",
         "detector_median_absolute_deviation",
         "detector_stddev_from_moving_average",
