@@ -129,7 +129,9 @@ def test_aggregation_is_partial(spark):
     assert "partial_sum" in p or "partial" in p.lower()
 
 
-@pytest.mark.parametrize("name", ["text_token_count", "text_quality"])
+@pytest.mark.parametrize(
+    "name", ["text_token_count", "text_quality", "text_pii_scrub"]
+)
 def test_text_family_stays_in_codegen(spark, name):
     # the pure-expression text analyzers must compile into whole-stage
     # codegen spans (JVM-side, vectorized) end to end. Higher-order
