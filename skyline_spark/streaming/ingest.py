@@ -36,6 +36,7 @@ __all__ = [
     "read_page_stream_udp",
     "TCP_WIRE_SCHEMA",
     "apply_skip_list",
+    "stream_dedup_pages",
     "streaming_partition_stats",
     "alert_streaks",
     "run_to_sink",
@@ -210,6 +211,26 @@ def apply_skip_list(
     for p in keep_patterns:
         keep = keep | F.col("url").rlike(p)
     return pages.where(~skip | keep)
+
+
+def stream_dedup_pages(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup of re-crawled pages on the ingest path — the
+    streaming twin of the batch ``dedup_exact`` query and of the reference's
+    TTL-keyed suppression pattern (`analyzer.py:1871`: a Redis TTL key
+    suppresses repeats of the same key within EXPIRATION_TIME).
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row per url and expires
+    a url's state once the event-time watermark passes it, so state is
+    bounded by the url cardinality of the horizon — never by stream length.
+    At crawl scale the horizon is the recrawl TTL: the same url fetched again
+    inside it is a duplicate and is dropped; a fetch after the horizon is a
+    legitimate re-crawl and passes. The dedup state is hash-partitioned on
+    url across executors (one shuffle), and survives restarts through the
+    query checkpoint like all streaming state here.
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def streaming_partition_stats(
