@@ -130,3 +130,20 @@ def test_pii_scrub_is_complete(spark):
         + F.regexp_count(clean, F.lit(tq.PII_IPV4_RE))
     )
     assert d.select(residual.alias("r")).where(F.col("r") > 0).count() == 0
+
+
+def test_catalog_md_is_current():
+    """CATALOG.md is generated from the registry; regenerating must be a
+    no-op so the committed index can never drift from the code."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_catalog_md import render
+
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo_root, "CATALOG.md")) as f:
+        committed = f.read()
+    assert committed == render(), (
+        "CATALOG.md is stale — run `python tools/gen_catalog_md.py`"
+    )
