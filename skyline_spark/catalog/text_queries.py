@@ -188,6 +188,65 @@ def docs_nchars_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# character diversity
+# ---------------------------------------------------------------------------
+
+_CHAR_DIVERSITY_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), cnt AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_chars, sum(c * c)::BIGINT AS char_sumsq
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.char_sumsq, 0) AS char_sumsq,
+       CASE WHEN coalesce(a.n_chars, 0) = 0 THEN NULL
+            ELSE {X.r6_sql('1.0 - a.char_sumsq / (a.n_chars * a.n_chars)::DOUBLE')}
+       END AS char_simpson
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "text_char_diversity",
+    _CHAR_DIVERSITY_ORACLE,
+    doc="character-level Simpson diversity 1 − Σc²/n² — a cheap "
+        "gibberish/keyboard-mash/spam gauge (low diversity ⇔ a few "
+        "characters dominate), complementing the token-level TTR in "
+        "text_quality. The Arrow kernel emits INTEGER moments (n, Σc²) so "
+        "engine/oracle agreement is exact by construction: the single float "
+        "division happens relationally on the same two integers in both "
+        "engines — no transcendentals, no float-fold order. One Arrow pass "
+        "per doc, no shuffle; the explode-a-row-per-character restatement "
+        "exists only as the DuckDB oracle (never run that at 10^12 docs)",
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = X.char_counts_udf()(F.col("text"))
+    return (
+        _spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", m.getField("n").alias("n_chars"), m.getField("sumsq").alias("char_sumsq"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "char_sumsq",
+            F.when(F.col("n_chars") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                X.r6(
+                    1.0
+                    - F.col("char_sumsq")
+                    / (F.col("n_chars") * F.col("n_chars")).cast("double")
+                )
+            )
+            .alias("char_simpson"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,7 @@ __all__ = [
     "minhash_sig_expr",
     "minhash_sig_sql",
     "simhash_expr",
+    "char_counts_udf",
     "simhash_sql",
 ]
 
@@ -529,3 +530,31 @@ def text_hashes_udf():
         return pd.DataFrame({"fingerprint": fps, "simhash": sims})
 
     return _hashes
+
+
+def char_counts_udf():
+    """Arrow-batched character-frequency moments: (n_chars, Σ count(c)²).
+
+    Feeds the Simpson diversity index 1 − Σc²/n² — a cheap gibberish/spam
+    gauge (low diversity ⇔ few characters dominate). Both outputs are
+    INTEGERS, so the engine/oracle agreement is exact by construction: the
+    only float op (the final division) happens once, relationally, on the
+    same two integers in both engines — no transcendentals, no float-fold
+    order anywhere. One Arrow pass per doc, no shuffle; the relational
+    restatement (explode one row per character, groupBy twice) is the shape
+    you must never run at 10^12 docs and exists only as the DuckDB oracle.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n: long, sumsq: long>")
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        ns, sq = [], []
+        for t in texts:
+            cnt = Counter(t) if t else {}
+            ns.append(sum(cnt.values()))
+            sq.append(sum(c * c for c in cnt.values()))
+        return pd.DataFrame({"n": ns, "sumsq": sq})
+
+    return _counts

@@ -54,6 +54,7 @@ NO_ROWWISE_PYTHON = [
     "text_fingerprint",
     "text_repetition",
     "text_pii_scrub",
+    "text_char_diversity",
     "dedup_exact",
     "dedup_simhash",
     "join_orders_by_nation",
