@@ -18,10 +18,13 @@ from .registry import load, query
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -29,20 +32,30 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1 shape: filtered scan (predicate pushdown to parquet) + "
-        "hash agg with map-side partials",
+        "hash agg with map-side partials. Money columns are 2-decimal values "
+        "stored as double, so each addend casts to DECIMAL(18,2) (exact) and "
+        "the SUM is associative — the result is bit-identical under any "
+        "partitioning / shuffle order, unlike a double fold whose last ulp "
+        "depends on partition count (seen at sf0.1: 32-partition Spark vs "
+        "single-stream DuckDB differed by 1 ulp). The one double cast / "
+        "division happens on the exact aggregate in both engines.",
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
@@ -53,14 +66,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n.n_name AS nation,
        count(*)::BIGINT AS n_orders,
-       round(sum(o.o_totalprice), 6) AS total_price
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """,
     doc="two broadcast hash joins (customer and nation are the small sides) "
-        "+ agg; no shuffle of the orders fact beyond the final group",
+        "+ agg; no shuffle of the orders fact beyond the final group. "
+        "o_totalprice sums as DECIMAL(18,2) — exact/associative, so the "
+        "result is independent of partition fold order (see "
+        "tpch_q1_pricing_summary).",
 )
 def join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -72,7 +88,9 @@ def join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
