@@ -132,6 +132,46 @@ def test_pii_scrub_is_complete(spark):
     assert d.select(residual.alias("r")).where(F.col("r") > 0).count() == 0
 
 
+def test_money_sums_are_fold_order_independent(spark):
+    """The relational money aggregates sum exact DECIMAL(18,2) addends, so
+    the result must be BIT-identical under any partitioning / merge order —
+    the property that keeps the sf0.1 32-partition Spark run and the
+    single-stream DuckDB oracle in exact agreement (a plain double SUM
+    differs in the last ulp between fold orders). Drive the same aggregate
+    over 1-partition and 13-partition input at two shuffle widths and
+    require exact equality, no rounding tolerance."""
+    from pyspark.sql import functions as F
+
+    from skyline_spark.catalog.registry import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+
+    def agg(df):
+        rows = (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+            )
+            .collect()
+        )
+        return sorted(tuple(r) for r in rows)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = agg(li.coalesce(1))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = agg(li.repartition(13))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
 def test_catalog_md_is_current():
     """CATALOG.md is generated from the registry; regenerating must be a
     no-op so the committed index can never drift from the code."""
