@@ -15,3 +15,4 @@ from . import relational_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
 from . import skew_queries  # noqa: F401,E402
 from . import extras_queries  # noqa: F401,E402
+from . import mixing_queries  # noqa: F401,E402

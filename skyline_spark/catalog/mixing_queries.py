@@ -1,0 +1,200 @@
+"""Training-mixture assembly: per-domain caps and token-budget quota fill.
+
+The two selection steps every large-scale pretraining pipeline runs after
+filtering/dedup and before sharding:
+
+- ``domain_cap_sample`` — cap how many documents any one domain may
+  contribute (RefinedWeb/C4-style host-level cap), so megasites cannot
+  dominate the mixture;
+- ``mixture_token_budget`` — fill each mixture component's TOKEN quota
+  (Pile/Dolma-style mixing weights are token budgets, not doc counts) with
+  a deterministic, resumable document prefix.
+
+Both select by the portable hash (functions/text.py h32), not ``rand()``:
+the chosen set is identical across runs, engines, executor counts, and
+repartitionings — the property that makes a 10^12-doc mixture reproducible
+and lets a resumed run extend, not reshuffle, a previous selection.
+
+Reference analog: Skyline has no sampling layer at all (every metric is
+analyzed every sweep, `analyzer/analyzer.py`); these operators belong to
+the LLM-data-pipeline surface the engine adds on top of the reference's
+scope, like dedup and decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as X
+from .registry import load, query
+
+#: max docs any single source/domain may contribute to the mixture
+DOMAIN_CAP = 15
+
+#: salt fan-out of the first top-K pass (bounds any one sort partition)
+CAP_SALTS = 8
+
+#: token quota per language mixture component (whitespace tokens)
+MIXTURE_QUOTAS = {"en": 6000}
+MIXTURE_QUOTA_DEFAULT = 2000
+
+#: hash-bucket fan-out of the quota-fill two-phase plan
+MIX_BUCKETS = 64
+
+
+def _cap_hash_sql() -> str:
+    return X.h32_sql("concat('cap:', doc_id::VARCHAR)")
+
+
+def _mix_hash_sql() -> str:
+    return X.h32_sql("concat('mix:', doc_id::VARCHAR)")
+
+
+def _quota_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIXTURE_QUOTAS.items())
+    )
+    return f"CASE {cases} ELSE {MIXTURE_QUOTA_DEFAULT} END"
+
+
+@query(
+    "domain_cap_sample",
+    f"""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_cap_hash_sql()}, doc_id)::BIGINT AS cap_rank
+      FROM documents)
+    WHERE cap_rank <= {DOMAIN_CAP}
+    ORDER BY source, cap_rank
+    """,
+    doc="per-domain contribution cap (RefinedWeb-style): keep at most "
+        f"{DOMAIN_CAP} docs per source, the ones with the smallest "
+        "h32('cap:'||doc_id) — deterministic across runs/engines/"
+        "partitionings, unlike rand(). Scale shape: hot hosts are the "
+        "skew risk of a per-host rank, so the engine runs the classic "
+        "exact two-phase top-K — rank within (source, salt=h%S) buckets "
+        "and keep the local top-K (the global top-K is always a subset of "
+        "the per-salt top-Ks), then exact-rank the ≤S·K survivors — no "
+        "single sort partition ever sees more than a salt's share of a "
+        "host. Only (doc_id, source, h) triples shuffle; the oracle is "
+        "the direct single-window restatement",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = X.h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    narrow = d.select("doc_id", "source", h.alias("h"))
+
+    # phase 1: per-(source, salt) local top-K — bounds every sort partition
+    local_w = Window.partitionBy("source", F.col("h") % CAP_SALTS).orderBy(
+        "h", "doc_id"
+    )
+    survivors = narrow.withColumn("rn_local", F.row_number().over(local_w)).where(
+        F.col("rn_local") <= DOMAIN_CAP
+    )
+
+    # phase 2: exact rank over the ≤ CAP_SALTS·K survivors per source
+    global_w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn(
+            "cap_rank", F.row_number().over(global_w).cast("long")
+        )
+        .where(F.col("cap_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "cap_rank")
+    )
+
+
+@query(
+    "mixture_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {X.token_count_sql("text")} AS ntok,
+             {_mix_hash_sql()} AS h
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, ntok,
+             {_quota_sql()} AS quota,
+             sum(ntok) OVER (
+               PARTITION BY lang
+               ORDER BY h % {MIX_BUCKETS}, h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, lang, ntok FROM q WHERE cum <= quota
+    ORDER BY doc_id
+    """,
+    doc="token-budget mixture fill (Pile/Dolma-style): each lang component "
+        "keeps the greedy hash-ordered document prefix whose cumulative "
+        "whitespace-token count fits its quota — deterministic, and "
+        "resumable because the kept set only ever EXTENDS when the quota "
+        "grows. The naive form is a running sum over every doc in the "
+        "component (a full per-component sort); the engine runs the exact "
+        f"two-phase plan instead: docs hash into {MIX_BUCKETS} buckets, "
+        "per-(lang, bucket) token sums (tiny) get a running prior, buckets "
+        "whose prior+sum fit are kept WHOLE with no sort, buckets whose "
+        "prior exceeds the quota are dropped whole, and only the single "
+        "boundary bucket — 1/64th of the component — pays a doc-level "
+        "window. The oracle is the naive single-window restatement over "
+        "the same (bucket, h, doc_id) order; both sides use ROWS frames "
+        "so ties cannot share a cumulative value",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = X.h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(MIXTURE_QUOTAS.items())
+        ],
+        F.lit(MIXTURE_QUOTA_DEFAULT),
+    ).cast("long")
+
+    # one scan of the corpus → narrow staged frame (~30 B/row), reused by
+    # the whole-bucket branch and the boundary-bucket branch (the analog of
+    # validate()'s slim staging — never re-touch the wide table)
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            X.token_count_codegen_expr(F.col("text")).alias("ntok"),
+            h.alias("h"),
+        )
+        .withColumn("bucket", F.col("h") % MIX_BUCKETS)
+        .localCheckpoint(eager=False)
+    )
+
+    # per-(lang, bucket) sums: at most |langs|·MIX_BUCKETS rows — broadcast
+    bs = toks.groupBy("lang", "bucket").agg(F.sum("ntok").alias("bsum"))
+    prior_w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bs.select(
+        "lang",
+        "bucket",
+        "bsum",
+        F.coalesce(F.sum("bsum").over(prior_w), F.lit(0)).alias("prior"),
+    )
+
+    joined = toks.join(F.broadcast(cum), ["lang", "bucket"]).withColumn(
+        "quota", quota
+    )
+    # monotone cumulative ⇒ exactly three bucket classes
+    full = F.col("prior") + F.col("bsum") <= F.col("quota")
+    boundary = (~full) & (F.col("prior") <= F.col("quota"))
+
+    kept_whole = joined.where(full).select("doc_id", "lang", "ntok")
+    bnd_w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept_boundary = (
+        joined.where(boundary)
+        .withColumn("cum_in", F.sum("ntok").over(bnd_w))
+        .where(F.col("prior") + F.col("cum_in") <= F.col("quota"))
+        .select("doc_id", "lang", "ntok")
+    )
+    return kept_whole.unionAll(kept_boundary)

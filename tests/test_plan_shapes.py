@@ -66,6 +66,8 @@ NO_ROWWISE_PYTHON = [
     "series_gates",
     "boundary_autoaggregate",
     "ionosphere_layers",
+    "domain_cap_sample",
+    "mixture_token_budget",
 ]
 
 
@@ -147,6 +149,53 @@ def test_text_family_stays_in_codegen(spark, name):
         stripped = line.strip()
         if stripped.startswith(("Project", "+- Project", ":- Project")):
             pytest.fail(f"Project fell out of whole-stage codegen: {line}")
+
+
+def test_domain_cap_is_two_phase_and_pruned(spark):
+    # the per-host cap must run the exact two-phase top-K (a salted local
+    # rank bounding every sort partition, then the exact rank over
+    # survivors) — exactly two Window nodes — and must never read the text
+    # column: only (doc_id, source) leave the scan
+    import re
+
+    p = plan_of(build(spark, "domain_cap_sample"))
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2, (
+        "expected the salted + exact rank pair"
+    )
+    # Spark additionally plans WindowGroupLimit for the rank<=K filters —
+    # the top-K is enforced BEFORE the sort/shuffle, the exact pushdown a
+    # hot host needs
+    assert "WindowGroupLimit" in p
+    read = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "text" not in read and "n_chars" not in read
+
+
+def test_mixture_budget_broadcasts_bucket_sums(spark):
+    # the quota-fill two-phase plan: the per-(lang, bucket) running sums
+    # (tiny) broadcast back to the corpus — never a shuffle join — and only
+    # TWO windows exist: one over the tiny bucket-sum table, one over the
+    # boundary bucket's docs (partitioned by lang AND bucket, so no
+    # full-component sort can sneak back in)
+    p = plan_of(build(spark, "mixture_token_budget"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    import re
+
+    # EXACTLY ONE doc-level window, partitioned by (lang, bucket) — bucket
+    # in the PARTITION list (no ASC marker), ordering by h. The prior
+    # window (bucket as ORDER col, over the tiny bucket-sum table) may
+    # appear once per Union branch; doc-level must not.
+    doc_windows = re.findall(
+        r"windowspecdefinition\(lang#\d+, bucket#\d+L, h#", p
+    )
+    assert len(doc_windows) == 1, (
+        f"expected one boundary-bucket window, saw {len(doc_windows)} — "
+        "a full-component sort may have crept back in"
+    )
+    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#\d+L ASC", p), (
+        "the running-prior window over the bucket-sum table is missing"
+    )
+    assert "BatchEvalPython" not in p
 
 
 def test_exact_dedup_single_shuffle(spark):
