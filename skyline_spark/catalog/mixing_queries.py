@@ -23,9 +23,10 @@ scope, like dedup and decontamination.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
+from ..operators.mixture import cap_per_key, token_budget_fill
 from .registry import load, query
 
 #: max docs any single source/domain may contribute to the mixture
@@ -85,24 +86,10 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     h = X.h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
     narrow = d.select("doc_id", "source", h.alias("h"))
-
-    # phase 1: per-(source, salt) local top-K — bounds every sort partition
-    local_w = Window.partitionBy("source", F.col("h") % CAP_SALTS).orderBy(
-        "h", "doc_id"
-    )
-    survivors = narrow.withColumn("rn_local", F.row_number().over(local_w)).where(
-        F.col("rn_local") <= DOMAIN_CAP
-    )
-
-    # phase 2: exact rank over the ≤ CAP_SALTS·K survivors per source
-    global_w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        survivors.withColumn(
-            "cap_rank", F.row_number().over(global_w).cast("long")
-        )
-        .where(F.col("cap_rank") <= DOMAIN_CAP)
-        .select("doc_id", "source", "cap_rank")
-    )
+    return cap_per_key(
+        narrow, key="source", order_col="h", tie_col="doc_id",
+        k=DOMAIN_CAP, salts=CAP_SALTS,
+    ).select("doc_id", "source", "cap_rank")
 
 
 @query(
@@ -160,41 +147,9 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.token_count_codegen_expr(F.col("text")).alias("ntok"),
             h.alias("h"),
         )
-        .withColumn("bucket", F.col("h") % MIX_BUCKETS)
         .localCheckpoint(eager=False)
     )
-
-    # per-(lang, bucket) sums: at most |langs|·MIX_BUCKETS rows — broadcast
-    bs = toks.groupBy("lang", "bucket").agg(F.sum("ntok").alias("bsum"))
-    prior_w = (
-        Window.partitionBy("lang")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = bs.select(
-        "lang",
-        "bucket",
-        "bsum",
-        F.coalesce(F.sum("bsum").over(prior_w), F.lit(0)).alias("prior"),
-    )
-
-    joined = toks.join(F.broadcast(cum), ["lang", "bucket"]).withColumn(
-        "quota", quota
-    )
-    # monotone cumulative ⇒ exactly three bucket classes
-    full = F.col("prior") + F.col("bsum") <= F.col("quota")
-    boundary = (~full) & (F.col("prior") <= F.col("quota"))
-
-    kept_whole = joined.where(full).select("doc_id", "lang", "ntok")
-    bnd_w = (
-        Window.partitionBy("lang", "bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    kept_boundary = (
-        joined.where(boundary)
-        .withColumn("cum_in", F.sum("ntok").over(bnd_w))
-        .where(F.col("prior") + F.col("cum_in") <= F.col("quota"))
-        .select("doc_id", "lang", "ntok")
-    )
-    return kept_whole.unionAll(kept_boundary)
+    return token_budget_fill(
+        toks, stratum="lang", weight_col="ntok", order_col="h",
+        tie_col="doc_id", quota=quota, buckets=MIX_BUCKETS,
+    ).select("doc_id", "lang", "ntok")

@@ -186,13 +186,13 @@ def test_mixture_budget_broadcasts_bucket_sums(spark):
     # window (bucket as ORDER col, over the tiny bucket-sum table) may
     # appear once per Union branch; doc-level must not.
     doc_windows = re.findall(
-        r"windowspecdefinition\(lang#\d+, bucket#\d+L, h#", p
+        r"windowspecdefinition\(lang#\d+, _bucket#\d+L, h#", p
     )
     assert len(doc_windows) == 1, (
         f"expected one boundary-bucket window, saw {len(doc_windows)} — "
         "a full-component sort may have crept back in"
     )
-    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#\d+L ASC", p), (
+    assert re.search(r"windowspecdefinition\(lang#\d+, _bucket#\d+L ASC", p), (
         "the running-prior window over the bucket-sum table is missing"
     )
     assert "BatchEvalPython" not in p
