@@ -191,6 +191,8 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "decontaminate_ngrams",
         "sample_stratified",
         "corpus_shuffle_shards",
+        "domain_cap_sample",
+        "mixture_token_budget",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",
