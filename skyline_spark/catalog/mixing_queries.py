@@ -137,17 +137,17 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(MIXTURE_QUOTA_DEFAULT),
     ).cast("long")
 
-    # one scan of the corpus → narrow staged frame (~30 B/row), reused by
-    # the whole-bucket branch and the boundary-bucket branch (the analog of
-    # validate()'s slim staging — never re-touch the wide table)
-    toks = (
-        d.select(
-            "doc_id",
-            "lang",
-            X.token_count_codegen_expr(F.col("text")).alias("ntok"),
-            h.alias("h"),
-        )
-        .localCheckpoint(eager=False)
+    # narrow derived frame (~30 B/row), referenced by the bucket-sum
+    # aggregate and both keep branches. NOT checkpointed here: a
+    # localCheckpoint would truncate the explained plan to an RDD scan and
+    # blind the plan-shape tests (pruning / codegen / no-Python pins); at
+    # 10^12 rows you stage this projection once (validate()'s slim pattern)
+    # so the wide table is scanned once instead of per branch
+    toks = d.select(
+        "doc_id",
+        "lang",
+        X.token_count_codegen_expr(F.col("text")).alias("ntok"),
+        h.alias("h"),
     )
     return token_budget_fill(
         toks, stratum="lang", weight_col="ntok", order_col="h",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions import text as X
 from .registry import load, query
 
 
@@ -23,8 +24,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
             AS DOUBLE) AS sum_disc_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
-           AS avg_qty,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             * 1000000 + 0.5) / 1000000 AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -53,8 +54,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
             .cast("double")
             .alias("sum_disc_price"),
-            F.round(
-                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            # r6, not native round: Spark rounds the exact BigDecimal
+            # expansion HALF_UP while DuckDB rounds in float space — a
+            # quotient within one ulp of a .5 boundary would diverge
+            X.r6(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*")
             ).alias("avg_qty"),
             F.count("*").cast("long").alias("count_order"),
         )

@@ -143,10 +143,19 @@ def token_count_expr(col: Column) -> Column:
     return F.size(tokens_expr(col)).cast("long")
 
 
+def _ws_trim(col: Column) -> Column:
+    # regexp trim, NOT F.trim: trim() strips only U+0020, so a leading tab
+    # or newline would survive it, split() would emit a leading empty token,
+    # and the codegen twins would disagree with both the HOF forms and the
+    # DuckDB oracles (one wrong ntok corrupts every downstream cumulative
+    # sum in mixture_token_budget). regexp_replace stays codegen-able.
+    return F.regexp_replace(F.lower(col), r"^\s+|\s+$", "")
+
+
 def _trim_toks(col: Column) -> Column:
     # trim first: `\s+` runs collapse, so only the string's edges can
     # produce empty tokens — trimming removes them without a filter lambda
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.split(_ws_trim(col), r"\s+")
 
 
 def token_count_codegen_expr(col: Column) -> Column:
@@ -158,7 +167,7 @@ def token_count_codegen_expr(col: Column) -> Column:
     and returns the same value for every input.
     """
     return (
-        F.when(F.trim(col) == "", F.lit(0))
+        F.when(_ws_trim(col) == "", F.lit(0))
         .otherwise(F.size(_trim_toks(col)))
         .cast("long")
     )
@@ -174,7 +183,7 @@ def quality_score_codegen_expr(col: Column) -> Column:
     bit-identical to the HOF form.
     """
     toks = _trim_toks(col)
-    empty = F.trim(col) == ""
+    empty = _ws_trim(col) == ""
     words = F.when(empty, F.lit(0.0)).otherwise(F.size(toks).cast("double"))
     n = F.greatest(words, F.lit(1.0))
     ndistinct = F.when(empty, F.lit(0.0)).otherwise(

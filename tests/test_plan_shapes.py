@@ -196,6 +196,10 @@ def test_mixture_budget_broadcasts_bucket_sums(spark):
         "the running-prior window over the bucket-sum table is missing"
     )
     assert "BatchEvalPython" not in p
+    # the documents scan is visible in this plan (no checkpoint truncation)
+    # — pin that only (doc_id, lang, text) are read
+    read = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "source" not in read and "n_chars" not in read
 
 
 def test_exact_dedup_single_shuffle(spark):
