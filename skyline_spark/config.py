@@ -56,7 +56,8 @@ class ValidationConfig:
     # cap on per-partition violation example rows (counts stay exact)
     max_violation_examples: int = 20
     # hash buckets for the detector UDF (series per applyInPandas call);
-    # None → 4 × spark.sql.shuffle.partitions
+    # None → 16 × spark.sql.shuffle.partitions (plans/drift.py — 4× showed
+    # balls-into-bins imbalance at 32 reducers)
     kernel_buckets: int | None = None
     # STALE on the partition axis (reference algorithms.py:588-589,
     # settings.py:393 STALE_PERIOD): a lang whose NEWEST partition is more

@@ -49,8 +49,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # node set from the RAW pair list, not the self-pair-filtered edges:
+    # a node appearing only in self-pairs (7,7) still "appears in a pair"
+    # per the contract and must come back as its own singleton component
     labels = (
-        edges.select(F.col("src").alias("id"))
+        half.select(F.col("src").alias("id"))
+        .union(half.select(F.col("dst").alias("id")))
         .distinct()
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=False)

@@ -33,6 +33,15 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = ["cap_per_key", "token_budget_fill"]
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    # the operators add internal working columns; a caller column with the
+    # same name would be silently overwritten and returned in place of the
+    # user's data — fail fast instead
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"{op}: input columns collide with internal names: {sorted(clash)}")
+
+
 def cap_per_key(
     df: DataFrame,
     key: str,
@@ -51,6 +60,7 @@ def cap_per_key(
     the union of per-(key, salt) top-ks, so phase 1 bounds every sort
     partition and phase 2 ranks only survivors.
     """
+    _check_reserved(df, {"_rn_local", out_col}, "cap_per_key")
     local_w = Window.partitionBy(key, F.col(order_col) % salts).orderBy(
         order_col, tie_col
     )
@@ -85,6 +95,10 @@ def token_budget_fill(
     buckets are admitted/dropped from their (broadcast) aggregate sums and
     only the boundary bucket pays a row-level sort.
     """
+    _check_reserved(
+        df, {"_bucket", "_bsum", "_prior", "_quota", "_cum_in", "_cs", "_cb"},
+        "token_budget_fill",
+    )
     staged = df.withColumn("_bucket", F.col(order_col) % buckets)
 
     bs = staged.groupBy(stratum, "_bucket").agg(
@@ -102,8 +116,20 @@ def token_budget_fill(
         F.coalesce(F.sum("_bsum").over(prior_w), F.lit(0)).alias("_prior"),
     )
 
-    joined = staged.join(F.broadcast(cum), [stratum, "_bucket"]).withColumn(
-        "_quota", quota
+    # null-SAFE join keys: the naive window form puts NULL-stratum rows in
+    # their own partition and keeps their prefix under the default quota; a
+    # plain equi-join would drop them (no row ever equals its own NULL key)
+    cum2 = cum.withColumnRenamed(stratum, "_cs").withColumnRenamed(
+        "_bucket", "_cb"
+    )
+    joined = (
+        staged.join(
+            F.broadcast(cum2),
+            F.col(stratum).eqNullSafe(F.col("_cs"))
+            & F.col("_bucket").eqNullSafe(F.col("_cb")),
+        )
+        .drop("_cs", "_cb")
+        .withColumn("_quota", quota)
     )
     # running totals are monotone (weights ≥ 0) ⇒ three bucket classes
     full = F.col("_prior") + F.col("_bsum") <= F.col("_quota")

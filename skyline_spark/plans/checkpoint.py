@@ -58,10 +58,21 @@ def detector_version_hash(versions: dict[str, str] | None = None) -> str:
 
 
 def load_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    """Empty frame iff the checkpoint does not exist yet (first run).
+
+    ONLY the missing-path case maps to "no checkpoint": a permission error,
+    corrupted footer, or transient store failure must raise — swallowing it
+    would silently mark every partition pending and re-validate the whole
+    10^12-row table with no signal that anything went wrong.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        raise
 
 
 def append_checkpoint(df: DataFrame, path: str) -> None:

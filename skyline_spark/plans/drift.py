@@ -127,10 +127,16 @@ def _series_verdicts(
 
         # --- ordered ensemble with optimized early-exit ------------------
         # windows scale with the EFFECTIVE history (short early series get a
-        # proportionally placed first-hour baseline, like Skyline's 1h/24h)
+        # proportionally placed first-hour baseline, like Skyline's 1h/24h).
+        # full_duration is the ACTUAL ts span, not (eff-1)*P: ts carries
+        # real calendar ordinals, so a date gap inside the lookback makes
+        # the span exceed the index count and an index-derived duration
+        # would shift first_hour_average's baseline cutoff into the middle
+        # of the window. Identical on gapless data (span == (eff-1)*P).
         eff = len(values)
+        span = int(ts[-1] - ts[0]) if eff > 1 else P
         params = DetectorParams(
-            full_duration=(eff - 1) * P,
+            full_duration=max(span, P),
             baseline_head_seconds=max(P, eff // 3 * P),
             # the anomalous window is exactly one partition (see DetectorParams)
             tail_points=1,
@@ -223,9 +229,19 @@ def drift_verdicts(
     sample_backed = SAMPLE_BACKED_STATS if sample_backed is None else sample_backed
     # project to exactly the kernel's columns — anything else (fingerprint,
     # carrier columns) would be shuffled AND pushed through the Arrow
-    # boundary for every row
-    scalar = stats_long.where(F.col("stat").isin(drift_stats)).select(
-        *PARTITION_COLS, "stat", "value"
+    # boundary for every row. Null partition keys are excluded: pages whose
+    # warc_ts/lang failed the schema coercion produce null-keyed stat rows,
+    # which the constraints layer already reports as violations — inside the
+    # kernel a None date has no .toordinal() and np.unique cannot sort None
+    # against str, so letting them through would crash the job instead of
+    # reporting (the report-not-crash contract in plans/validate.py)
+    scalar = (
+        stats_long.where(F.col("stat").isin(drift_stats))
+        .where(
+            F.col(PARTITION_COLS[0]).isNotNull()
+            & F.col(PARTITION_COLS[1]).isNotNull()
+        )
+        .select(*PARTITION_COLS, "stat", "value")
     )
     samp = samples.where(F.col("stat") == SAMPLE_STAT).select(
         *PARTITION_COLS, F.col("sample")

@@ -196,6 +196,29 @@ def length_digest(pages: DataFrame) -> DataFrame:
     )
 
 
+#: hash-space denominator of the sampling keep-rate
+SAMPLE_DENOM = 1_000_000
+
+
+def _keep_rate_expr(count_col, sample_cap: int):
+    """keep_below threshold in [1, SAMPLE_DENOM] for a partition of
+    ``count_col`` rows — expected survivors ≈ 2·sample_cap.
+
+    greatest(1, ...): past ~1e9 rows the quotient drops below 1 and a bare
+    cast('long') truncates to 0, keeping NOTHING — which would silently
+    null-sample every sample-backed detector at exactly the 10^12-row scale
+    this module targets. A floor of 1 keeps ≈ count/SAMPLE_DENOM rows (the
+    collect is bounded by sample_cap regardless).
+    """
+    return F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(SAMPLE_DENOM),
+            (F.lit(SAMPLE_DENOM) * F.lit(2) * sample_cap / count_col).cast("long"),
+        ),
+    )
+
+
 def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
     """Deterministic ≤ sample_cap text-length sample per (partition, lang).
 
@@ -205,13 +228,10 @@ def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
     """
     pages = slim_pages(pages).where(~F.col("text_null"))
     counts = pages.groupBy(*PARTITION_COLS).count()
-    denom = 1_000_000
+    denom = SAMPLE_DENOM
     rates = counts.select(
         *PARTITION_COLS,
-        F.least(
-            F.lit(denom),
-            (F.lit(denom) * F.lit(2) * sample_cap / F.col("count")).cast("long"),
-        ).alias("keep_below"),
+        _keep_rate_expr(F.col("count"), sample_cap).alias("keep_below"),
     )
     sampled = (
         pages.join(F.broadcast(rates), PARTITION_COLS)

@@ -34,7 +34,7 @@ from ..config import (
     STATUS_TOO_SHORT,
     ValidationConfig,
 )
-from ..operators.detectors import DETECTOR_VERSIONS
+from ..operators.detectors import ALGORITHMS, DETECTOR_VERSIONS
 from ..sources.synth import PAGE_SCHEMA
 from .checkpoint import (
     detector_version_hash,
@@ -170,6 +170,26 @@ def validate(
         )
     else:
         targets = fingerprints
+    # STALE must surface even when nothing else changed: a lang that STOPPED
+    # emitting has unchanged fingerprints and detector hash, so the
+    # checkpoint anti-join would remove its newest partition from targets
+    # and the stage-3b staleness verdict could never attach to any row.
+    # Re-add each lang's newest partition whenever it has gone stale — the
+    # reference surfaces Stale metrics on every sweep, not only on change
+    # (`analyzer/algorithms.py:588-589`).
+    if checkpoint_path is not None and cfg.stale_after_partitions is not None:
+        _run_date = F.lit(_dt.datetime.utcfromtimestamp(run_ts).date())
+        stale_newest = (
+            fingerprints.groupBy("lang")
+            .agg(F.max("partition_date").alias("partition_date"))
+            .where(
+                F.datediff(_run_date, F.col("partition_date"))
+                > cfg.stale_after_partitions
+            )
+            .join(fingerprints, PARTITION_COLS, "inner")  # restore snapshot_id
+            .select(*targets.columns)
+        )
+        targets = targets.unionByName(stale_newest).distinct()
     # derived from the checkpointed stats table — cache is now cheap to fill
     targets = targets.cache()
 
@@ -242,7 +262,12 @@ def validate(
             F.col("stat").alias("column"),
             F.lit(None).cast("string").alias("url"),
             F.col("datapoint").cast("string").alias("observed"),
-            F.lit(f"consensus < {cfg.ensemble.consensus} of 9").alias("expected"),
+            # n derives from the live registry: register_detector() grows the
+            # ensemble, and the sidecar must describe the vote that actually
+            # ran, not a hardcoded 9
+            F.lit(
+                f"consensus < {cfg.ensemble.consensus} of {len(ALGORITHMS)}"
+            ).alias("expected"),
             F.col("triggered").alias("triggered_algorithms"),
         )
     )

@@ -65,3 +65,11 @@ def test_random_graph_matches_union_find(spark):
 
     got = _cc(spark, pairs)
     assert got == want
+
+
+def test_self_pair_nodes_are_singletons(spark):
+    """A node appearing only in self-pairs still 'appears in a pair' per the
+    contract and must come back as its own singleton component — the
+    src != dst edge filter must not erase it from the node set."""
+    got = _cc(spark, [(7, 7), (1, 2), (2, 2)])
+    assert got == {7: 7, 1: 1, 2: 1}

@@ -98,6 +98,38 @@ def test_token_budget_fill_matches_naive(spark, seed, hot, quota_hot):
     assert {int(r.doc_id) for r in got.collect()} == _naive_fill(pdf, quotas)
 
 
+def test_token_budget_fill_null_stratum_kept(spark):
+    """NULL-stratum rows form their own component under the default quota,
+    exactly as the naive window form partitions them — a null-unsafe join
+    would silently drop every one of them."""
+    rows = [
+        (0, "k0", 0, 5),
+        (1, None, 0, 5),
+        (2, None, 1, 5),
+        (3, None, 2, 9),  # overflows the default quota of 12
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string, h long, w long")
+    quota = F.coalesce(
+        F.when(F.col("key") == "k0", F.lit(100)), F.lit(12)
+    ).cast("long")
+    got = token_budget_fill(
+        df, stratum="key", weight_col="w", order_col="h",
+        tie_col="doc_id", quota=quota, buckets=BUCKETS,
+    )
+    assert {int(r.doc_id) for r in got.collect()} == {0, 1, 2}
+
+
+def test_reserved_column_collision_fails_fast(spark):
+    df = spark.createDataFrame(
+        [(0, "k", 1, 1, 9)], "doc_id long, key string, h long, w long, _bucket long"
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        token_budget_fill(
+            df, stratum="key", weight_col="w", order_col="h",
+            tie_col="doc_id", quota=F.lit(10).cast("long"),
+        )
+
+
 def test_token_budget_fill_quota_on_exact_bucket_boundary(spark):
     """prior == quota exactly: the next bucket may contribute only its
     leading zero-weight rows — the edge the three-way bucket classification

@@ -116,3 +116,20 @@ def test_no_defects_mode(spark):
     assert clean.where("lang = 'xx'").count() == 0
     assert clean.where(F.col("text").isNull()).count() == 0
     assert clean.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_sample_keep_rate_never_zero(spark):
+    """keep_below must floor at 1: past ~1e9 rows the quotient is < 1 and a
+    bare cast('long') would truncate to 0, silently null-sampling every
+    sample-backed detector at the 10^12-row target scale."""
+    from pyspark.sql import functions as F
+
+    from skyline_spark.plans.stats import _keep_rate_expr
+
+    rows = spark.createDataFrame(
+        [(1,), (1_000_000,), (1_024_000_001,), (10**12,)], "count long"
+    ).select(_keep_rate_expr(F.col("count"), 512).alias("k")).collect()
+    ks = [r["k"] for r in rows]
+    assert ks[0] == 1_000_000  # tiny partition: keep everything
+    assert all(k >= 1 for k in ks)
+    assert ks[-1] == 1  # 10^12 rows: floor holds

@@ -163,25 +163,84 @@ def test_checkpoint_resume(spark, tmp_path):
     """Interrupt/rerun: second run revalidates nothing; new data only the
     new partition; kernel version change everything (north_star resume)."""
     ckpt = str(tmp_path / "ckpt")
+    # run date right after the data's newest day: nothing is STALE, so the
+    # resume semantics show pure (fingerprint, version) anti-join behavior
     pages = synth_pages(spark, 8_000, 10, defects=False)
-    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS)
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11)
     n1 = res1.verdicts.count()
     assert n1 > 0
     append_checkpoint(res1.checkpoint, ckpt)
 
     # same data, same versions → nothing pending
-    res2 = validate(pages, checkpoint_path=ckpt, run_id="r2", run_ts=RUN_TS + 60)
+    res2 = validate(pages, checkpoint_path=ckpt, run_id="r2", run_ts=RUN_TS_AUG11 + 60)
     assert res2.verdicts.count() == 0
 
     # more days → only the new partitions pending
     pages2 = synth_pages(spark, 8_800, 11, defects=False)
-    res3 = validate(pages2, checkpoint_path=ckpt, run_id="r3", run_ts=RUN_TS + 120)
+    res3 = validate(pages2, checkpoint_path=ckpt, run_id="r3", run_ts=RUN_TS_AUG11 + 120)
     pending_days = {
         r["partition_date"] for r in res3.verdicts.select("partition_date").distinct().collect()
     }
     # day 0..9 content changed too (different row ids per day) — at minimum
     # the brand-new day must be pending
     assert datetime.date(2026, 8, 11) in pending_days
+
+
+def test_stale_surfaces_on_resumed_runs(spark, tmp_path):
+    """A lang that STOPPED emitting has unchanged fingerprints, so the
+    checkpoint anti-join alone would suppress it forever; staleness is
+    run-date-dependent, so each lang's newest partition must re-enter the
+    targets once it goes stale — the reference surfaces Stale metrics on
+    every sweep (algorithms.py:588-589)."""
+    ckpt = str(tmp_path / "ckpt_stale")
+    pages = synth_pages(spark, 6_000, 10, defects=False)  # newest: Aug 10
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11)
+    assert res1.verdicts.count() > 0
+    append_checkpoint(res1.checkpoint, ckpt)
+
+    # next day: nothing stale, nothing changed → nothing pending
+    res2 = validate(
+        pages, checkpoint_path=ckpt, run_id="r2", run_ts=RUN_TS_AUG11 + 86400
+    )
+    assert res2.verdicts.count() == 0
+
+    # a week later with no new data: exactly the per-lang newest partitions
+    # come back, all STALE
+    res3 = validate(
+        pages, checkpoint_path=ckpt, run_id="r3", run_ts=RUN_TS_AUG11 + 7 * 86400
+    )
+    rows = res3.verdicts.collect()
+    assert rows, "stale langs must surface on resumed runs"
+    assert all(r["status"] == "STALE" for r in rows)
+    newest = datetime.date(2026, 8, 10)
+    assert {r["partition_date"] for r in rows} == {newest}
+
+
+def test_null_partition_keys_report_not_crash(spark):
+    """Pages whose warc_ts or lang is null (schema coercion leaves nulls)
+    must flow through as reportable rows, not crash the drift kernel
+    (None has no .toordinal(); np.unique cannot sort None vs str)."""
+    from skyline_spark.sources.synth import PAGE_SCHEMA
+
+    pages = synth_pages(spark, 4_000, 6, defects=False)
+    extra = spark.createDataFrame(
+        [
+            ("https://nullts.example.org/x", None, None, "null ts text", "eng"),
+            (
+                "https://nulllang.example.org/y",
+                datetime.datetime(2026, 8, 3, 12, 0, 0),
+                None,
+                "null lang text",
+                None,
+            ),
+        ],
+        PAGE_SCHEMA,
+    )
+    res = validate(pages.unionByName(extra), run_ts=RUN_TS_AUG11)
+    # no exception end-to-end, and the real partitions still got verdicts
+    verdicts = res.verdicts.collect()
+    res.violations.count()
+    assert sum(r["lang"] is not None and r["partition_date"] is not None for r in verdicts) > 0
 
 
 def test_checkpoint_lineage_columns(result, spark, tmp_path):
