@@ -142,14 +142,17 @@ def extracted_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.synth import synth_pages
 
     pages = synth_pages(spark, n_rows=2000, n_days=8)
+    # eqNullSafe, not ==: a broken extractor returning NULL against
+    # non-null text would make (NULL == text) -> NULL, the when() skip it,
+    # and the north-star invariant report a clean pass on fully broken
+    # extraction. Null-safe inequality counts every divergence; rows whose
+    # stored text is intentionally null are excluded explicitly.
     return pages.select(
         F.count("*").cast("long").alias("n_rows"),
         F.count(
             F.when(
-                ~(
-                    (extract_text_expr(F.col("html")) == F.col("text"))
-                    | (F.col("text").isNull())
-                ),
+                F.col("text").isNotNull()
+                & ~extract_text_expr(F.col("html")).eqNullSafe(F.col("text")),
                 1,
             )
         )

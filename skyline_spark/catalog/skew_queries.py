@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from ..functions import text as X
 from .registry import load, query
 
 N_SALTS = 16
@@ -27,7 +28,7 @@ N_SALTS = 16
 SELECT source,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_chars,
-       round(avg(n_chars), 6) AS avg_chars
+       floor(avg(n_chars) * 1000000 + 0.5) / 1000000 AS avg_chars
 FROM documents GROUP BY source ORDER BY source
 """,
     doc="salted two-phase aggregation: group by (key, salt) partials, then "
@@ -48,7 +49,9 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("pn").cast("long").alias("n_docs"),
             F.sum("pchars").cast("long").alias("total_chars"),
-            F.round(F.sum("pchars") / F.sum("pn"), 6).alias("avg_chars"),
+            # r6, not native round(): the engines resolve exact half-way
+            # 6th decimals differently (see functions/text.py::r6)
+            X.r6(F.sum("pchars") / F.sum("pn")).alias("avg_chars"),
         )
     )
 
@@ -86,8 +89,11 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     span = max(ts[-1] - ts[0], 1.0)
     params = DetectorParams(full_duration=int(span))
     out = []
+    # reference loop: `sliced = timeseries[:index]` — the prefix EXCLUDES
+    # point `index`, so the verdict attaches to sliced[-1] = point index-1
+    # (prefix lengths 10..n-1, never the full series)
     for i in range(10, len(ts)):
-        prefix_ts, prefix_v = ts[: i + 1], values[: i + 1]
+        prefix_ts, prefix_v = ts[:i], values[:i]
         now = float(prefix_ts[-1])
         triggered = [
             name
@@ -98,7 +104,7 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
             out.append(
                 {
                     "event_type": et,
-                    "index": i,
+                    "index": i - 1,
                     "value": float(prefix_v[-1]),
                     "consensus_count": len(triggered),
                     "triggered_algorithms": ",".join(triggered),

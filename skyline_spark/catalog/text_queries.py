@@ -161,12 +161,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rolling polynomial fingerprint + 32-bit SimHash",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched twin of fingerprint_expr/simhash_expr — exact integer
+    # parity, one token pass instead of 33 interpreted folds. Bound ONCE:
+    # two pandas_udf instances are distinct expressions Spark cannot
+    # deduplicate, so two calls would run the md5 kernel twice per row
+    hashes = X.text_hashes_udf()(F.col("text"))
     return _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
-        # Arrow-batched twin of fingerprint_expr/simhash_expr — exact
-        # integer parity, one token pass instead of 33 interpreted folds
-        X.text_hashes_udf()(F.col("text")).getField("fingerprint").alias("fingerprint"),
-        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("simhash"),
+        hashes.getField("fingerprint").alias("fingerprint"),
+        hashes.getField("simhash").alias("simhash"),
     )
 
 
@@ -357,18 +360,22 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            keeper
     FROM (
       SELECT doc_id, text,
-             count(*) OVER (PARTITION BY {X.h32_sql('text')}) AS cnt,
-             min(doc_id) OVER (PARTITION BY {X.h32_sql('text')}) AS keeper
+             count(*) OVER (PARTITION BY md5(text)) AS cnt,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
       FROM documents
     ) ORDER BY doc_id
     """,
-    doc="exact dedup: hash-groupBy, keeper = min doc_id per hash group",
+    doc="exact dedup: hash-groupBy, keeper = min doc_id per hash group. The "
+        "dedup KEY is the full 128-bit md5 (collision odds ~1e-15 even at "
+        "10^12 docs); the 32-bit h32 would see ~233 colliding docs per "
+        "value at that scale and brand distinct documents as dups. h32 "
+        "remains in the output as the cheap display/join hash only",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").withColumn("text_hash", X.h32(F.col("text")))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("text_hash")
+    w = Window.partitionBy(F.md5(F.col("text")))
     return d.select(
         "doc_id",
         "text_hash",
@@ -692,7 +699,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_matched"),
+        # outer coalesce: SUM over ZERO rows is NULL (count is 0) — an
+        # empty exact pair set must report n_matched 0 like the oracle's
+        # count(l.doc_a), not NULL
+        F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_matched"),
     )
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     return agg.crossJoin(n_lsh).select(

@@ -521,7 +521,14 @@ def text_hashes_udf():
 
         fps, sims = [], []
         for t in texts:
-            toks = [w for w in ws.split(t.lower()) if w] if t is not None else []
+            if t is None:
+                # NULL in → NULL out, matching the expression forms and the
+                # DuckDB oracles (mapping null to 0 would make every
+                # null-text pair a hamming-0 "duplicate" the oracle lacks)
+                fps.append(None)
+                sims.append(None)
+                continue
+            toks = [w for w in ws.split(t.lower()) if w]
             hs = [h32_py(w) for w in toks]
             acc = 0
             for h in hs:
@@ -536,7 +543,10 @@ def text_hashes_udf():
                 votes = (((H[:, None] >> bit_idx) & 1) * C[:, None]).sum(axis=0)
                 sim = int(((2 * votes > n).astype(np.int64) << bit_idx).sum())
             sims.append(sim)
-        return pd.DataFrame({"fingerprint": fps, "simhash": sims})
+        return pd.DataFrame(
+            {"fingerprint": pd.array(fps, dtype="Int64"),
+             "simhash": pd.array(sims, dtype="Int64")}
+        )
 
     return _hashes
 

@@ -45,7 +45,10 @@ __all__ = [
 #: reference SKIP_LIST semantics (settings.py:62-78): drop metrics whose name
 #: matches any pattern; DO_NOT_SKIP_LIST wins over SKIP_LIST
 DEFAULT_SKIP_PATTERNS = [r"^https://skip\.", r"\.invalid\.example\.org/"]
-DEFAULT_KEEP_PATTERNS = [r"\.example\.org/"]
+# negative lookbehind: without it the keep pattern is an unanchored
+# substring match of every *.invalid.example.org url too, and — keep
+# winning over skip — the invalid-host skip rule could never drop anything
+DEFAULT_KEEP_PATTERNS = [r"(?<!invalid)\.example\.org/"]
 
 
 def read_page_stream(
@@ -128,7 +131,14 @@ class UdpJsonBridge:
         self._sock.bind((host, port))
         self._sock.settimeout(0.05)
         self.host, self.port = self._sock.getsockname()
+        import uuid
+
         self._stop = threading.Event()
+        # unique per-instance prefix: a restarted bridge on the same staging
+        # dir must never rename over a batch file the checkpointed file
+        # source has already recorded as read — that would silently lose
+        # the new rows (the old name stays "processed")
+        self._uid = uuid.uuid4().hex[:8]
         self._seq = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -136,8 +146,8 @@ class UdpJsonBridge:
     def _publish(self, lines: list[bytes]) -> None:
         import os
 
-        tmp = os.path.join(self.staging_dir, f".batch-{self._seq}.json.tmp")
-        dst = os.path.join(self.staging_dir, f"batch-{self._seq}.json")
+        tmp = os.path.join(self.staging_dir, f".batch-{self._uid}-{self._seq}.json.tmp")
+        dst = os.path.join(self.staging_dir, f"batch-{self._uid}-{self._seq}.json")
         with open(tmp, "wb") as f:
             f.write(b"\n".join(lines) + b"\n")
         os.rename(tmp, dst)  # atomic: the file source never sees a partial file
@@ -433,15 +443,23 @@ def rolling_drift_alerts(
                 if len(means) >= ROLLING_MIN_HISTORY:
                     base = np.asarray(means[-lookback_days:], dtype=np.float64)
                     base_mean = float(base.mean())
-                    base_std = float(base.std())
-                    sigma = (
-                        abs(day_mean - base_mean) / base_std
-                        if base_std > 0.0
-                        else 0.0
-                    )
+                    # SAMPLE std (ddof=1), matching the batch twin
+                    # detector_stddev_from_average (stddev_samp); and a
+                    # zero-std baseline means ANY deviation is anomalous —
+                    # |x - mean| > 3*0 is True for x != mean in the twin,
+                    # so a constant baseline followed by a jump must alert,
+                    # not be forced quiet
+                    base_std = float(base.std(ddof=1)) if len(base) > 1 else 0.0
+                    dev = abs(day_mean - base_mean)
+                    if base_std > 0.0:
+                        sigma = dev / base_std
+                        alert = sigma > sigma_t
+                    else:
+                        sigma = float("inf") if dev > 0.0 else 0.0
+                        alert = dev > 0.0
                     out_rows.append(
                         (key[0], open_day, open_cnt, day_mean,
-                         base_mean, base_std, sigma, sigma > sigma_t)
+                         base_mean, base_std, sigma, alert)
                     )
                 else:
                     out_rows.append(

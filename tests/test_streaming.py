@@ -52,7 +52,10 @@ def test_skip_list(spark):
     assert "https://skip.me/x" not in kept
     assert "https://host-1.example.org/ok" in kept
     assert "https://skip.me/but.example.org/kept" in kept
-    assert "https://a.invalid.example.org/hmm" in kept  # matches keep pattern too
+    # the keep pattern's negative lookbehind excludes invalid.example.org,
+    # so this skip rule actually fires (it was dead when keep matched every
+    # *.example.org substring)
+    assert "https://a.invalid.example.org/hmm" not in kept
 
 
 def test_streaming_matches_batch(spark, staged):
@@ -362,12 +365,18 @@ def test_rolling_drift_alerts_match_batch_twin_across_restart(spark, tmp_path):
         if len([j for j in range(d)]) >= 3:
             base = np.asarray(hist[-7:], dtype=np.float64)
             assert row["base_mean"] == pytest.approx(base.mean(), abs=1e-9)
-            assert row["base_std"] == pytest.approx(base.std(), abs=1e-9)
-            want_sigma = (
-                abs(daily[d] - base.mean()) / base.std() if base.std() else 0.0
-            )
-            assert row["sigma"] == pytest.approx(want_sigma, abs=1e-9)
-            assert bool(row["anomalous"]) == (want_sigma > 3.0)
+            # SAMPLE std, matching the batch twin detector_stddev_from_average
+            std = base.std(ddof=1)
+            dev = abs(daily[d] - base.mean())
+            assert row["base_std"] == pytest.approx(std, abs=1e-9)
+            if std > 0:
+                want_sigma = dev / std
+                assert row["sigma"] == pytest.approx(want_sigma, abs=1e-9)
+                assert bool(row["anomalous"]) == (want_sigma > 3.0)
+            else:
+                # zero-variance baseline: ANY deviation alerts (|x-mean| >
+                # 3*0 in the batch twin), none stays quiet
+                assert bool(row["anomalous"]) == (dev > 0)
         else:
             assert pd.isna(row["base_mean"])
 
