@@ -76,12 +76,14 @@ _REPLAY_SCHEMA = T.StructType(
 REPLAY_MAX_POINTS = 512
 
 
-def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _replay_group(pdf: pd.DataFrame, algos: dict | None = None) -> pd.DataFrame:
     """Reference semantics: for index in range(10, len(ts)) run each detector
     on the prefix ts[:index]; group triggers per timestamp and emit rows with
     consensus_count (crucible/crucible_algorithms.py:441-516, 540-607)."""
     from ..operators.detectors import ALGORITHMS, DetectorParams
 
+    if algos is None:
+        algos = ALGORITHMS
     pdf = pdf.sort_values(["ts", "event_id"]).tail(REPLAY_MAX_POINTS)
     ts = pdf["ts"].astype("int64").to_numpy() / 1e9
     values = pdf["value"].to_numpy(np.float64)
@@ -97,7 +99,7 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
         now = float(prefix_ts[-1])
         triggered = [
             name
-            for name, fn in ALGORITHMS.items()
+            for name, fn in algos.items()
             if fn(prefix_ts, prefix_v, now, params) is True
         ]
         if triggered:
@@ -123,8 +125,23 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
         "(index, value, consensus_count, triggered_algorithms). NOTE: replay "
         f"is O(n²) per series by reference semantics, so each series is "
         f"truncated to its last {REPLAY_MAX_POINTS} points — the `index` "
-        "column is relative to the truncated window",
+        "column is relative to the truncated window. Algorithm-set "
+        "selection per `crucible_algorithms.py:458-481`: skyline_app/"
+        "algorithms kwargs resolve the kernel subset (default: the full "
+        "registered ensemble, the reference's ['all'])",
 )
-def replay_full_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+def replay_full_ensemble(
+    spark: SparkSession,
+    sf_dir: str,
+    skyline_app: str = "crucible",
+    algorithms: list[str] | None = None,
+) -> DataFrame:
+    from functools import partial
+
+    from ..operators.ensemble import resolve_algorithm_set
+
+    algos = resolve_algorithm_set(skyline_app, algorithms)
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
-    return ev.groupBy("event_type").applyInPandas(_replay_group, _REPLAY_SCHEMA)
+    return ev.groupBy("event_type").applyInPandas(
+        partial(_replay_group, algos=algos), _REPLAY_SCHEMA
+    )

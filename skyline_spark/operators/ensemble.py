@@ -33,7 +33,13 @@ from ..config import (
 )
 from .detectors import ALGORITHMS, DetectorParams, Verdict
 
-__all__ = ["EnsembleResult", "run_ensemble", "consensus_anomalous", "gate_status"]
+__all__ = [
+    "EnsembleResult",
+    "run_ensemble",
+    "consensus_anomalous",
+    "gate_status",
+    "resolve_algorithm_set",
+]
 
 
 @dataclass
@@ -66,6 +72,39 @@ def gate_status(ts: np.ndarray, values: np.ndarray, now: float, cfg: EnsembleCon
 def consensus_anomalous(ensemble: list[Verdict], consensus: int) -> bool:
     """Anomalous iff count(False) <= n − k (`algorithms.py:679-687`)."""
     return ensemble.count(False) <= len(ensemble) - consensus
+
+
+def resolve_algorithm_set(
+    skyline_app: str = "crucible",
+    algorithms: list[str] | None = None,
+) -> dict:
+    """Algorithm-set selection (`crucible/crucible_algorithms.py:458-481`,
+    SURVEY §2.7): ``algorithms=None`` (the reference's ``['all']``) resolves
+    to the per-app kernel list — analyzer/mirage/crucible all run the full
+    registered ensemble (the reference's MIRAGE_ALGORITHMS defaults to the
+    same nine; its crucible extra ``detect_drop_off_cliff`` is a Boundary
+    static op here, `catalog/series_queries.py::boundary_drop_off_cliff`,
+    not a series kernel) — while an explicit name list selects that subset
+    in registered ensemble order, unknown names rejected loudly instead of
+    the reference's silent fall-through to the full list.
+
+    Returns an ordered name→kernel dict accepted by ``run_ensemble``'s
+    ``algorithms=`` parameter.
+    """
+    if algorithms is None:
+        if skyline_app not in ("analyzer", "mirage", "crucible", "boundary"):
+            raise ValueError(f"unknown skyline_app {skyline_app!r}")
+        if skyline_app == "boundary":
+            # the reference requires boundary callers to pass their list
+            # (crucible_algorithms.py:466-468); no default set exists
+            raise ValueError("boundary requires an explicit algorithm list")
+        return dict(ALGORITHMS)
+    unknown = [a for a in algorithms if a not in ALGORITHMS]
+    if unknown:
+        raise ValueError(f"unknown algorithms {unknown!r}")
+    # subset keeps REGISTERED order: consensus early-exit and the padded-
+    # False ensemble positions depend on the pinned order, not caller order
+    return {k: v for k, v in ALGORITHMS.items() if k in set(algorithms)}
 
 
 def run_ensemble(

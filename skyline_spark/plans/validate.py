@@ -90,6 +90,32 @@ class ValidationResult:
     samples: DataFrame
     run_id: str = ""
     config: ValidationConfig = field(default_factory=ValidationConfig)
+    # storage-backed state created by this run: cached DataFrames plus the
+    # RDD ids of the localCheckpoint barriers (slim/stats/samples).
+    # localCheckpoint blocks are NOT released by DataFrame.unpersist() — they
+    # live until the driver GCs the RDD handle, so a long-lived session
+    # running validate() repeatedly (a resident validation service, the
+    # bench, the scaling harness) strands ~hundreds of MB of block-manager
+    # memory per run unless released explicitly.
+    _cached: list = field(default_factory=list, repr=False)
+    _ckpt_rdd_ids: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Free every block this run materialized. The result's DataFrames
+        are NOT usable afterwards — call only when fully consumed."""
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        if self._ckpt_rdd_ids:
+            jsc = self.verdicts.sparkSession.sparkContext._jsc.sc()
+            live = {info.id() for info in jsc.getRDDStorageInfo()}
+            for rid in self._ckpt_rdd_ids:
+                if rid in live:
+                    jsc.unpersistRDD(rid, False)
+            self._ckpt_rdd_ids.clear()
+        self._cached.clear()
 
 
 def validate(
@@ -131,6 +157,8 @@ def validate(
     # round 1). Checkpointing also truncates lineage, so no downstream job
     # can ever re-touch the multi-KB html column. At 10^12 rows the same
     # barrier is a scratch-table write; the shape is identical.
+    _jsc = spark.sparkContext._jsc.sc()
+    _rdd_ids_before = {info.id() for info in _jsc.getRDDStorageInfo()}
     slim = slim_pages(pages).localCheckpoint(eager=True)
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch
@@ -151,6 +179,13 @@ def validate(
         )
         stats = _f_stats.result()
         samples = _f_samples.result()
+    # the three barriers above are the only localCheckpoints in the run —
+    # record their RDD ids so release() can drop the blocks deterministically
+    _ckpt_rdd_ids = [
+        info.id()
+        for info in _jsc.getRDDStorageInfo()
+        if info.id() not in _rdd_ids_before
+    ]
 
     fingerprints = (
         stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
@@ -393,4 +428,6 @@ def validate(
         samples=samples,
         run_id=run_id,
         config=cfg,
+        _cached=[targets, drift, violations, verdicts],
+        _ckpt_rdd_ids=_ckpt_rdd_ids,
     )
