@@ -32,11 +32,18 @@ __all__ = [
 
 def parse_checkpoint_digest(blob: bytes | str) -> dict:
     """Decode the checkpoint's ``stat_digests`` blob →
-    ``{"stats": {name: value}, "len_digest": {bin(int): count(int)}}``."""
+    ``{"stats": {name: value}, "len_digest": {bin(int): count(int)},
+    "len_gk": GKSketch | None}``."""
+    from .gk import GKSketch
+
     if isinstance(blob, (bytes, bytearray)):
         blob = bytes(blob).decode("utf-8")
     d = json.loads(blob)
     d["len_digest"] = {int(k): int(v) for k, v in (d.get("len_digest") or {}).items()}
+    # len_gk rides the blob as a nested JSON string (the sketch column is
+    # already serialized when the blob is assembled)
+    gk_raw = d.get("len_gk")
+    d["len_gk"] = GKSketch.from_dict(json.loads(gk_raw)) if gk_raw else None
     return d
 
 

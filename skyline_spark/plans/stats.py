@@ -28,6 +28,7 @@ vector persisted in the checkpoint table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
@@ -35,9 +36,11 @@ __all__ = [
     "stat_samples",
     "slim_pages",
     "length_digest",
+    "length_gk",
     "DRIFT_STATS",
     "PARTITION_COLS",
     "DIGEST_BINS_PER_OCTAVE",
+    "GK_EPS",
 ]
 
 PARTITION_COLS = ["partition_date", "lang"]
@@ -194,6 +197,51 @@ def length_digest(pages: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("bin", "cnt")))
         ).alias("len_digest")
     )
+
+
+#: rank-error bound of the checkpoint's Greenwald-Khanna length sketch
+GK_EPS = 0.01
+
+
+def length_gk(pages: DataFrame) -> DataFrame:
+    """Per-(partition, lang) Greenwald-Khanna sketch of text_len as a JSON
+    column — the checkpoint's rank-error-bounded quantile digest
+    (operators/gk.py; north_star "quantile sketches via t-digest/GK").
+
+    Built from the same bounded-integer (len, count) histogram shape the
+    exact-percentile pass uses: one codegen'd 3-key count, one shuffle of
+    pre-aggregated rows, then an Arrow-batched pandas UDF folds each
+    group's sorted histogram into a sketch. No per-row Python — the UDF
+    sees one row per (partition, lang) whose payload is the histogram
+    array, bounded by the distinct-length count at any table size.
+    """
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.gk import GKSketch
+
+    @pandas_udf("string")
+    def _gk(hists: pd.Series) -> pd.Series:
+        out = []
+        for h in hists:
+            sk = GKSketch.from_value_counts(
+                [float(e["len"]) for e in h], [int(e["cnt"]) for e in h],
+                eps=GK_EPS,
+            )
+            out.append(json.dumps(sk.to_dict()))
+        return pd.Series(out)
+
+    pages = slim_pages(pages)
+    hist = (
+        pages.where(F.col("text_len").isNotNull())
+        .groupBy(*PARTITION_COLS, F.col("text_len").alias("len"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arr = hist.groupBy(*PARTITION_COLS).agg(
+        F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("_h")
+    )
+    return arr.select(*PARTITION_COLS, _gk(F.col("_h")).alias("len_gk"))
 
 
 #: hash-space denominator of the sampling keep-rate

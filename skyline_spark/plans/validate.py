@@ -54,6 +54,7 @@ from .drift import drift_verdicts
 from .stats import (
     PARTITION_COLS,
     length_digest,
+    length_gk,
     partition_stats,
     slim_pages,
     stat_samples,
@@ -386,12 +387,18 @@ def validate(
         stats.groupBy(*PARTITION_COLS)
         .agg(scalar_map.alias("_stats_map"))
         .join(length_digest(slim), PARTITION_COLS, "left")
+        # len_gk: Greenwald-Khanna sketch — the RANK-error-bounded digest
+        # complementing the log-histogram's value-error bound; sketches
+        # from any set of checkpoint rows combine via GKSketch.merge_many
+        # with a 2*eps rank guarantee at any fan-in (operators/gk.py)
+        .join(length_gk(slim), PARTITION_COLS, "left")
         .select(
             *PARTITION_COLS,
             F.to_json(
                 F.struct(
                     F.col("_stats_map").alias("stats"),
                     F.col("len_digest"),
+                    F.col("len_gk"),
                 )
             ).cast("binary").alias("stat_digests"),
         )

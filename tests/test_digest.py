@@ -69,3 +69,39 @@ def test_checkpoint_blob_roundtrip_and_cross_partition_merge(spark):
         pages.select(F.expr("percentile(length(text), 0.5)")).first()[0],
         rel=REL_ERR + 0.02,
     )
+
+
+def test_checkpoint_gk_sketch_merges_to_corpus_quantiles(spark):
+    """The GK leg of the blob: per-partition sketches from the checkpoint
+    rows k-way-merge into a corpus sketch whose quantiles hit the exact
+    corpus quantiles within the 2*eps RANK bound (operators/gk.py)."""
+    from skyline_spark.operators.gk import GKSketch
+    from skyline_spark.plans.stats import GK_EPS
+
+    pages = synth_pages(spark, 5_000, 6, defects=False)
+    res = validate(pages, run_ts=1_786_406_400.0)
+    rows = res.checkpoint.select("stat_digests").collect()
+    parsed = [parse_checkpoint_digest(bytes(r["stat_digests"])) for r in rows]
+    sketches = [p["len_gk"] for p in parsed if p["len_gk"] is not None]
+    assert sketches, "no GK sketches in checkpoint blobs"
+    merged = GKSketch.merge_many(sketches)
+
+    lens = sorted(
+        r[0]
+        for r in pages.select(F.length("text")).where(
+            F.col("text").isNotNull()
+        ).collect()
+    )
+    assert merged.n == len(lens)
+    assert merged.quantile(0.0) == float(lens[0])
+    assert merged.quantile(1.0) == float(lens[-1])
+    import numpy as np
+
+    arr = np.asarray(lens, dtype=np.float64)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.95):
+        est = merged.quantile(q)
+        r = max(1, int(np.ceil(q * len(arr))))
+        lo = int(np.searchsorted(arr, est, side="left")) + 1
+        hi = int(np.searchsorted(arr, est, side="right"))
+        err = max(0, lo - r, r - hi)
+        assert err <= 2 * GK_EPS * len(arr) + 1, (q, est, err)
