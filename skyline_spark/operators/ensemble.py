@@ -91,14 +91,18 @@ def resolve_algorithm_set(
     Returns an ordered name→kernel dict accepted by ``run_ensemble``'s
     ``algorithms=`` parameter.
     """
+    if skyline_app not in ("analyzer", "mirage", "crucible", "boundary"):
+        raise ValueError(f"unknown skyline_app {skyline_app!r}")
     if algorithms is None:
-        if skyline_app not in ("analyzer", "mirage", "crucible", "boundary"):
-            raise ValueError(f"unknown skyline_app {skyline_app!r}")
         if skyline_app == "boundary":
             # the reference requires boundary callers to pass their list
             # (crucible_algorithms.py:466-468); no default set exists
             raise ValueError("boundary requires an explicit algorithm list")
         return dict(ALGORITHMS)
+    if not algorithms:
+        # an empty subset would run a zero-detector replay that silently
+        # returns no rows — reject it like an unknown name
+        raise ValueError("empty algorithm list")
     unknown = [a for a in algorithms if a not in ALGORITHMS]
     if unknown:
         raise ValueError(f"unknown algorithms {unknown!r}")

@@ -11,20 +11,27 @@ regardless of input size.
 Published algorithm (Greenwald & Khanna, "Space-Efficient Online Computation
 of Quantile Summaries", SIGMOD 2001; merge via rank bounds per Greenwald &
 Khanna 2004 / Agarwal et al., "Mergeable Summaries", PODS 2012). Original
-implementation — entries are (value, g, delta) with the classic invariant
+implementation — entries are (value, g, delta, c) with the classic invariant
 ``g + delta <= 2*eps*n``:
 
 - ``rmin(i) = g_1 + ... + g_i`` and ``rmax(i) = rmin(i) + delta_i`` bracket
-  the true rank of ``v_i``;
+  the true rank of ``v_i`` (rank = count of population elements <= v_i);
+- ``c_i`` is a proven LOWER bound on the multiplicity of the sampled value
+  itself — exact at batch build, summed across inputs on merge. It exists
+  to keep merges tight on duplicate-heavy data: without it, the rank upper
+  bound a sketch proves for a value x lying just below a heavy sample
+  includes the heavy sample's entire duplicate mass, which inflates merged
+  deltas and (measured) breaks the merged bound by >20x when one value is
+  90% of the mass. With it, at least c_{i+1} copies of the next sample are
+  provably > x, so the bound subtracts them;
 - construction here is BATCH (from a sorted value->count histogram), so
   entries start EXACT (delta=0) and compress() introduces the only
   uncertainty, keeping the invariant;
-- merge() combines two sketches through explicit rank bounds: an entry's
-  merged rmin/rmax add the tightest bounds the other sketch proves for its
-  value. Rank error grows with merge depth (bounded by sum of the two
-  sketches' errors per merge, logarithmic in practice for balanced trees);
-  the property tests pin observed error <= 2*eps*n across random merge
-  trees of up to 64 parts.
+- merge_many() combines k sketches in ONE level through summed rank
+  bounds: each input's local slack is <= 2*eps*n_j, so the merged bound is
+  2*eps at ANY fan-in. Chaining pairwise merges instead compounds the
+  bound per level (~depth * eps) — roll partition sketches up with a
+  single merge_many, not a fold.
 
 The sketch is JSON-serializable (``to_dict``/``from_dict``) and rides the
 checkpoint's ``stat_digests`` blob next to the log-histogram
@@ -49,10 +56,12 @@ class GKSketch:
     eps: float = GK_DEFAULT_EPS
     n: int = 0
     # parallel entry lists sorted by value: v[i] a sampled value, g[i] the
-    # rank gap to the previous sample, d[i] (delta) the rank uncertainty
+    # rank gap to the previous sample, d[i] (delta) the rank uncertainty,
+    # c[i] a lower bound on the sampled value's own multiplicity
     v: list = field(default_factory=list)
     g: list = field(default_factory=list)
     d: list = field(default_factory=list)
+    c: list = field(default_factory=list)
 
     # -- construction -------------------------------------------------------
 
@@ -65,7 +74,7 @@ class GKSketch:
     ) -> "GKSketch":
         """Build from a SORTED ascending (value, count) histogram — the
         shape the stats plan already aggregates for exact percentiles.
-        Entries start exact (delta=0, g=count), then compress."""
+        Entries start exact (delta=0, g=c=count), then compress."""
         if len(values) != len(counts):
             raise ValueError("values/counts length mismatch")
         sk = cls(eps=eps)
@@ -81,6 +90,7 @@ class GKSketch:
             sk.v.append(val)
             sk.g.append(cnt)
             sk.d.append(0)
+            sk.c.append(cnt)
             sk.n += cnt
         sk.compress()
         return sk
@@ -92,9 +102,9 @@ class GKSketch:
         """Convenience: histogram an unsorted iterable, then batch-build."""
         from collections import Counter
 
-        c = Counter(float(x) for x in values)
-        vals = sorted(c)
-        return cls.from_value_counts(vals, [c[x] for x in vals], eps)
+        cnt = Counter(float(x) for x in values)
+        vals = sorted(cnt)
+        return cls.from_value_counts(vals, [cnt[x] for x in vals], eps)
 
     # -- invariant ----------------------------------------------------------
 
@@ -102,45 +112,68 @@ class GKSketch:
         """Max allowed g + delta: floor(2 * eps * n), never below 1."""
         return max(1, int(math.floor(2.0 * self.eps * self.n)))
 
-    def compress(self) -> None:
-        """Merge adjacent entries while the invariant holds. The first and
-        last entries are never absorbed, so min/max stay exact."""
+    def _absorb(self, include_delta: bool) -> None:
+        """Shared walk-and-absorb loop: fold entry i into its successor
+        while the successor's post-fold mass stays under the cap. Sound
+        regardless of delta sizes — dropping a sample only loses precision
+        between retained samples, every surviving (rmin, rmax, c) bound is
+        untouched. ``include_delta`` adds the successor's delta to the cap
+        test (the classic GK compress rule, preserving the query
+        invariant); without it the cap bounds g alone (post-merge
+        compaction where merge-grown deltas would block absorption). The
+        first and last entries are never absorbed, so min/max stay exact."""
         if len(self.v) < 3:
             return
         cap = self._band_cap()
-        nv, ng, nd = [self.v[0]], [self.g[0]], [self.d[0]]
-        # walk middles; absorbing entry i into its successor keeps rmax of
-        # the successor and folds i's g into it — sound because every value
-        # summarized by entry i is <= v[i+1]
+        nv, ng, nd, nc = [self.v[0]], [self.g[0]], [self.d[0]], [self.c[0]]
         pend_g = 0
         for i in range(1, len(self.v) - 1):
-            if pend_g + self.g[i] + self.g[i + 1] + self.d[i + 1] <= cap:
+            mass = pend_g + self.g[i] + self.g[i + 1]
+            if include_delta:
+                mass += self.d[i + 1]
+            if mass <= cap:
                 pend_g += self.g[i]
             else:
                 nv.append(self.v[i])
                 ng.append(pend_g + self.g[i])
                 nd.append(self.d[i])
+                nc.append(self.c[i])
                 pend_g = 0
         nv.append(self.v[-1])
         ng.append(pend_g + self.g[-1])
         nd.append(self.d[-1])
-        self.v, self.g, self.d = nv, ng, nd
+        nc.append(self.c[-1])
+        self.v, self.g, self.d, self.c = nv, ng, nd, nc
+
+    def compress(self) -> None:
+        """Merge adjacent entries while the g+delta invariant holds."""
+        self._absorb(include_delta=True)
+
+    def _shrink_grid(self, max_size_factor: float = 4.0) -> None:
+        """Post-merge compaction when compress() can't shrink far enough
+        (merge-grown deltas block the invariant-capped rule). Absorbs on a
+        g-only cap: adds at most 2*eps*n to the lookup fallback's error
+        (already its bound) and never grows a delta."""
+        if len(self.v) <= max_size_factor / max(self.eps, 1e-9):
+            return
+        self._absorb(include_delta=False)
 
     # -- rank bounds --------------------------------------------------------
 
     def _rmin(self) -> list:
-        out, c = [], 0
+        out, cum = [], 0
         for gi in self.g:
-            c += gi
-            out.append(c)
+            cum += gi
+            out.append(cum)
         return out
 
-    def _bounds_for(self, x: float) -> tuple[int, int]:
+    def _bounds_for(self, x: float, rmin: list) -> tuple[int, int]:
         """(lower, upper) bound this sketch proves for the rank of value x
-        within ITS OWN population — used by merge()."""
+        within ITS OWN population — used by merge_many(), which passes the
+        precomputed prefix-sum ``rmin`` (recomputing it per call made the
+        k-way merge O(k^2 * s^2))."""
         if not self.v:
             return 0, 0
-        rmin = self._rmin()
         # i = index of last sampled value <= x
         i = bisect.bisect_right(self.v, x) - 1
         if i < 0:
@@ -150,8 +183,9 @@ class GKSketch:
             # x is sampled here: its own rank interval is the tight bound
             hi = rmin[i] + self.d[i]
         elif i + 1 < len(self.v):
-            # anything above x is bracketed below the next sample's rmax - 1
-            hi = rmin[i + 1] + self.d[i + 1] - 1
+            # x sits strictly between samples i and i+1: at least c[i+1]
+            # copies of v[i+1] are > x, so rank(x) <= rmax(i+1) - c[i+1]
+            hi = rmin[i + 1] + self.d[i + 1] - self.c[i + 1]
         else:
             hi = self.n
         return lo, max(lo, hi)
@@ -180,13 +214,16 @@ class GKSketch:
             return cls(eps=eps)
         if len(parts) == 1:
             s = parts[0]
-            out = cls(eps=s.eps, n=s.n, v=list(s.v), g=list(s.g), d=list(s.d))
+            out = cls(
+                eps=s.eps, n=s.n,
+                v=list(s.v), g=list(s.g), d=list(s.d), c=list(s.c),
+            )
             out.compress()
             return out
         eps = max(s.eps for s in parts)
         n = sum(s.n for s in parts)
         rmins = [s._rmin() for s in parts]
-        ents = []  # (value, rmin_merged, rmax_merged)
+        ents = []  # (value, rmin_merged, rmax_merged, multiplicity_bound)
         for j, a in enumerate(parts):
             for i, val in enumerate(a.v):
                 lo = rmins[j][i]
@@ -194,29 +231,34 @@ class GKSketch:
                 for k, b in enumerate(parts):
                     if k == j:
                         continue
-                    lo_o, hi_o = b._bounds_for(val)
+                    lo_o, hi_o = b._bounds_for(val, rmins[k])
                     lo += lo_o
                     hi += hi_o
-                ents.append((val, lo, hi))
+                ents.append((val, lo, hi, a.c[i]))
         ents.sort(key=lambda t: (t[0], t[1]))
         # collapse duplicate values (sampled by several inputs): keep the
         # tightest interval — every per-input bound is sound, so the
-        # intersection is too
+        # intersection is too — and add the multiplicity bounds (distinct
+        # inputs contribute distinct copies)
         ded: list[list] = []
-        for val, lo, hi in ents:
+        for val, lo, hi, cc in ents:
             if ded and ded[-1][0] == val:
                 ded[-1][1] = max(ded[-1][1], lo)
                 ded[-1][2] = min(ded[-1][2], hi)
+                ded[-1][3] += cc
             else:
-                ded.append([val, lo, hi])
+                ded.append([val, lo, hi, cc])
         out = cls(eps=eps, n=n)
         prev_lo = 0
-        for val, lo, hi in ded:
-            lo = max(lo, prev_lo + 1)  # distinct values: ranks strictly rise
+        for val, lo, hi, cc in ded:
+            # ranks strictly rise, and this value's own cc copies all rank
+            # above the previous value
+            lo = max(lo, prev_lo + cc)
             hi = max(hi, lo)
             out.v.append(val)
             out.g.append(lo - prev_lo)
             out.d.append(hi - lo)
+            out.c.append(cc)
             prev_lo = lo
         # last sample is the true max of the union: pin its rank
         out.g[-1] += out.n - prev_lo
@@ -224,31 +266,6 @@ class GKSketch:
         out.compress()
         out._shrink_grid()
         return out
-
-    def _shrink_grid(self, max_size_factor: float = 4.0) -> None:
-        """Post-merge compaction when compress() can't shrink far enough
-        (merge-grown deltas block the invariant-capped rule). Absorb on a
-        g-ONLY cap: dropping a sample folds its g into the successor and
-        leaves every surviving (rmin, rmax) bound untouched, so it is sound
-        regardless of delta sizes, adds at most 2*eps*n to the lookup
-        fallback's error (already its bound), and never grows a delta."""
-        if len(self.v) <= max_size_factor / max(self.eps, 1e-9):
-            return
-        cap = self._band_cap()
-        nv, ng, nd = [self.v[0]], [self.g[0]], [self.d[0]]
-        pend_g = 0
-        for i in range(1, len(self.v) - 1):
-            if pend_g + self.g[i] + self.g[i + 1] <= cap:
-                pend_g += self.g[i]
-            else:
-                nv.append(self.v[i])
-                ng.append(pend_g + self.g[i])
-                nd.append(self.d[i])
-                pend_g = 0
-        nv.append(self.v[-1])
-        ng.append(pend_g + self.g[-1])
-        nd.append(self.d[-1])
-        self.v, self.g, self.d = nv, ng, nd
 
     # -- queries ------------------------------------------------------------
 
@@ -290,14 +307,18 @@ class GKSketch:
             "v": list(self.v),
             "g": list(self.g),
             "d": list(self.d),
+            "c": list(self.c),
         }
 
     @classmethod
     def from_dict(cls, d: Mapping) -> "GKSketch":
+        v = [float(x) for x in d["v"]]
         return cls(
             eps=float(d["eps"]),
             n=int(d["n"]),
-            v=[float(x) for x in d["v"]],
+            v=v,
             g=[int(x) for x in d["g"]],
             d=[int(x) for x in d["d"]],
+            # multiplicity bounds are a later addition; 1 is always sound
+            c=[int(x) for x in d.get("c", [1] * len(v))],
         )

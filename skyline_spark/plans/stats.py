@@ -172,6 +172,19 @@ def _exact_length_percentiles(pages: DataFrame, text_len) -> DataFrame:
 DIGEST_BINS_PER_OCTAVE = 8
 
 
+def length_histogram(pages: DataFrame) -> DataFrame:
+    """Per-(partition, lang, text_len) counts — the ONE scan both digest
+    legs (log-histogram + GK sketch) derive from. text_len is a bounded
+    integer, so the group count is bounded by partitions x langs x distinct
+    lengths at any table size and the agg stays whole-stage-codegen'd."""
+    pages = slim_pages(pages)
+    return (
+        pages.where(F.col("text_len").isNotNull())
+        .groupBy(*PARTITION_COLS, F.col("text_len").alias("len"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def length_digest(pages: DataFrame) -> DataFrame:
     """Mergeable per-(partition, lang) quantile digest of text_len.
 
@@ -182,17 +195,20 @@ def length_digest(pages: DataFrame) -> DataFrame:
     K·log2(max_len) entries regardless of row count. Quantiles of any UNION
     of partitions come from the merged counts (operators/digest.py).
     """
-    pages = slim_pages(pages)
+    return length_digest_from_hist(length_histogram(pages))
+
+
+def length_digest_from_hist(hist: DataFrame) -> DataFrame:
+    """Log-histogram digest from the shared length_histogram frame —
+    re-binning the tiny pre-aggregated counts, not the page table."""
     b = (
-        F.floor(F.log2(F.col("text_len") + F.lit(1.0)) * DIGEST_BINS_PER_OCTAVE)
+        F.floor(F.log2(F.col("len") + F.lit(1.0)) * DIGEST_BINS_PER_OCTAVE)
         .cast("int")
     )
-    hist = (
-        pages.where(F.col("text_len").isNotNull())
-        .groupBy(*PARTITION_COLS, b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    binned = hist.groupBy(*PARTITION_COLS, b.alias("bin")).agg(
+        F.sum("cnt").alias("cnt")
     )
-    return hist.groupBy(*PARTITION_COLS).agg(
+    return binned.groupBy(*PARTITION_COLS).agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("bin", "cnt")))
         ).alias("len_digest")
@@ -204,16 +220,22 @@ GK_EPS = 0.01
 
 
 def length_gk(pages: DataFrame) -> DataFrame:
+    """Per-(partition, lang) GK sketch of text_len — wrapper over
+    :func:`length_gk_from_hist` for standalone use."""
+    return length_gk_from_hist(length_histogram(pages))
+
+
+def length_gk_from_hist(hist: DataFrame) -> DataFrame:
     """Per-(partition, lang) Greenwald-Khanna sketch of text_len as a JSON
     column — the checkpoint's rank-error-bounded quantile digest
     (operators/gk.py; north_star "quantile sketches via t-digest/GK").
 
-    Built from the same bounded-integer (len, count) histogram shape the
-    exact-percentile pass uses: one codegen'd 3-key count, one shuffle of
-    pre-aggregated rows, then an Arrow-batched pandas UDF folds each
-    group's sorted histogram into a sketch. No per-row Python — the UDF
-    sees one row per (partition, lang) whose payload is the histogram
-    array, bounded by the distinct-length count at any table size.
+    Built from the shared length_histogram frame (the same bounded-integer
+    (len, count) shape the exact-percentile pass uses): an Arrow-batched
+    pandas UDF folds each group's sorted histogram into a sketch. No
+    per-row Python — the UDF sees one row per (partition, lang) whose
+    payload is the histogram array, bounded by the distinct-length count
+    at any table size.
     """
     import json
 
@@ -232,12 +254,6 @@ def length_gk(pages: DataFrame) -> DataFrame:
             out.append(json.dumps(sk.to_dict()))
         return pd.Series(out)
 
-    pages = slim_pages(pages)
-    hist = (
-        pages.where(F.col("text_len").isNotNull())
-        .groupBy(*PARTITION_COLS, F.col("text_len").alias("len"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     arr = hist.groupBy(*PARTITION_COLS).agg(
         F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("_h")
     )

@@ -53,8 +53,9 @@ from .constraints import (
 from .drift import drift_verdicts
 from .stats import (
     PARTITION_COLS,
-    length_digest,
-    length_gk,
+    length_digest_from_hist,
+    length_gk_from_hist,
+    length_histogram,
     partition_stats,
     slim_pages,
     stat_samples,
@@ -73,6 +74,13 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("consensus", T.MapType(T.StringType(), T.BooleanType())),
     ]
 )
+
+def _local_ckpt_rdd_id(df: DataFrame) -> int:
+    """The persisted RDD id behind a localCheckpoint'ed frame — read off
+    its LogicalRDD plan node. ``df.rdd.id`` would mint a NEW python-facing
+    RDD whose id never matches the block manager's."""
+    return df._jdf.queryExecution().analyzed().rdd().id()
+
 
 # Boundary-style defaults (SURVEY §2.6): a partition must not be near-empty
 # and null rates must stay sane even if drift has no baseline yet.
@@ -158,8 +166,6 @@ def validate(
     # round 1). Checkpointing also truncates lineage, so no downstream job
     # can ever re-touch the multi-KB html column. At 10^12 rows the same
     # barrier is a scratch-table write; the shape is identical.
-    _jsc = spark.sparkContext._jsc.sc()
-    _rdd_ids_before = {info.id() for info in _jsc.getRDDStorageInfo()}
     slim = slim_pages(pages).localCheckpoint(eager=True)
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch
@@ -181,12 +187,12 @@ def validate(
         stats = _f_stats.result()
         samples = _f_samples.result()
     # the three barriers above are the only localCheckpoints in the run —
-    # record their RDD ids so release() can drop the blocks deterministically
-    _ckpt_rdd_ids = [
-        info.id()
-        for info in _jsc.getRDDStorageInfo()
-        if info.id() not in _rdd_ids_before
-    ]
+    # record THEIR OWN RDD ids (off each frame's LogicalRDD plan node) so
+    # release() can drop exactly these blocks. A global storage-info
+    # before/after diff would race with concurrent validate() runs or
+    # caller-side caching on the same session and free someone else's
+    # lineage-truncated blocks — unrecoverable for the victim run.
+    _ckpt_rdd_ids = [_local_ckpt_rdd_id(df) for df in (slim, stats, samples)]
 
     fingerprints = (
         stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
@@ -383,15 +389,21 @@ def validate(
     scalar_map = F.map_from_entries(
         F.collect_list(F.struct(F.col("stat"), F.col("value")))
     )
+    # both digest legs derive from ONE histogram scan of slim: the
+    # log-histogram re-bins it, the GK sketch folds it — the page table is
+    # not re-touched for either. Cached (tiny: distinct lengths per
+    # partition x lang) so the two joins share the scan instead of each
+    # re-aggregating the slim blocks.
+    len_hist = length_histogram(slim).cache()
     stat_digests = (
         stats.groupBy(*PARTITION_COLS)
         .agg(scalar_map.alias("_stats_map"))
-        .join(length_digest(slim), PARTITION_COLS, "left")
+        .join(length_digest_from_hist(len_hist), PARTITION_COLS, "left")
         # len_gk: Greenwald-Khanna sketch — the RANK-error-bounded digest
         # complementing the log-histogram's value-error bound; sketches
         # from any set of checkpoint rows combine via GKSketch.merge_many
         # with a 2*eps rank guarantee at any fan-in (operators/gk.py)
-        .join(length_gk(slim), PARTITION_COLS, "left")
+        .join(length_gk_from_hist(len_hist), PARTITION_COLS, "left")
         .select(
             *PARTITION_COLS,
             F.to_json(
@@ -435,6 +447,6 @@ def validate(
         samples=samples,
         run_id=run_id,
         config=cfg,
-        _cached=[targets, drift, violations, verdicts],
+        _cached=[targets, drift, violations, verdicts, len_hist],
         _ckpt_rdd_ids=_ckpt_rdd_ids,
     )

@@ -136,6 +136,25 @@ class TestMerge:
         assert _max_rank_error(vals, merged) <= 2 * eps * len(vals) + 1
         assert merged.size <= 4 / eps + 2
 
+    def test_merge_many_duplicate_heavy_mass(self):
+        """Regression: one value carrying 90% of the corpus. Without
+        per-entry multiplicity bounds, merge inflated the deltas of the
+        heavy value's NEIGHBORS by its whole duplicate mass (each input's
+        between-samples upper bound included it), and quantile(0.5)
+        answered a neighbor ~45% of the corpus away in rank."""
+        eps = 0.01
+        rng = random.Random(42)
+        vals = [500] * 90_000 + [rng.randint(0, 1000) for _ in range(10_000)]
+        rng.shuffle(vals)
+        chunks = [vals[i::32] for i in range(32)]
+        merged = GKSketch.merge_many(
+            [GKSketch.from_values(c, eps=eps) for c in chunks]
+        )
+        assert merged.n == len(vals)
+        err = _max_rank_error(vals, merged, qs=(0.2, 0.5, 0.8, 0.95))
+        assert err <= 2 * eps * len(vals) + 1, err
+        assert merged.quantile(0.5) == 500.0
+
     def test_merge_with_empty(self):
         sk = GKSketch.from_values([1, 2, 3], eps=0.1)
         empty = GKSketch(eps=0.1)

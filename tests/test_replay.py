@@ -38,6 +38,14 @@ class TestResolveAlgorithmSet:
     def test_unknown_app_rejected(self):
         with pytest.raises(ValueError, match="unknown skyline_app"):
             resolve_algorithm_set("webapp")
+        # also rejected when a subset is passed — a typo'd app must not
+        # slip through just because an explicit list short-circuits
+        with pytest.raises(ValueError, match="unknown skyline_app"):
+            resolve_algorithm_set("webapp", list(ALGORITHMS)[:1])
+
+    def test_empty_list_rejected(self):
+        with pytest.raises(ValueError, match="empty algorithm list"):
+            resolve_algorithm_set("crucible", [])
 
 
 def test_replay_honors_algorithm_subset(spark):
