@@ -132,6 +132,35 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_frames",
+    None,
+    doc="the other two multimodal verbs: resize (1→1 binary map, payload "
+        "bounded to max_side) and frame-sample (1→N mapInPandas explode, "
+        "every stride-th frame) — decode stubbed as above, the Spark-side "
+        "schema/batch/cardinality plumbing real; output is the per-url "
+        "join of resized dims with sampled-frame counts",
+)
+def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import resize_images, sample_frames
+    from ..sources.synth import synth_pages
+
+    pages = synth_pages(spark, n_rows=500, n_days=4, defects=False)
+    resized = resize_images(pages, max_side=256).select(
+        "url", "out_w", "out_h", F.round("scale", 6).alias("scale")
+    )
+    frames = (
+        sample_frames(pages, stride=5)
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("frames_sampled"),
+            F.max("n_frames").cast("long").alias("n_frames"),
+            F.sum(F.length("frame")).cast("long").alias("frame_bytes"),
+        )
+    )
+    return resized.join(frames, "url").orderBy("url")
+
+
+@query(
     "extracted_text_parity",
     None,
     doc="north-star invariant: extracted text is byte-identical per url — "
