@@ -195,6 +195,8 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
+        "drift_ensemble_relational",
         "text_fingerprint",
         "text_quality",
         "text_pii_scrub",
