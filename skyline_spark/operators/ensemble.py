@@ -31,13 +31,14 @@ from ..config import (
     STATUS_TOO_SHORT,
     EnsembleConfig,
 )
-from .detectors import ALGORITHMS, DetectorParams, Verdict
+from .detectors import ALGORITHMS, DETECTOR_VERSIONS, DetectorParams, Verdict
 
 __all__ = [
     "EnsembleResult",
     "run_ensemble",
     "consensus_anomalous",
     "gate_status",
+    "kernel_self_test",
     "resolve_algorithm_set",
 ]
 
@@ -72,6 +73,47 @@ def gate_status(ts: np.ndarray, values: np.ndarray, now: float, cfg: EnsembleCon
 def consensus_anomalous(ensemble: list[Verdict], consensus: int) -> bool:
     """Anomalous iff count(False) <= n − k (`algorithms.py:679-687`)."""
     return ensemble.count(False) <= len(ensemble) - consensus
+
+
+# memo keyed by (name, version) pairs: re-registering a kernel (new version)
+# re-tests, a plain re-run of validate() doesn't pay the ~100 ms again
+_SELF_TEST_MEMO: dict[tuple, tuple[str, ...]] = {}
+
+
+def kernel_self_test(
+    algorithms: dict | None = None,
+    now: float = 1_400_000_000.0,
+    full_duration: int = 86_400,
+) -> list[str]:
+    """Startup self-test (`analyzer/agent.py:86-104`): run every registered
+    kernel — built-ins and plugins alike — on the reference's flat
+    86,401-point series before launching cluster work.
+
+    The reference agent refuses to start if any algorithm raises; this is
+    the same check with the error contract folded in (an erroring kernel
+    returns ``None``), strengthened to also flag a kernel that *fires* on
+    flat data (always-True plugins would silently poison every consensus).
+    Returns the failing kernel names; empty list = healthy. Driver-side
+    pure numpy — no Spark job is launched.
+    """
+    algos = ALGORITHMS if algorithms is None else algorithms
+    key = tuple(sorted((k, DETECTOR_VERSIONS.get(k, "")) for k in algos))
+    cached = _SELF_TEST_MEMO.get(key)
+    if cached is not None:
+        return list(cached)
+    ts = np.arange(now - full_duration, now + 1, 1.0)
+    values = np.ones(ts.shape[0])
+    params = DetectorParams(full_duration=full_duration)
+    bad = []
+    for name, fn in algos.items():
+        try:
+            v = fn(ts, values, now, params)
+        except Exception:  # kernels trap internally; belt and braces
+            v = None
+        if v is not False:
+            bad.append(name)
+    _SELF_TEST_MEMO[key] = tuple(bad)
+    return bad
 
 
 def resolve_algorithm_set(

@@ -35,6 +35,7 @@ from ..config import (
     ValidationConfig,
 )
 from ..operators.detectors import ALGORITHMS, DETECTOR_VERSIONS
+from ..operators.ensemble import kernel_self_test
 from ..sources.synth import PAGE_SCHEMA
 from .checkpoint import (
     detector_version_hash,
@@ -139,6 +140,18 @@ def validate(
     cfg = cfg or ValidationConfig()
     spark = pages.sparkSession
     run_ts = run_ts if run_ts is not None else _time.time()
+
+    # ---- stage -1: kernel self-test (`analyzer/agent.py:86-104`) ----------
+    # refuse to launch cluster work if any registered kernel — built-in or
+    # plugin — errors (or fires) on the reference's flat series; ~100 ms of
+    # driver-side numpy, memoized per (kernel, version) set
+    bad = kernel_self_test()
+    if bad:
+        raise RuntimeError(
+            f"kernel self-test failed for {bad!r}: a registered detector "
+            "errors or fires on a flat series; fix or unregister it before "
+            "validating (reference: analyzer/agent.py:86-104)"
+        )
 
     # ---- stage 0: schema check, then conform the input --------------------
     # a wrong-typed or missing column is *reported* (schema violations) and

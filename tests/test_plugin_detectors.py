@@ -145,3 +145,48 @@ def test_algorithm_set_selection():
     assert len(res.ensemble) == 3
     assert set(res.triggered) <= set(subset_names)
     assert res.anomalous  # 3-of-3 trigger on the spike, consensus 2 reached
+
+
+# ---------------------------------------------------------------------------
+# startup kernel self-test (`analyzer/agent.py:86-104`)
+# ---------------------------------------------------------------------------
+
+def test_kernel_self_test_clean_registry():
+    from skyline_spark.operators.ensemble import kernel_self_test
+
+    assert kernel_self_test() == []
+
+
+def test_kernel_self_test_catches_broken_and_always_true():
+    from skyline_spark.operators.ensemble import kernel_self_test
+
+    def broken(ts, values, now, params):
+        raise ZeroDivisionError("boom")
+
+    def always_true(ts, values, now, params):
+        return True
+
+    register_detector("st_broken", broken, version="0.0.1")
+    register_detector("st_always", always_true, version="0.0.1")
+    try:
+        assert sorted(kernel_self_test()) == ["st_always", "st_broken"]
+    finally:
+        unregister_detector("st_broken")
+        unregister_detector("st_always")
+    assert kernel_self_test() == []
+
+
+def test_validate_refuses_broken_kernel(spark):
+    from skyline_spark.plans.validate import validate
+    from skyline_spark.sources.synth import synth_pages
+
+    register_detector("st_boom", lambda ts, v, now, p: 1 / 0, version="0.0.1")
+    try:
+        with pytest.raises(RuntimeError, match="self-test"):
+            validate(
+                synth_pages(spark, n_rows=50, n_days=2, defects=False),
+                ValidationConfig(min_history=2),
+                run_ts=NOW,
+            )
+    finally:
+        unregister_detector("st_boom")
