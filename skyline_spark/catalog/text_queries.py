@@ -55,8 +55,19 @@ NGRAM_JACCARD_T = 0.05
 EMB_COS_DUP_T = 0.45
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_TOPK = 10
-LSH_PLANES = 16            # hyperplane LSH: 16-bit signature
-LSH_BANDS = 4              # 4 bands × 4 bits
+# Hyperplane-LSH band geometry. Bits per band set the RANDOM-pair collision
+# rate (2^-bits per band — with 4-bit bands ~25% of ALL pairs collided in
+# some band, i.e. the "bucketing" was near-all-pairs at any scale); band
+# count buys recall back at the production threshold. 8 bands × 8 bits:
+# random collisions ≤ 8/256 ≈ 3% of pairs, recall ≈ 94% at cosine 0.9
+# (p_bit = 1 − θ/π = 0.857 → band 0.857^8 = 0.29 → 1−(1−0.29)^8). At the
+# synthetic test threshold 0.45 recall is intentionally lower (~22%) — the
+# dial targets production near-dup cosine, and the oracle recomputes the
+# same bands so cross-engine parity is exact either way. Classic rule at
+# 10^12 vectors: grow bits per band with log2(n).
+LSH_PLANES = 64            # hyperplane LSH: 64-bit signature
+LSH_BANDS = 8              # 8 bands × 8 bits
+LSH_BAND_BITS = 8
 LSH_TOPK = 5
 EMB_DIM = 64
 
@@ -843,8 +854,8 @@ def _plane_dot_sql(emb: str, i: int) -> str:
 
 def _lsh_band_sql(emb: str, b: int) -> str:
     bits = " + ".join(
-        f"(CASE WHEN {_plane_dot_sql(emb, b * 4 + r)} > 0 THEN {1 << r} ELSE 0 END)"
-        for r in range(4)
+        f"(CASE WHEN {_plane_dot_sql(emb, b * LSH_BAND_BITS + r)} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(LSH_BAND_BITS)
     )
     return f"({bits})"
 
@@ -888,7 +899,7 @@ def _w_matrix():
 
 
 def _lsh_bands_pudf():
-    """Arrow-batched signature kernel: all 16 hyperplane dots per vector in
+    """Arrow-batched signature kernel: all LSH_PLANES hyperplane dots per vector in
     one numpy pass. The per-plane dot uses ``np.add.accumulate`` — the exact
     LEFT-FOLD summation order of the DuckDB oracle's ``list_reduce`` (and of
     the previous Catalyst ``aggregate`` expression), so signatures stay
@@ -905,8 +916,8 @@ def _lsh_bands_pudf():
         bits = (dots > 0).astype(np.int32)  # (n, planes)
         out = np.zeros((V.shape[0], LSH_BANDS), dtype=np.int32)
         for b in range(LSH_BANDS):
-            for r in range(4):
-                out[:, b] += bits[:, b * 4 + r] << r
+            for r in range(LSH_BAND_BITS):
+                out[:, b] += bits[:, b * LSH_BAND_BITS + r] << r
         return pd.Series(list(out))
 
     return bands
@@ -926,7 +937,8 @@ def _lsh_sigs(e) -> DataFrame:
 @query(
     "ann_lsh_topk",
     _LSH_ORACLE,
-    doc="random-hyperplane LSH ANN: 16-bit signature exploded to "
+    doc=f"random-hyperplane LSH ANN: {LSH_PLANES}-bit signature "
+        f"({LSH_BANDS} bands × {LSH_BAND_BITS} bits) exploded to "
         "(vec_id, band_id, band_val) rows on BOTH sides, candidates from a "
         "hash EQUI-join on (band_id, band_val) — the shape that "
         "hash-partitions at any query-set size (an OR-of-band-equalities "
