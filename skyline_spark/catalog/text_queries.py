@@ -911,8 +911,13 @@ def _lsh_bands_pudf():
     def bands(emb: pd.Series) -> pd.Series:
         W = _w_matrix()  # (planes, dim)
         V = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-        prods = V[:, None, :] * W[None, :, :]  # (n, planes, dim)
-        dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+        # one plane at a time: the broadcast (n, planes, dim) form costs
+        # batch_rows × 64 × 64 × 8 B ≈ 2 GB per 65k-row Arrow batch — a
+        # per-plane (n, dim) temporary is ~32 MB and keeps the identical
+        # per-plane left-fold order
+        dots = np.empty((V.shape[0], LSH_PLANES), dtype=np.float64)
+        for p in range(LSH_PLANES):
+            dots[:, p] = np.add.accumulate(V * W[p], axis=1)[:, -1]
         bits = (dots > 0).astype(np.int32)  # (n, planes)
         out = np.zeros((V.shape[0], LSH_BANDS), dtype=np.int32)
         for b in range(LSH_BANDS):

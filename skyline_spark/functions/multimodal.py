@@ -137,6 +137,8 @@ def resize_images(pages: DataFrame, max_side: int = 256) -> DataFrame:
     payloads on each side of the worker — halve maxRecordsPerBatch before
     doubling payload size.
     """
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -184,10 +186,16 @@ def sample_frames(pages: DataFrame, stride: int = 5) -> DataFrame:
                 _, _, n_frames = decode_image(p)
                 chunk = max(1, len(p) // n_frames)
                 for i in range(0, n_frames, stride):
+                    piece = p[i * chunk : (i + 1) * chunk]
+                    if not piece:
+                        # payload shorter than the decoded frame count
+                        # (possible only for degenerate tiny stubs): never
+                        # emit zero-byte frame rows
+                        continue
                     urls.append(url)
                     idxs.append(i)
                     totals.append(n_frames)
-                    frames.append(p[i * chunk : (i + 1) * chunk])
+                    frames.append(piece)
             yield pd.DataFrame(
                 {"url": urls, "frame_idx": idxs, "n_frames": totals, "frame": frames}
             )

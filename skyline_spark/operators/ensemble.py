@@ -31,7 +31,7 @@ from ..config import (
     STATUS_TOO_SHORT,
     EnsembleConfig,
 )
-from .detectors import ALGORITHMS, DETECTOR_VERSIONS, DetectorParams, Verdict
+from .detectors import ALGORITHMS, DetectorParams, Verdict
 
 __all__ = [
     "EnsembleResult",
@@ -75,11 +75,6 @@ def consensus_anomalous(ensemble: list[Verdict], consensus: int) -> bool:
     return ensemble.count(False) <= len(ensemble) - consensus
 
 
-# memo keyed by (name, version) pairs: re-registering a kernel (new version)
-# re-tests, a plain re-run of validate() doesn't pay the ~100 ms again
-_SELF_TEST_MEMO: dict[tuple, tuple[str, ...]] = {}
-
-
 def kernel_self_test(
     algorithms: dict | None = None,
     now: float = 1_400_000_000.0,
@@ -94,13 +89,11 @@ def kernel_self_test(
     returns ``None``), strengthened to also flag a kernel that *fires* on
     flat data (always-True plugins would silently poison every consensus).
     Returns the failing kernel names; empty list = healthy. Driver-side
-    pure numpy — no Spark job is launched.
+    pure numpy (~100 ms for the built-in nine) — no Spark job is launched,
+    and no memoization: a re-registered kernel under an unchanged name must
+    re-test, so every call runs fresh.
     """
     algos = ALGORITHMS if algorithms is None else algorithms
-    key = tuple(sorted((k, DETECTOR_VERSIONS.get(k, "")) for k in algos))
-    cached = _SELF_TEST_MEMO.get(key)
-    if cached is not None:
-        return list(cached)
     ts = np.arange(now - full_duration, now + 1, 1.0)
     values = np.ones(ts.shape[0])
     params = DetectorParams(full_duration=full_duration)
@@ -110,9 +103,10 @@ def kernel_self_test(
             v = fn(ts, values, now, params)
         except Exception:  # kernels trap internally; belt and braces
             v = None
-        if v is not False:
+        # healthy = a falsy non-None verdict; truthiness (not identity) so
+        # plugins returning numpy bools pass like the built-ins do
+        if v is None or bool(v):
             bad.append(name)
-    _SELF_TEST_MEMO[key] = tuple(bad)
     return bad
 
 

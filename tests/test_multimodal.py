@@ -121,3 +121,21 @@ def test_null_payload_paths(spark):
     # frame sampling skips null payloads entirely (no empty frame rows)
     frames = sample_frames(pages).select("url").distinct().count()
     assert frames == 20 - n_null
+
+
+def test_resize_rejects_bad_max_side(spark):
+    pages = synth_pages(spark, n_rows=5, n_days=1, defects=False)
+    with pytest.raises(ValueError):
+        resize_images(pages, max_side=0)
+
+
+def test_frame_sample_never_emits_empty_frames(spark):
+    # a payload shorter than its decoded frame count (len 5 → stub
+    # n_frames 6) must not emit zero-byte tail frame rows
+    p = b"abcde"
+    assert decode_image(p)[2] > len(p)
+    df = spark.createDataFrame([("u", bytearray(p))], "url string, html binary")
+    rows = sample_frames(df, stride=1).collect()
+    assert rows, "short payload still yields its non-empty frames"
+    assert all(len(bytes(r.frame)) > 0 for r in rows)
+    assert len(rows) == len(p)  # exactly the frames that have bytes

@@ -190,3 +190,35 @@ def test_validate_refuses_broken_kernel(spark):
             )
     finally:
         unregister_detector("st_boom")
+
+
+def test_kernel_self_test_accepts_numpy_bool_plugins():
+    """A plugin returning np.bool_ (any numpy-comparison kernel) is healthy
+    when it doesn't fire — the self-test must judge truthiness, not the
+    Python False singleton."""
+    from skyline_spark.operators.ensemble import kernel_self_test
+
+    def np_kernel(ts, values, now, params):
+        return np.bool_(values[-1] > np.mean(values) + 3 * np.std(values))
+
+    register_detector("st_npbool", np_kernel, version="0.0.1")
+    try:
+        assert kernel_self_test() == []
+    finally:
+        unregister_detector("st_npbool")
+
+
+def test_kernel_self_test_is_not_memoized():
+    """Re-registering a broken kernel under a previously-healthy name (same
+    default version) must be caught — a stale cached PASS here would launch
+    cluster work with a poisoned consensus."""
+    from skyline_spark.operators.ensemble import kernel_self_test
+
+    register_detector("st_swap", lambda ts, v, now, p: False)
+    try:
+        assert kernel_self_test() == []
+        unregister_detector("st_swap")
+        register_detector("st_swap", lambda ts, v, now, p: True)
+        assert kernel_self_test() == ["st_swap"]
+    finally:
+        unregister_detector("st_swap")
