@@ -16,3 +16,110 @@ from . import pipeline_queries  # noqa: F401,E402
 from . import skew_queries  # noqa: F401,E402
 from . import extras_queries  # noqa: F401,E402
 from . import mixing_queries  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Curated registration order.
+#
+# The driver's per-round correctness gate records the FIRST 50 queries()
+# entries (dict order); everything past that line keeps only the in-repo
+# pytest parity (tests/test_catalog.py sweeps ALL queries) plus the committed
+# full-sweep snapshot (tools/check_parity.py → PARITY_r{N}.json). Round 2
+# lost driver rows for the flagship consensus and 11 other queries purely to
+# accidental import order, so the window is now explicit: flagships and
+# queries WITHOUT a green row in the previous round's CORRECTNESS file come
+# first; queries already evidenced green in round 2 rotate past the line.
+# tests/test_catalog.py::test_driver_window_membership pins this list.
+# ---------------------------------------------------------------------------
+
+PRIORITY: list[str] = [
+    # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
+    "drift_ensemble_relational",
+    "validate_pages_full",
+    "drift_ensemble_daily",
+    "extracted_text_parity",
+    "replay_full_ensemble",
+    # the 9 reference detectors + gates (core SURVEY §2.1/§2.2)
+    "detector_stddev_from_average",
+    "detector_median_absolute_deviation",
+    "detector_mean_subtraction_cumulation",
+    "detector_first_hour_average",
+    "detector_least_squares",
+    "detector_histogram_bins",
+    "detector_grubbs_score",
+    "detector_ks_2samp_d",
+    "detector_stddev_from_moving_average",
+    "series_gates",
+    # boundary / luminosity / alerts / ionosphere / mirage (§2.5–2.9)
+    "boundary_alert_threshold",
+    "boundary_static_thresholds",
+    "boundary_autoaggregate",
+    "boundary_drop_off_cliff",
+    "luminosity_correlation",
+    "luminosity_shift_correlation",
+    "alert_dedup",
+    "ionosphere_layers",
+    "ionosphere_profile_match",
+    "mirage_second_pass",
+    "events_daily_stats",
+    # round-2 orphans (oracled, green in pytest + r1, no r2 row)
+    "tsfresh_features",
+    "roomba_vacuum",
+    "util_namespace_functions",
+    "second_order_anomalies",
+    "events_props_extract",
+    "salted_group_count",
+    "tpch_q1_pricing_summary",
+    "join_orders_by_nation",
+    "window_top_orders_per_nation",
+    "domain_cap_sample",
+    "mixture_token_budget",
+    # headline LLM-pipeline operators (dedup/ANN/text)
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_pii_scrub",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "ann_lsh_topk",
+    "filter_pipeline",
+    "decontaminate_ngrams",
+    "ann_ivf_topk",
+    "kmeans_lloyd",
+    # --- past the 50-row line from here: every one of these has a green
+    # row in CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the
+    # in-repo sweep each round ---
+    "text_tfidf_topk",
+    "dedup_passages",
+    "text_repetition",
+    "text_fingerprint",
+    "text_char_diversity",
+    "sample_stratified",
+    "corpus_shuffle_shards",
+    "replay_stddev_from_average",
+    "transform_non_negative_derivative",
+    "series_tail_avg",
+    "ann_cosine_topk",
+    "docs_nchars_check",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_lsh_recall",
+    "multimodal_media_features",
+    "multimodal_resize_frames",
+]
+
+
+def _apply_priority() -> None:
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"PRIORITY names unknown queries: {missing}")
+    unlisted = [n for n in QUERIES if n not in PRIORITY]
+    ordered = {n: QUERIES[n] for n in PRIORITY}
+    ordered.update({n: QUERIES[n] for n in unlisted})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_priority()

@@ -187,3 +187,60 @@ def test_catalog_md_is_current():
     assert committed == render(), (
         "CATALOG.md is stale — run `python tools/gen_catalog_md.py`"
     )
+
+
+def test_driver_window_membership():
+    """The driver's correctness gate records only the first 50 queries()
+    entries. Pin that the curated order puts the flagship consensus, the
+    round-2 orphans, and the core detectors inside that window — a module
+    import reshuffle must never again silently drop their driver rows."""
+    from skyline_spark.catalog import PRIORITY
+
+    names = list(QUERIES)
+    assert names[: len(PRIORITY)] == PRIORITY, "PRIORITY not applied to dict order"
+    window = set(names[:50])
+    must_have = {
+        "drift_ensemble_relational",
+        "validate_pages_full",
+        "drift_ensemble_daily",
+        "replay_full_ensemble",
+        "extracted_text_parity",
+        # round-2 orphans
+        "tsfresh_features", "roomba_vacuum", "util_namespace_functions",
+        "second_order_anomalies", "events_props_extract", "salted_group_count",
+        "tpch_q1_pricing_summary", "join_orders_by_nation",
+        "window_top_orders_per_nation", "domain_cap_sample",
+        "mixture_token_budget",
+        # core detectors
+        "detector_stddev_from_average", "detector_median_absolute_deviation",
+        "detector_mean_subtraction_cumulation", "detector_first_hour_average",
+        "detector_least_squares", "detector_histogram_bins",
+        "detector_grubbs_score", "detector_ks_2samp_d",
+        "detector_stddev_from_moving_average", "series_gates",
+        # headline dedup
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+        "dedup_embedding_lsh",
+    }
+    missing = must_have - window
+    assert not missing, f"queries fell out of the driver window: {sorted(missing)}"
+    # everything rotated past the line must carry a green row in a committed
+    # CORRECTNESS_r{N}.json (rotation invariant: no query is ever evidence-less)
+    import json, os
+    evidenced = set()
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    for fn in sorted(os.listdir(repo_root)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(repo_root, fn)) as f:
+                rows = json.load(f)
+            evidenced |= {
+                k for k, v in rows.items()
+                if v.get("rows_match") and v.get("schema_match")
+            }
+    rotated_out = [
+        n for n in names[50:]
+        if QUERIES[n].oracle is not None and n not in evidenced
+    ]
+    assert not rotated_out, (
+        f"oracled queries past the window with no prior green driver row: "
+        f"{rotated_out}"
+    )
