@@ -70,6 +70,14 @@ _REPLAY_SCHEMA = T.StructType(
         # crucible_algorithms.py:540-607) — serialized so row-level tooling
         # can sort/hash the rows
         T.StructField("triggered_algorithms", T.StringType()),
+        # self-describing truncation: true when the series exceeded
+        # REPLAY_MAX_POINTS and `index` is therefore relative to the kept
+        # tail window rather than the full series
+        T.StructField("truncated", T.BooleanType()),
+        # absolute position of the kept window's first point in the full
+        # series (0 when not truncated) — index + window_start is the
+        # full-series index
+        T.StructField("window_start", T.LongType()),
     ]
 )
 
@@ -84,7 +92,10 @@ def _replay_group(pdf: pd.DataFrame, algos: dict | None = None) -> pd.DataFrame:
 
     if algos is None:
         algos = ALGORITHMS
+    n_full = len(pdf)
     pdf = pdf.sort_values(["ts", "event_id"]).tail(REPLAY_MAX_POINTS)
+    truncated = n_full > len(pdf)
+    window_start = n_full - len(pdf)
     ts = pdf["ts"].astype("int64").to_numpy() / 1e9
     values = pdf["value"].to_numpy(np.float64)
     et = pdf["event_type"].iat[0]
@@ -110,6 +121,8 @@ def _replay_group(pdf: pd.DataFrame, algos: dict | None = None) -> pd.DataFrame:
                     "value": float(prefix_v[-1]),
                     "consensus_count": len(triggered),
                     "triggered_algorithms": ",".join(triggered),
+                    "truncated": truncated,
+                    "window_start": window_start,
                 }
             )
     cols = [f.name for f in _REPLAY_SCHEMA]
@@ -124,8 +137,9 @@ def _replay_group(pdf: pd.DataFrame, algos: dict | None = None) -> pd.DataFrame:
         "(crucible_algorithms.py:441-607); emits the anomalies.csv shape "
         "(index, value, consensus_count, triggered_algorithms). NOTE: replay "
         f"is O(n²) per series by reference semantics, so each series is "
-        f"truncated to its last {REPLAY_MAX_POINTS} points — the `index` "
-        "column is relative to the truncated window. Algorithm-set "
+        f"truncated to its last {REPLAY_MAX_POINTS} points — the output is "
+        "self-describing via `truncated` + `window_start` (index + "
+        "window_start = full-series index). Algorithm-set "
         "selection per `crucible_algorithms.py:458-481`: skyline_app/"
         "algorithms kwargs resolve the kernel subset (default: the full "
         "registered ensemble, the reference's ['all'])",
