@@ -16,6 +16,7 @@ from . import pipeline_queries  # noqa: F401,E402
 from . import skew_queries  # noqa: F401,E402
 from . import extras_queries  # noqa: F401,E402
 from . import mixing_queries  # noqa: F401,E402
+from . import flagship_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
@@ -33,6 +34,7 @@ from . import mixing_queries  # noqa: F401,E402
 
 PRIORITY: list[str] = [
     # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
+    "drift_ensemble_daily_relational",
     "drift_ensemble_relational",
     "validate_pages_full",
     "drift_ensemble_daily",

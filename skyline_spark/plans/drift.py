@@ -205,6 +205,7 @@ def drift_verdicts(
     drift_stats: list[str] | None = None,
     sample_backed: set[str] | None = None,
     latest_only: bool = False,
+    algorithms: dict | None = None,
 ) -> DataFrame:
     """stats + samples → per-(partition, lang, stat) drift verdict rows.
 
@@ -223,6 +224,11 @@ def drift_verdicts(
     ``drift_stats`` / ``sample_backed``: which stat series run the ensemble
     and which of them feed their ks_test slot from the raw-value sample;
     defaults are the page-table stat names (plans/stats.py).
+
+    ``algorithms``: ordered kernel dict to run instead of the full registry
+    (the reference's per-app algorithm-set selection,
+    ``crucible_algorithms.py:458-481``) — e.g. the SQL-expressible subset
+    for the oracled flagship twins; None = every registered kernel.
     """
     cfg = cfg or ValidationConfig()
     drift_stats = DRIFT_STATS if drift_stats is None else drift_stats
@@ -282,7 +288,7 @@ def drift_verdicts(
     # workers re-import this module and would otherwise see only built-ins,
     # silently dropping kernels added via register_detector (cloudpickle
     # serializes the dict, including by-value user functions)
-    algos = dict(ALGORITHMS)
+    algos = dict(ALGORITHMS if algorithms is None else algorithms)
     func = lambda pdf: _bucket_verdicts(  # noqa: E731
         pdf, cfg, sample_backed, algos, latest_only
     )

@@ -136,7 +136,14 @@ def validate(
     run_ts: float | None = None,
     static_rules: Sequence[StaticRule] = DEFAULT_STATIC_RULES,
     lang_allowlist: Sequence[str] = tuple(DEFAULT_LANG_ALLOWLIST),
+    drift_stats: Sequence[str] | None = None,
+    sample_backed: set[str] | None = None,
+    algorithms: dict | None = None,
 ) -> ValidationResult:
+    """``drift_stats`` / ``sample_backed`` / ``algorithms``: forwarded to
+    :func:`..plans.drift.drift_verdicts` — restrict which stat series run
+    the ensemble and which kernels vote (the reference's algorithm-set
+    selection). Defaults run the full registry over DRIFT_STATS."""
     cfg = cfg or ValidationConfig()
     spark = pages.sparkSession
     run_ts = run_ts if run_ts is not None else _time.time()
@@ -290,7 +297,15 @@ def validate(
     # and feed THREE consumers (verdict assembly, the violation sidecar, the
     # checkpoint rows) — without the cache each downstream action re-runs
     # the ensemble UDF and its joins
-    drift = drift_verdicts(stats, samples, cfg, targets_df=drift_targets).cache()
+    drift = drift_verdicts(
+        stats,
+        samples,
+        cfg,
+        targets_df=drift_targets,
+        drift_stats=list(drift_stats) if drift_stats is not None else None,
+        sample_backed=sample_backed,
+        algorithms=algorithms,
+    ).cache()
 
     # ---- stage 5: constraints, scans pruned to target partitions ----------
     target_pages = slim.join(
@@ -317,11 +332,13 @@ def validate(
             F.col("stat").alias("column"),
             F.lit(None).cast("string").alias("url"),
             F.col("datapoint").cast("string").alias("observed"),
-            # n derives from the live registry: register_detector() grows the
-            # ensemble, and the sidecar must describe the vote that actually
-            # ran, not a hardcoded 9
+            # n derives from the kernel set that actually voted:
+            # register_detector() grows the ensemble, and an algorithm-subset
+            # run (the oracled twins) shrinks it — never a hardcoded 9
             F.lit(
-                f"consensus < {cfg.ensemble.consensus} of {len(ALGORITHMS)}"
+                "consensus < "
+                f"{cfg.ensemble.consensus} of "
+                f"{len(ALGORITHMS if algorithms is None else algorithms)}"
             ).alias("expected"),
             F.col("triggered").alias("triggered_algorithms"),
         )
