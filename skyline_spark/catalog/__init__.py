@@ -34,6 +34,7 @@ from . import flagship_queries  # noqa: F401,E402
 
 PRIORITY: list[str] = [
     # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
+    "validate_pages_relational",
     "drift_ensemble_daily_relational",
     "drift_ensemble_relational",
     "validate_pages_full",

@@ -310,3 +310,218 @@ def drift_ensemble_daily_relational(spark: SparkSession, sf_dir: str) -> DataFra
         F.concat_ws(",", "triggered").alias("triggered"),
         F.round("datapoint", 6).alias("datapoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# flagship twin 2: the full validate() pipeline, end-to-end oracled
+# ---------------------------------------------------------------------------
+
+# derivation constants — shared by the Spark builder and the SQL oracle
+_ALLOWED_LANGS = ("click", "view", "purchase", "signup")  # 'error' violates
+_LEN_SHIFT_DAY = "2024-01-24"   # text length x3 → length-distribution drift
+_DUP_DAY = "2024-01-27"         # shared urls → uniqueness violations
+_DROP_FROM = "2024-01-25"       # signup rows mostly dropped → row_count cliff
+_MIN_PARTITION_ROWS = 5
+
+
+def _derived_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page table derived from ``events`` with ONLY
+    SQL-expressible transforms, so DuckDB regenerates it bit-identically
+    (the xxhash64-based ``sources/synth.py`` fixture cannot be mirrored).
+
+    Planted defects, mirroring FIXTURES F1 on shared data: 'error' lang
+    violates the referential allowlist everywhere; ~53% NULL text on
+    'purchase' fires the null_rate_text static rule; text length x3 on
+    2024-01-24 drifts the length stats; duplicated urls on 2024-01-27 fire
+    uniqueness; 'signup' rows are ~90% dropped from 2024-01-25 so its
+    row_count series cliffs (and small partitions gate TOO_SHORT).
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    base_len = F.lit(1) + F.pmod(F.floor("value").cast("long"), F.lit(180))
+    mult = F.when(day == F.lit(_LEN_SHIFT_DAY).cast("date"), F.lit(3)).otherwise(
+        F.lit(1)
+    )
+    text_len = (base_len * mult).cast("int")
+    is_null = (F.pmod("user_id", F.lit(17)) == 0) | (
+        (F.col("event_type") == "purchase") & (F.pmod("user_id", F.lit(2)) == 0)
+    )
+    url = F.when(
+        (day == F.lit(_DUP_DAY).cast("date")) & (F.pmod("user_id", F.lit(7)) == 0),
+        F.concat(F.lit("https://dup.example.org/"), "event_type"),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("user_id", F.lit(40)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    text = F.when(is_null, F.lit(None).cast("string")).otherwise(
+        F.substring(F.lit("a" * 540), F.lit(1), text_len)
+    )
+    keep = ~(
+        (F.col("event_type") == "signup")
+        & (F.col("ts") >= F.lit(_DROP_FROM).cast("timestamp"))
+        & (F.pmod("user_id", F.lit(10)) != 0)
+    )
+    return ev.where(keep).select(
+        url.alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.encode(text, "UTF-8").alias("html"),
+        text.alias("text"),
+        F.col("event_type").alias("lang"),
+    )
+
+
+_PAGES_SQL = f"""
+WITH pages AS (
+  SELECT
+    CASE WHEN ts::DATE = DATE '{_DUP_DAY}' AND user_id % 7 = 0
+         THEN 'https://dup.example.org/' || event_type
+         ELSE 'https://h' || (user_id % 40)::VARCHAR
+              || '.example.org/p/' || event_id::VARCHAR END AS url,
+    ts AS warc_ts,
+    event_type AS lang,
+    CASE WHEN user_id % 17 = 0
+           OR (event_type = 'purchase' AND user_id % 2 = 0)
+         THEN NULL
+         ELSE repeat('a', ((1 + (floor(value)::BIGINT % 180))
+              * CASE WHEN ts::DATE = DATE '{_LEN_SHIFT_DAY}'
+                     THEN 3 ELSE 1 END)::INT) END AS text
+  FROM events
+  WHERE NOT (event_type = 'signup' AND ts >= TIMESTAMP '{_DROP_FROM}'
+             AND user_id % 10 <> 0)
+), slim AS (
+  SELECT warc_ts::DATE AS pd, lang AS g, url, warc_ts,
+         length(text) AS tl, (text IS NULL) AS tn
+  FROM pages
+), wide AS (
+  SELECT pd, g,
+         count(*)::DOUBLE AS row_count,
+         avg(tn::INT) AS null_rate_text,
+         avg(tl) AS text_len_avg
+  FROM slim GROUP BY pd, g
+), lens AS (
+  SELECT pd, g, tl, count(*) AS cnt FROM slim
+  WHERE tl IS NOT NULL GROUP BY pd, g, tl
+), lcum AS (
+  SELECT pd, g, tl,
+         sum(cnt) OVER (PARTITION BY pd, g ORDER BY tl) AS cum,
+         sum(cnt) OVER (PARTITION BY pd, g) AS total
+  FROM lens
+), pct AS (
+  -- type-1 (inverted-CDF) percentiles: smallest length whose cumulative
+  -- count reaches ceil(q * total) — plans/stats.py::_exact_length_percentiles
+  SELECT pd, g,
+         min(CASE WHEN cum >= ceil(total * 0.5)  THEN tl END)::DOUBLE AS text_len_p50,
+         min(CASE WHEN cum >= ceil(total * 0.95) THEN tl END)::DOUBLE AS text_len_p95
+  FROM lcum GROUP BY pd, g
+), series AS (
+  SELECT g, pd, 'row_count' AS stat, row_count AS value FROM wide
+  UNION ALL SELECT g, pd, 'null_rate_text', null_rate_text FROM wide
+  UNION ALL SELECT g, pd, 'text_len_avg', text_len_avg FROM wide
+  UNION ALL SELECT w.g, w.pd, 'text_len_p50', p.text_len_p50
+    FROM wide w LEFT JOIN pct p ON p.pd = w.pd AND p.g = w.g
+  UNION ALL SELECT w.g, w.pd, 'text_len_p95', p.text_len_p95
+    FROM wide w LEFT JOIN pct p ON p.pd = w.pd AND p.g = w.g
+)"""
+
+_VERDICT_SQL = f"""
+, targets AS (
+  SELECT pd, g FROM wide WHERE row_count >= {_MIN_PARTITION_ROWS}
+), driftt AS (
+  SELECT dr.* FROM drift dr JOIN targets t ON t.g = dr.g AND t.pd = dr.pd
+), drift_agg AS (
+  SELECT g, pd, count(*) AS drift_checks, sum(anomalous::INT) AS drift_failed,
+         max((status <> 'TOO_SHORT')::INT) AS any_history
+  FROM driftt GROUP BY g, pd
+), dupv AS (
+  SELECT DISTINCT pd, g FROM (
+    SELECT s.pd, s.g FROM slim s JOIN targets t ON t.pd = s.pd AND t.g = s.g
+    GROUP BY s.pd, s.g, s.url HAVING count(*) > 1)
+), langv AS (
+  SELECT DISTINCT s.pd, s.g FROM slim s JOIN targets t ON t.pd = s.pd AND t.g = s.g
+  WHERE s.g IS NULL OR s.g NOT IN {repr(tuple(_ALLOWED_LANGS))}
+), tsv AS (
+  SELECT DISTINCT s.pd, s.g FROM slim s JOIN targets t ON t.pd = s.pd AND t.g = s.g
+  WHERE s.warc_ts IS NULL OR s.warc_ts < TIMESTAMP '2000-01-01'
+     OR s.warc_ts >= TIMESTAMP '2100-01-01'
+), viol AS (
+  -- count_distinct(check, column) over non-drift violations: uniqueness/url,
+  -- referential/lang, referential/warc_ts (target pairs only — constraints
+  -- scan target_pages), plus the two static rules (all pairs)
+  SELECT w.pd, w.g,
+    (CASE WHEN d.pd IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN lv.pd IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN tv2.pd IS NOT NULL THEN 1 ELSE 0 END
+     + (w.row_count < 1.0)::INT
+     + (w.null_rate_text > 0.5)::INT) AS constraint_failed
+  FROM wide w
+  LEFT JOIN dupv d   ON d.pd = w.pd AND d.g = w.g
+  LEFT JOIN langv lv ON lv.pd = w.pd AND lv.g = w.g
+  LEFT JOIN tsv tv2  ON tv2.pd = w.pd AND tv2.g = w.g
+)
+SELECT strftime(w.pd, '%Y-%m-%d') AS partition_date, w.g AS lang,
+  CASE WHEN w.row_count < {_MIN_PARTITION_ROWS} THEN 'TOO_SHORT'
+       WHEN v.constraint_failed > 0 THEN 'FAIL'
+       WHEN coalesce(a.drift_failed, 0) > 0 THEN 'FAIL'
+       WHEN coalesce(a.any_history, 0) = 0 THEN 'TOO_SHORT'
+       ELSE 'OK' END AS status,
+  (coalesce(a.drift_checks, 0) + 5)::INT AS checks_run,
+  (coalesce(a.drift_failed, 0) + v.constraint_failed)::INT AS checks_failed
+FROM wide w
+JOIN viol v ON v.pd = w.pd AND v.g = w.g
+LEFT JOIN drift_agg a ON a.g = w.g AND a.pd = w.pd
+ORDER BY 1, 2
+"""
+
+_VALIDATE_SQL = _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL
+
+
+@query(
+    "validate_pages_relational",
+    _VALIDATE_SQL,
+    doc="the flagship pipeline end-to-end oracled: the REAL validate() run "
+        "(one-scan slim stats, TooShort gate, grouped-map kernel drift over "
+        "5 exact stat series, uniqueness/referential/static constraints, "
+        "verdict precedence, checks_run/checks_failed accounting — "
+        "plans/validate.py) on a page table derived from events with only "
+        "SQL-expressible transforms; DuckDB restates every stage including "
+        "the 7-detector prefix consensus. Complements validate_pages_full "
+        "(full 9-kernel form on the synth fixture, rows-only + e2e pytest)",
+)
+def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.validate import validate
+
+    pages = _derived_pages(spark, sf_dir)
+    cfg = ValidationConfig(
+        min_history=_MIN_HISTORY,
+        lookback_partitions=_LOOKBACK,
+        min_partition_rows=_MIN_PARTITION_ROWS,
+        stale_after_partitions=None,  # staleness is wall-clock-anchored and
+        # covered by e2e tests; disabled here so the oracle is sf-independent
+        ensemble=EnsembleConfig(consensus=FLAGSHIP_CONSENSUS_K),
+    )
+    res = validate(
+        pages,
+        cfg,
+        run_ts=1_706_572_800.0,  # 2024-01-30; inert with staleness disabled
+        lang_allowlist=_ALLOWED_LANGS,
+        drift_stats=[
+            "row_count",
+            "null_rate_text",
+            "text_len_avg",
+            "text_len_p50",
+            "text_len_p95",
+        ],  # url_distinct_ratio excluded: HLL-backed, not exactly oracle-able
+        sample_backed=set(),
+        algorithms=_sqlable_algos(),
+    )
+    return res.verdicts.select(
+        F.date_format("partition_date", "yyyy-MM-dd").alias("partition_date"),
+        "lang",
+        "status",
+        "checks_run",
+        "checks_failed",
+    )
