@@ -33,6 +33,8 @@ __all__ = [
     "read_page_stream",
     "read_page_stream_tcp",
     "UdpJsonBridge",
+    "UdpMsgpackBridge",
+    "TcpPickleBridge",
     "read_page_stream_udp",
     "TCP_WIRE_SCHEMA",
     "apply_skip_list",
@@ -162,8 +164,7 @@ class UdpJsonBridge:
         while not self._stop.is_set():
             try:
                 datagram, _ = self._sock.recvfrom(65536)
-                if datagram.strip():
-                    buf.append(datagram.strip())
+                buf.extend(self._decode(datagram))
             except socket.timeout:
                 pass
             except OSError:
@@ -174,6 +175,95 @@ class UdpJsonBridge:
                 buf, last = [], now
         if buf:
             self._publish(buf)
+
+    def _decode(self, datagram: bytes) -> list[bytes]:
+        """One datagram → zero-or-more staging JSON lines. Default wire
+        format: the datagram IS a JSON line. Subclasses override for binary
+        wire formats; malformed datagrams must return [] (the reference's
+        try/except-continue, `listen.py:243-255`)."""
+        line = datagram.strip()
+        return [line] if line else []
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._sock.close()
+
+
+class UdpMsgpackBridge(UdpJsonBridge):
+    """Format-faithful UDP ingest: one MessagePack-encoded row per datagram,
+    exactly the reference's wire (`horizon/listen.py:229-264` ``unpackb``
+    per datagram). Rows are ``(url, warc_ts_epoch_seconds, text, lang)``
+    tuples — the page analog of Skyline's ``(metric, (ts, value))`` — and
+    garbled datagrams are dropped like the reference's except-continue."""
+
+    def _decode(self, datagram: bytes) -> list[bytes]:
+        from .wire import msgpack_unpackb, rows_to_json_lines
+
+        try:
+            row = msgpack_unpackb(datagram)
+        except Exception:
+            return []
+        return rows_to_json_lines([row])
+
+
+class TcpPickleBridge:
+    """Format-faithful TCP ingest: Graphite-style length-prefixed pickle
+    frames through the restricted unpickler — the reference's
+    ``listen_pickle`` loop (`horizon/listen.py:110-227`, SafeUnpickler
+    allowlist included). Each frame holds a LIST of page tuples; decoded
+    rows land in the same atomic staging directory the file source reads
+    (``read_page_stream_udp``), which plays the listener→worker queue's
+    role. A poisoned or truncated frame drops the connection and the
+    listener re-accepts, exactly like the reference's
+    incoming-connection-dropped handling (`listen.py:162-166`)."""
+
+    def __init__(self, staging_dir: str, host: str = "127.0.0.1", port: int = 0):
+        import os
+        import socket
+        import threading
+        import uuid
+
+        os.makedirs(staging_dir, exist_ok=True)
+        self.staging_dir = staging_dir
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(5)
+        self._sock.settimeout(0.1)
+        self.host, self.port = self._sock.getsockname()
+        self._uid = uuid.uuid4().hex[:8]
+        self._seq = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    _publish = UdpJsonBridge._publish
+
+    def _run(self) -> None:
+        import socket
+
+        from .wire import read_frames_from_socket, rows_to_json_lines
+
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                conn.settimeout(5.0)
+                for bunch in read_frames_from_socket(conn):
+                    lines = rows_to_json_lines(bunch)
+                    if lines:
+                        self._publish(lines)
+            except Exception:
+                # unsafe pickle / garbled frame / peer timeout: drop the
+                # connection, keep listening (listen.py:162-166)
+                pass
+            finally:
+                conn.close()
 
     def stop(self) -> None:
         self._stop.set()
