@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     "drift_ensemble_daily",
     "extracted_text_parity",
     "replay_full_ensemble",
+    "checkpoint_digest_quantiles",
     # the 9 reference detectors + gates (core SURVEY §2.1/§2.2)
     "detector_stddev_from_average",
     "detector_median_absolute_deviation",

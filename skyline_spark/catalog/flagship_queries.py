@@ -525,3 +525,134 @@ def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checks_run",
         "checks_failed",
     )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint digests round-trip: blob → parse → merge → corpus quantiles
+# ---------------------------------------------------------------------------
+
+_DIGEST_QS = (0.25, 0.5, 0.9, 0.99)
+
+_DIGEST_OUT = (
+    "lang string, q double, exact_len double, n long, "
+    "gk_rank_ok boolean, digest_value_ok boolean"
+)
+
+
+def _digest_merge_fn(pdf):
+    """One lang group: parse every partition's checkpoint blob, merge the GK
+    sketches (merge_many — 2·eps bound at any fan-in) and the log-histogram
+    digests (count addition), then judge each quantile estimate against the
+    group's exact length histogram using the PROVEN bounds:
+    GK rank error ≤ 2·eps·n + 1 (tests/test_gk.py convention), log-histogram
+    value error within one bin (relative ≤ 2^(1/K) − 1 on len+1)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.digest import (
+        digest_quantile,
+        merge_digests,
+        parse_checkpoint_digest,
+    )
+    from ..operators.gk import GKSketch
+    from ..plans.stats import DIGEST_BINS_PER_OCTAVE, GK_EPS
+
+    lang = pdf["lang"].iat[0]
+    parsed = [parse_checkpoint_digest(b) for b in pdf["stat_digests"] if b is not None]
+    gk = GKSketch.merge_many([d["len_gk"] for d in parsed if d["len_gk"]])
+    digest = merge_digests(d["len_digest"] for d in parsed)
+    # exact corpus histogram: every row carries the same lang-level arrays
+    lens = np.asarray(pdf["_lens"].iat[0], dtype=np.float64)
+    cnts = np.asarray(pdf["_cnts"].iat[0], dtype=np.int64)
+    order = np.argsort(lens)
+    lens, cnts = lens[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    rel = 2.0 ** (1.0 / DIGEST_BINS_PER_OCTAVE)
+    out = []
+    for q in _DIGEST_QS:
+        need = max(1, math.ceil(q * n))
+        exact = float(lens[np.searchsorted(cum, need)])
+        # GK: the returned value's occupied rank interval must come within
+        # 2·eps·n (+1) of the target rank
+        v = gk.quantile(q)
+        lo = int(np.searchsorted(lens, v, side="left"))
+        hi = int(np.searchsorted(lens, v, side="right"))
+        rank_lo = (int(cum[lo - 1]) + 1) if lo > 0 else 1
+        rank_hi = int(cum[hi - 1]) if hi > 0 else 0
+        err = max(0, rank_lo - need, need - rank_hi)
+        gk_ok = bool(gk.n == n and err <= 2 * GK_EPS * n + 1)
+        # log-histogram: estimate is the upper edge of the exact value's bin
+        est = digest_quantile(digest, q)
+        digest_ok = bool(
+            est >= exact - 1e-9 and (est + 1.0) <= (exact + 1.0) * rel + 1e-9
+        )
+        out.append((lang, float(q), exact, n, gk_ok, digest_ok))
+    return pd.DataFrame(
+        out,
+        columns=["lang", "q", "exact_len", "n", "gk_rank_ok", "digest_value_ok"],
+    )
+
+
+_DIGEST_SQL = (
+    _PAGES_SQL
+    + f"""
+, corpus AS (
+  SELECT g, tl, count(*) AS cnt FROM slim WHERE tl IS NOT NULL GROUP BY g, tl
+), ccum AS (
+  SELECT g, tl,
+         sum(cnt) OVER (PARTITION BY g ORDER BY tl) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS total
+  FROM corpus
+), qs AS (SELECT unnest({list(_DIGEST_QS)!r}) AS q)
+SELECT g AS lang, q,
+       min(CASE WHEN cum >= greatest(1, ceil(q * total)) THEN tl END)::DOUBLE
+         AS exact_len,
+       max(total)::BIGINT AS n,
+       true AS gk_rank_ok,
+       true AS digest_value_ok
+FROM ccum CROSS JOIN qs
+GROUP BY g, q ORDER BY g, q
+"""
+)
+
+
+@query(
+    "checkpoint_digest_quantiles",
+    _DIGEST_SQL,
+    doc="north-star mergeable-sketch round trip: per-partition checkpoint "
+        "blobs (the PRODUCTION stat_digest_blobs assembly — GK sketch + "
+        "log-histogram per partition×lang) are parsed back, merged to corpus "
+        "level (GKSketch.merge_many / count addition), and every quantile "
+        "estimate is judged against exact type-1 corpus quantiles inside the "
+        "proven bounds (rank ≤ 2·eps·n+1; value within one log bin); the "
+        "oracle pins the exact quantiles and asserts the bound booleans",
+)
+def checkpoint_digest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stats import (
+        length_histogram,
+        partition_stats,
+        slim_pages,
+        stat_digest_blobs,
+    )
+
+    slim = slim_pages(_derived_pages(spark, sf_dir))
+    len_hist = length_histogram(slim)
+    blobs = stat_digest_blobs(partition_stats(slim), len_hist)
+    # corpus-exact histogram per lang, carried into the merge kernel as two
+    # bounded arrays (distinct text lengths ≤ a few hundred by construction)
+    corpus = (
+        len_hist.groupBy(F.col("lang"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("_h")
+        )
+        .select(
+            "lang",
+            F.transform("_h", lambda s: s["len"].cast("double")).alias("_lens"),
+            F.transform("_h", lambda s: s["cnt"].cast("long")).alias("_cnts"),
+        )
+    )
+    joined = blobs.join(F.broadcast(corpus), "lang")
+    return joined.groupBy("lang").applyInPandas(_digest_merge_fn, _DIGEST_OUT)

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "stat_digest_blobs",
     "partition_stats",
     "stat_samples",
     "slim_pages",
@@ -324,3 +325,37 @@ def stat_samples(pages: DataFrame, sample_cap: int = 512) -> DataFrame:
         .withColumn("stat", F.lit(SAMPLE_STAT))
     )
     return sampled.select(*PARTITION_COLS, "stat", "sample")
+
+
+def stat_digest_blobs(stats_long: DataFrame, len_hist: DataFrame) -> DataFrame:
+    """Per-(partition, lang) checkpoint blob: ``{"stats": scalar map,
+    "len_digest": log-histogram, "len_gk": GK sketch}`` as one JSON binary.
+
+    The north-star "stat digests (mergeable sketches)" column: the
+    log-histogram's bin boundaries are global constants so digests from any
+    set of checkpoint rows merge by count addition (operators/digest.py);
+    the GK sketch complements it with a RANK-error bound — sketches from
+    any set of rows combine via GKSketch.merge_many with a 2·eps guarantee
+    at any fan-in (operators/gk.py). Factored out of validate() so the
+    round-trip query (catalog/flagship_queries.py
+    ``checkpoint_digest_quantiles``) exercises the production assembly.
+    """
+    scalar_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("stat"), F.col("value")))
+    )
+    return (
+        stats_long.groupBy(*PARTITION_COLS)
+        .agg(scalar_map.alias("_stats_map"))
+        .join(length_digest_from_hist(len_hist), PARTITION_COLS, "left")
+        .join(length_gk_from_hist(len_hist), PARTITION_COLS, "left")
+        .select(
+            *PARTITION_COLS,
+            F.to_json(
+                F.struct(
+                    F.col("_stats_map").alias("stats"),
+                    F.col("len_digest"),
+                    F.col("len_gk"),
+                )
+            ).cast("binary").alias("stat_digests"),
+        )
+    )

@@ -54,11 +54,10 @@ from .constraints import (
 from .drift import drift_verdicts
 from .stats import (
     PARTITION_COLS,
-    length_digest_from_hist,
-    length_gk_from_hist,
     length_histogram,
     partition_stats,
     slim_pages,
+    stat_digest_blobs,
     stat_samples,
 )
 
@@ -412,39 +411,13 @@ def validate(
 
     # ---- stage 7: checkpoint rows ------------------------------------------
     validated_at = _dt.datetime.utcfromtimestamp(run_ts)
-    # blob = {"stats": scalar map, "len_digest": mergeable log-histogram} —
-    # the digest's bin boundaries are global constants, so digests from any
-    # set of checkpoint rows merge by count addition (operators/digest.py),
-    # the north-star "stat digests (mergeable sketches)" requirement
-    scalar_map = F.map_from_entries(
-        F.collect_list(F.struct(F.col("stat"), F.col("value")))
-    )
     # both digest legs derive from ONE histogram scan of slim: the
     # log-histogram re-bins it, the GK sketch folds it — the page table is
     # not re-touched for either. Cached (tiny: distinct lengths per
     # partition x lang) so the two joins share the scan instead of each
     # re-aggregating the slim blocks.
     len_hist = length_histogram(slim).cache()
-    stat_digests = (
-        stats.groupBy(*PARTITION_COLS)
-        .agg(scalar_map.alias("_stats_map"))
-        .join(length_digest_from_hist(len_hist), PARTITION_COLS, "left")
-        # len_gk: Greenwald-Khanna sketch — the RANK-error-bounded digest
-        # complementing the log-histogram's value-error bound; sketches
-        # from any set of checkpoint rows combine via GKSketch.merge_many
-        # with a 2*eps rank guarantee at any fan-in (operators/gk.py)
-        .join(length_gk_from_hist(len_hist), PARTITION_COLS, "left")
-        .select(
-            *PARTITION_COLS,
-            F.to_json(
-                F.struct(
-                    F.col("_stats_map").alias("stats"),
-                    F.col("len_digest"),
-                    F.col("len_gk"),
-                )
-            ).cast("binary").alias("stat_digests"),
-        )
-    )
+    stat_digests = stat_digest_blobs(stats, len_hist)
     version_map = F.map_from_arrays(
         F.array(*[F.lit(k) for k in DETECTOR_VERSIONS]),
         F.array(*[F.lit(v) for v in DETECTOR_VERSIONS.values()]),
