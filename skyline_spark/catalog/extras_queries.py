@@ -247,185 +247,25 @@ def util_namespace_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tsfresh-style feature extraction (SURVEY §2.9 row 1)
 # ---------------------------------------------------------------------------
 
-_TSF_FEATURES = [
-    "series_length", "sum_values", "mean_value", "median_value",
-    "standard_deviation", "variance", "maximum", "minimum", "abs_energy",
-    "absolute_sum_of_changes", "mean_abs_change", "mean_change",
-    "count_above_mean", "count_below_mean", "longest_strike_above_mean",
-    "longest_strike_below_mean", "first_location_of_maximum",
-    "last_location_of_minimum",
-]
+from .tsfresh_calculators import (  # noqa: E402
+    TSF_FEATURE_NAMES,
+    tsfresh_feature_frame,
+    tsfresh_oracle_body,
+)
 
 
 @query(
     "tsfresh_features",
-    _E_CTE
-    + """
-, s AS (
-  SELECT event_type, rn, n, value,
-         avg(value) OVER (PARTITION BY event_type) AS mean_v,
-         max(value) OVER (PARTITION BY event_type) AS max_v,
-         min(value) OVER (PARTITION BY event_type) AS min_v,
-         value - lag(value) OVER (PARTITION BY event_type ORDER BY rn) AS diff
-  FROM e
-), flagged AS (
-  SELECT event_type, rn, value > mean_v AS above, value < mean_v AS below
-  FROM s
-), runs AS (
-  SELECT event_type, above, below,
-         rn - row_number() OVER (PARTITION BY event_type, above ORDER BY rn) AS ga,
-         rn - row_number() OVER (PARTITION BY event_type, below ORDER BY rn) AS gb
-  FROM flagged
-), strike_above AS (
-  SELECT event_type, max(c) AS longest FROM (
-    SELECT event_type, count(*) AS c FROM runs WHERE above GROUP BY event_type, ga
-  ) GROUP BY event_type
-), strike_below AS (
-  SELECT event_type, max(c) AS longest FROM (
-    SELECT event_type, count(*) AS c FROM runs WHERE below GROUP BY event_type, gb
-  ) GROUP BY event_type
-), feat AS (
-  SELECT event_type,
-         count(*)::BIGINT AS series_length,
-         round(sum(value), 4) AS sum_values,
-         round(avg(value), 6) AS mean_value,
-         round(median(value), 6) AS median_value,
-         round(stddev_pop(value), 6) AS standard_deviation,
-         round(var_pop(value), 6) AS variance,
-         round(max(value), 6) AS maximum,
-         round(min(value), 6) AS minimum,
-         round(sum(value * value), 2) AS abs_energy,
-         round(sum(abs(diff)), 4) AS absolute_sum_of_changes,
-         round(avg(abs(diff)), 6) AS mean_abs_change,
-         round(avg(diff), 6) AS mean_change,
-         sum(CASE WHEN value > mean_v THEN 1 ELSE 0 END)::BIGINT AS count_above_mean,
-         sum(CASE WHEN value < mean_v THEN 1 ELSE 0 END)::BIGINT AS count_below_mean,
-         round((min(CASE WHEN value = max_v THEN rn END) - 1.0) / count(*), 6)
-           AS first_location_of_maximum,
-         round(max(CASE WHEN value = min_v THEN rn END) * 1.0 / count(*), 6)
-           AS last_location_of_minimum
-  FROM s GROUP BY event_type
-)
-SELECT f.*,
-       coalesce(sa.longest, 0)::BIGINT AS longest_strike_above_mean,
-       coalesce(sb.longest, 0)::BIGINT AS longest_strike_below_mean,
-       18::BIGINT AS features_count,
-       round(f.series_length + f.sum_values + f.mean_value + f.median_value
-             + f.standard_deviation + f.variance + f.maximum + f.minimum
-             + f.abs_energy + f.absolute_sum_of_changes + f.mean_abs_change
-             + f.mean_change + f.count_above_mean + f.count_below_mean
-             + coalesce(sa.longest, 0) + coalesce(sb.longest, 0)
-             + f.first_location_of_maximum + f.last_location_of_minimum, 2)
-         AS features_sum
-FROM feat f
-LEFT JOIN strike_above sa USING (event_type)
-LEFT JOIN strike_below sb USING (event_type)
-ORDER BY event_type
-""",
-    doc="tsfresh-style feature matrix per series (features_profile.py:54-503; "
-        "names follow tsfresh_feature_names.py calculators — the 18 of the "
-        "reference's feature set expressible as exact relational algebra: "
-        "moments, energy, change stats, mean-relative counts/strikes, "
-        "argmax/argmin locations), plus the features_count/features_sum "
-        "pair the reference persists for profile matching "
-        "(features_profile.py:466-482; consumed by ionosphere_profile_match)",
+    _E_CTE + tsfresh_oracle_body(),
+    doc="tsfresh-parity feature matrix per series (features_profile.py:"
+        "54-503): 41 calculators restated as exact relational algebra, each "
+        "a SINGLE shared ANSI aggregate string evaluated by both engines "
+        "(catalog/tsfresh_calculators.py); definitions pinned empirically "
+        "against the reference golden CSV tests/baseline/tsfresh-0.4.0."
+        "py3.data.json.features.transposed.csv on its own 60-point fixture "
+        "(tests/test_tsfresh_golden.py), plus the features_count/"
+        "features_sum pair the reference persists for profile matching "
+        "(features_profile.py:466-482)",
 )
 def tsfresh_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _series(spark, sf_dir)
-    wp = Window.partitionBy("event_type")
-    worder = Window.partitionBy("event_type").orderBy("rn")
-    s = e.select(
-        "event_type",
-        "rn",
-        "value",
-        F.avg("value").over(wp).alias("mean_v"),
-        F.max("value").over(wp).alias("max_v"),
-        F.min("value").over(wp).alias("min_v"),
-        (F.col("value") - F.lag("value").over(worder)).alias("diff"),
-    )
-
-    # gaps-and-islands: a strike is a maximal run of consecutive rn with the
-    # same above/below flag; rn - row_number-within-flag is constant per run
-    flagged = s.select(
-        "event_type",
-        "rn",
-        (F.col("value") > F.col("mean_v")).alias("above"),
-        (F.col("value") < F.col("mean_v")).alias("below"),
-    )
-    wa = Window.partitionBy("event_type", "above").orderBy("rn")
-    wb = Window.partitionBy("event_type", "below").orderBy("rn")
-    runs = flagged.select(
-        "event_type",
-        "above",
-        "below",
-        (F.col("rn") - F.row_number().over(wa)).alias("ga"),
-        (F.col("rn") - F.row_number().over(wb)).alias("gb"),
-    )
-
-    def _longest(df, flag, grp):
-        return (
-            df.where(F.col(flag))
-            .groupBy("event_type", grp)
-            .count()
-            .groupBy("event_type")
-            .agg(F.max("count").alias("longest"))
-        )
-
-    strike_above = _longest(runs, "above", "ga")
-    strike_below = _longest(runs, "below", "gb")
-
-    feat = s.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("series_length"),
-        F.round(F.sum("value"), 4).alias("sum_values"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.median("value"), 6).alias("median_value"),
-        F.round(F.stddev_pop("value"), 6).alias("standard_deviation"),
-        F.round(F.var_pop("value"), 6).alias("variance"),
-        F.round(F.max("value"), 6).alias("maximum"),
-        F.round(F.min("value"), 6).alias("minimum"),
-        F.round(F.sum(F.col("value") * F.col("value")), 2).alias("abs_energy"),
-        F.round(F.sum(F.abs("diff")), 4).alias("absolute_sum_of_changes"),
-        F.round(F.avg(F.abs("diff")), 6).alias("mean_abs_change"),
-        F.round(F.avg("diff"), 6).alias("mean_change"),
-        F.sum(F.when(F.col("value") > F.col("mean_v"), 1).otherwise(0))
-        .cast("long")
-        .alias("count_above_mean"),
-        F.sum(F.when(F.col("value") < F.col("mean_v"), 1).otherwise(0))
-        .cast("long")
-        .alias("count_below_mean"),
-        F.round(
-            (F.min(F.when(F.col("value") == F.col("max_v"), F.col("rn"))) - 1.0)
-            / F.count("*"),
-            6,
-        ).alias("first_location_of_maximum"),
-        F.round(
-            F.max(F.when(F.col("value") == F.col("min_v"), F.col("rn")))
-            * 1.0
-            / F.count("*"),
-            6,
-        ).alias("last_location_of_minimum"),
-    )
-
-    out = (
-        feat.join(strike_above, "event_type", "left")
-        .withColumnRenamed("longest", "la")
-        .join(strike_below, "event_type", "left")
-        .withColumnRenamed("longest", "lb")
-        .withColumn(
-            "longest_strike_above_mean", F.coalesce("la", F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "longest_strike_below_mean", F.coalesce("lb", F.lit(0)).cast("long")
-        )
-        .drop("la", "lb")
-        .withColumn("features_count", F.lit(18).cast("long"))
-    )
-    # features_sum over the ROUNDED feature columns so the value is
-    # deterministic across engines given the columns already match
-    return out.withColumn(
-        "features_sum",
-        F.round(
-            sum((F.col(c) for c in _TSF_FEATURES[1:]), F.col("series_length") * 1.0),
-            2,
-        ),
-    )
+    return tsfresh_feature_frame(_series(spark, sf_dir))

@@ -1294,6 +1294,14 @@ def ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROFILE_PERCENT_SIMILAR = 1.0   # settings.py:1750
 PROFILE_SPLIT = 0.7             # first 70% of the span = the approved profile
+MINMAX_RANGE_TOLERANCE = 0.15   # settings.py:1781 IONOSPHERE_MINMAX_SCALING_RANGE_TOLERANCE
+
+# the deterministic tsfresh stand-in summed on both raw and min-max-scaled
+# values (count/sum/mean/std/min/max/abs-energy)
+_FSUM_TERMS = (
+    "count(*) * 1e0 + sum({v}) + avg({v}) + stddev_samp({v})"
+    " + min({v}) + max({v}) + sum({v} * {v})"
+)
 
 @query(
     "ionosphere_profile_match",
@@ -1305,29 +1313,69 @@ WITH span AS (
 ), f AS (
   SELECT event_type,
          (epoch_ms(ts) < (SELECT cut FROM span)) AS is_profile,
-         count(*)::DOUBLE + sum(value) + avg(value) + stddev_samp(value)
-           + min(value) + max(value) + sum(value * value) AS features_sum
+         {_FSUM_TERMS.format(v="value")} AS features_sum,
+         min(value) AS mn, max(value) AS mx
   FROM events GROUP BY 1, 2
+), scaled AS (
+  -- min-max scale each side to [0,1] with ITS OWN range (the reference
+  -- scales the fp series and the anomalous series independently,
+  -- ionosphere.py:2269-2334) and recompute the same feature sum
+  SELECT e.event_type, f.is_profile,
+         {_FSUM_TERMS.format(v="sv")} AS features_sum_scaled
+  FROM (SELECT event_type, value,
+               (epoch_ms(ts) < (SELECT cut FROM span)) AS is_profile
+        FROM events) e
+  JOIN f ON f.event_type = e.event_type AND f.is_profile = e.is_profile
+  CROSS JOIN LATERAL (SELECT CASE WHEN f.mx = f.mn THEN 0e0
+                      ELSE (e.value - f.mn) / (f.mx - f.mn) END AS sv) s
+  GROUP BY e.event_type, f.is_profile
+), j AS (
+  SELECT p.event_type,
+         p.features_sum AS fp_sum, c.features_sum AS calc_sum,
+         p.mn AS p_mn, p.mx AS p_mx, c.mn AS c_mn, c.mx AS c_mx,
+         ps.features_sum_scaled AS fp_sum_scaled,
+         cs.features_sum_scaled AS calc_sum_scaled
+  FROM f p
+  JOIN f c ON p.event_type = c.event_type AND p.is_profile AND NOT c.is_profile
+  JOIN scaled ps ON ps.event_type = p.event_type AND ps.is_profile
+  JOIN scaled cs ON cs.event_type = p.event_type AND NOT cs.is_profile
+  WHERE p.is_profile
 )
-SELECT p.event_type,
-       round(p.features_sum, 6) AS fp_sum,
-       round(c.features_sum, 6) AS calc_sum,
-       round(abs((c.features_sum - p.features_sum) / p.features_sum * 100), 6)
-         AS percent_different,
-       (abs((c.features_sum - p.features_sum) / p.features_sum * 100)
-         <= {PROFILE_PERCENT_SIMILAR}) AS matched
-FROM f p JOIN f c ON p.event_type = c.event_type
-WHERE p.is_profile AND NOT c.is_profile
-ORDER BY p.event_type
+SELECT event_type,
+       round(fp_sum, 6) AS fp_sum,
+       round(calc_sum, 6) AS calc_sum,
+       round(abs((calc_sum - fp_sum) / fp_sum * 100), 6) AS percent_different,
+       (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
+         AS matched,
+       ((p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
+        AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx)))
+         AS minmax_eligible,
+       round(abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100), 6)
+         AS minmax_percent_different,
+       (NOT (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
+        AND (p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
+        AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx))
+        AND abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100)
+            <= {PROFILE_PERCENT_SIMILAR}) AS matched_minmax,
+       ((abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
+        OR (NOT (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
+            AND (p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
+            AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx))
+            AND abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100)
+                <= {PROFILE_PERCENT_SIMILAR})) AS not_anomalous
+FROM j ORDER BY event_type
 """,
-    doc="Ionosphere features-profile match (ionosphere.py:1864-1998, "
-        "settings.py:1750): a window's feature sums within "
-        "IONOSPHERE_FEATURES_PERCENT_SIMILAR of an approved profile's mark "
-        "the series not-anomalous. Profile = the first 70% of the span; the "
-        "feature set is a deterministic tsfresh stand-in (count/sum/mean/"
-        "std/min/max/abs-energy — tsfresh itself is out of MVP scope, "
-        "SURVEY §2.9); percent_different is the reference's "
-        "np.diff/sums formula, abs'd (:1936-1998)",
+    doc="Ionosphere features-profile match with the min-max second chance "
+        "(ionosphere.py:1864-1998 + 2027-2455, settings.py:1750,1767,1781): "
+        "a window whose feature sums sit within "
+        "IONOSPHERE_FEATURES_PERCENT_SIMILAR of an approved profile's is "
+        "not-anomalous; when the raw sums do NOT match and both series "
+        "ranges agree within IONOSPHERE_MINMAX_SCALING_RANGE_TOLERANCE "
+        "(15%), both are min-max scaled to [0,1] and the sums compared "
+        "again. Profile = first 70% of the span; feature set = the "
+        "deterministic 7-term tsfresh stand-in (the full 41-calculator "
+        "matrix lives in tsfresh_features); the reference's int()-bucketed "
+        "range comparison is restated as the documented +/-15% margin",
 )
 def ionosphere_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1337,34 +1385,84 @@ def ionosphere_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
         ).alias("cut")
     )
-    f = (
-        ev.crossJoin(F.broadcast(span))
-        .groupBy("event_type", (_ms("ts") < F.col("cut")).alias("is_profile"))
-        .agg(
-            (
-                F.count("*").cast("double")
-                + F.sum("value")
-                + F.avg("value")
-                + F.stddev_samp("value")
-                + F.min("value")
-                + F.max("value")
-                + F.sum(F.col("value") * F.col("value"))
-            ).alias("features_sum")
+
+    def fsum(v):
+        return (
+            F.count("*").cast("double")
+            + F.sum(v)
+            + F.avg(v)
+            + F.stddev_samp(v)
+            + F.min(v)
+            + F.max(v)
+            + F.sum(v * v)
+        )
+
+    base = ev.crossJoin(F.broadcast(span)).select(
+        "event_type", "value", (_ms("ts") < F.col("cut")).alias("is_profile")
+    )
+    f = base.groupBy("event_type", "is_profile").agg(
+        fsum(F.col("value")).alias("features_sum"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    sv = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    scaled = (
+        base.join(F.broadcast(f), ["event_type", "is_profile"])
+        .select("event_type", "is_profile", sv.alias("sv"))
+        .groupBy("event_type", "is_profile")
+        .agg(fsum(F.col("sv")).alias("features_sum_scaled"))
+    )
+    p = (
+        f.where(F.col("is_profile"))
+        .join(scaled.where(F.col("is_profile")), ["event_type", "is_profile"])
+        .select(
+            "event_type",
+            F.col("features_sum").alias("fp_sum"),
+            F.col("mn").alias("p_mn"),
+            F.col("mx").alias("p_mx"),
+            F.col("features_sum_scaled").alias("fp_sum_scaled"),
         )
     )
-    p = f.where(F.col("is_profile")).select(
-        "event_type", F.col("features_sum").alias("fp_sum")
+    c = (
+        f.where(~F.col("is_profile"))
+        .join(scaled.where(~F.col("is_profile")), ["event_type", "is_profile"])
+        .select(
+            "event_type",
+            F.col("features_sum").alias("calc_sum"),
+            F.col("mn").alias("c_mn"),
+            F.col("mx").alias("c_mx"),
+            F.col("features_sum_scaled").alias("calc_sum_scaled"),
+        )
     )
-    c = f.where(~F.col("is_profile")).select(
-        "event_type", F.col("features_sum").alias("calc_sum")
-    )
+    j = p.join(c, "event_type")
     pct = F.abs((F.col("calc_sum") - F.col("fp_sum")) / F.col("fp_sum") * 100)
-    return p.join(c, "event_type").select(
+    pct_s = F.abs(
+        (F.col("calc_sum_scaled") - F.col("fp_sum_scaled"))
+        / F.col("fp_sum_scaled")
+        * 100
+    )
+    tol = MINMAX_RANGE_TOLERANCE
+    eligible = (
+        (F.col("p_mn") == F.col("c_mn"))
+        | (F.abs(F.col("c_mn") - F.col("p_mn")) <= tol * F.abs(F.col("p_mn")))
+    ) & (
+        (F.col("p_mx") == F.col("c_mx"))
+        | (F.abs(F.col("c_mx") - F.col("p_mx")) <= tol * F.abs(F.col("p_mx")))
+    )
+    matched = pct <= PROFILE_PERCENT_SIMILAR
+    matched_minmax = ~matched & eligible & (pct_s <= PROFILE_PERCENT_SIMILAR)
+    return j.select(
         "event_type",
         F.round("fp_sum", 6).alias("fp_sum"),
         F.round("calc_sum", 6).alias("calc_sum"),
         F.round(pct, 6).alias("percent_different"),
-        (pct <= PROFILE_PERCENT_SIMILAR).alias("matched"),
+        matched.alias("matched"),
+        eligible.alias("minmax_eligible"),
+        F.round(pct_s, 6).alias("minmax_percent_different"),
+        matched_minmax.alias("matched_minmax"),
+        (matched | matched_minmax).alias("not_anomalous"),
     )
 
 

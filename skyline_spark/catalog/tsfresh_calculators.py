@@ -1,0 +1,339 @@
+"""tsfresh-parity feature calculators, generated once for both engines.
+
+The reference extracts its Ionosphere features with the tsfresh library and
+pins the values with golden CSVs (`tests/baseline/tsfresh-0.4.0.py3.*.csv`,
+`features_profile.py:54-503`). This module restates 41 of those calculators
+as exact relational algebra: every aggregate is ONE shared ANSI-SQL
+expression string evaluated by Spark (``F.expr`` inside ``groupBy().agg``)
+AND inlined into the DuckDB oracle, so the two sides cannot drift.
+
+Definition parity was pinned EMPIRICALLY against the reference's golden CSV
+on its own 60-point fixture (utils/data.json[:60] — the series
+tests/baseline/tsfresh_features_test.py builds), which disambiguated the
+historically confusing calculators; tests/test_tsfresh_golden.py asserts
+every implemented feature equals the tsfresh-0.4.0 golden value:
+
+- percentage_of_reoccurring_datapoints_to_all_datapoints is UNIQUE-based
+  (reoccurring distinct values / distinct values) while
+  percentage_of_reoccurring_values_to_all_values is POINT-based;
+- sum_of_reoccurring_values sums WITH multiplicity despite the name;
+- autocorrelation(lag) is the Pearson corr of (x[:-lag], x[lag:])
+  (pandas Series.autocorr), not the ACF normalization;
+- time_reversal_asymmetry_statistic(lag) is mean(x·x₊₂ₗ² − x²·x₊ₗ)
+  (the 0.4.0 roll arrangement), not the textbook x₊₂ₗ²·x₊ₗ − x₊ₗ·x² form;
+- skewness/kurtosis are the pandas bias-corrected G1/G2;
+- quantile(q) is type-7 (pandas default), index_mass_quantile uses |x|.
+
+Not restated (need iterative/FFT kernels, stay out of the relational
+feature matrix): approximate_entropy, sample_entropy, ar_coefficient,
+augmented_dickey_fuller (the engine HAS adfuller in operators/stats_math —
+it gates ks_test), cwt_coefficients, number_cwt_peaks, fft_coefficient,
+spkt_welch_density, mean_autocorrelation, mean_abs_change_quantiles,
+large_number_of_peaks (boolean wrapper of number_peaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "PREP_WINDOW_EXPRS",
+    "SHARED_AGG_EXPRS",
+    "TSF_FEATURE_NAMES",
+    "tsfresh_feature_frame",
+    "tsfresh_oracle_body",
+]
+
+# per-row window columns both engines derive identically from the ordered
+# series e(event_type, rn, n, value); evaluated in TWO layers because bin10
+# consumes the first layer's window outputs
+PREP_WINDOW_EXPRS = [
+    ("mean_v", "avg(value) OVER (PARTITION BY event_type)"),
+    ("max_v", "max(value) OVER (PARTITION BY event_type)"),
+    ("min_v", "min(value) OVER (PARTITION BY event_type)"),
+    ("diff", "value - lag(value) OVER (PARTITION BY event_type ORDER BY rn)"),
+    ("lag1", "lag(value, 1) OVER (PARTITION BY event_type ORDER BY rn)"),
+    ("lead1", "lead(value, 1) OVER (PARTITION BY event_type ORDER BY rn)"),
+    ("lead2", "lead(value, 2) OVER (PARTITION BY event_type ORDER BY rn)"),
+    ("vcnt", "count(*) OVER (PARTITION BY event_type, value)"),
+    ("cum_abs",
+     "sum(abs(value)) OVER (PARTITION BY event_type ORDER BY rn "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    ("tot_abs", "sum(abs(value)) OVER (PARTITION BY event_type)"),
+    ("vr", "row_number() OVER (PARTITION BY event_type ORDER BY value, rn)"),
+]
+
+PREP_LAYER2_EXPRS = [
+    # np.histogram 10-bin index (binned_entropy); constant series → bin 0
+    ("bin10",
+     "CASE WHEN max_v = min_v THEN 0 ELSE least(9, greatest(0, "
+     "floor((value - min_v) * 10.0 / (max_v - min_v)))) END"),
+]
+
+# type-7 quantile helper fragments (pandas default interpolation)
+_Q9LO = "floor((n - 1) * 0.9) + 1"
+_Q9V = f"max(CASE WHEN vr = {_Q9LO} THEN value END)"
+_Q9V2 = f"max(CASE WHEN vr = {_Q9LO} + 1 THEN value END)"
+
+# (column name, shared aggregate SQL over the prepped per-row frame)
+SHARED_AGG_EXPRS: list[tuple[str, str]] = [
+    ("series_length", "count(*)"),
+    ("sum_values", "round(sum(value), 4)"),
+    ("mean_value", "round(avg(value), 6)"),
+    ("median_value", "round(median(value), 6)"),
+    ("standard_deviation", "round(stddev_pop(value), 6)"),
+    ("variance", "round(var_pop(value), 6)"),
+    ("maximum", "round(max(value), 6)"),
+    ("minimum", "round(min(value), 6)"),
+    ("abs_energy", "round(sum(value * value), 2)"),
+    ("absolute_sum_of_changes", "round(sum(abs(diff)), 4)"),
+    ("mean_abs_change", "round(avg(abs(diff)), 6)"),
+    ("mean_change", "round(avg(diff), 6)"),
+    ("count_above_mean",
+     "sum(CASE WHEN value > mean_v THEN 1 ELSE 0 END)"),
+    ("count_below_mean",
+     "sum(CASE WHEN value < mean_v THEN 1 ELSE 0 END)"),
+    ("first_location_of_maximum",
+     "round((min(CASE WHEN value = max_v THEN rn END) - 1e0) / count(*), 6)"),
+    ("last_location_of_minimum",
+     "round(max(CASE WHEN value = min_v THEN rn END) * 1e0 / count(*), 6)"),
+    ("first_location_of_minimum",
+     "round((min(CASE WHEN value = min_v THEN rn END) - 1e0) / count(*), 6)"),
+    ("last_location_of_maximum",
+     "round(max(CASE WHEN value = max_v THEN rn END) * 1e0 / count(*), 6)"),
+    ("has_duplicate",
+     "CASE WHEN count(*) > count(DISTINCT value) THEN 1e0 ELSE 0e0 END"),
+    ("has_duplicate_max",
+     "CASE WHEN max(CASE WHEN value = max_v THEN vcnt END) > 1 "
+     "THEN 1e0 ELSE 0e0 END"),
+    ("has_duplicate_min",
+     "CASE WHEN max(CASE WHEN value = min_v THEN vcnt END) > 1 "
+     "THEN 1e0 ELSE 0e0 END"),
+    ("variance_larger_than_standard_deviation",
+     "CASE WHEN var_pop(value) > stddev_pop(value) THEN 1e0 ELSE 0e0 END"),
+    ("ratio_value_number_to_time_series_length",
+     "round(count(DISTINCT value) * 1e0 / count(*), 6)"),
+    ("sum_of_reoccurring_values",
+     "round(sum(CASE WHEN vcnt > 1 THEN value ELSE 0 END), 4)"),
+    ("percentage_of_reoccurring_datapoints_to_all_datapoints",
+     "round(count(DISTINCT CASE WHEN vcnt > 1 THEN value END) * 1e0 "
+     "/ count(DISTINCT value), 6)"),
+    ("percentage_of_reoccurring_values_to_all_values",
+     "round(sum(CASE WHEN vcnt > 1 THEN 1e0 ELSE 0e0 END) / count(*), 6)"),
+    ("skewness",
+     "CASE WHEN count(*) > 2 AND var_pop(value) > 0 THEN "
+     "round(sqrt(count(*) * (count(*) - 1e0)) / (count(*) - 2e0) "
+     "* avg(pow(value - mean_v, 3)) / pow(var_pop(value), 1.5), 6) "
+     "ELSE 0e0 END"),
+    ("kurtosis",
+     "CASE WHEN count(*) > 3 AND var_pop(value) > 0 THEN "
+     "round(((count(*) + 1e0) * (avg(pow(value - mean_v, 4)) "
+     "/ (var_pop(value) * var_pop(value)) - 3e0) + 6e0) "
+     "* (count(*) - 1e0) / ((count(*) - 2e0) * (count(*) - 3e0)), 6) "
+     "ELSE 0e0 END"),
+    ("mean_second_derivate_central",
+     "round(0.5e0 * ((max(CASE WHEN rn = n THEN value END) "
+     "- max(CASE WHEN rn = n - 1 THEN value END)) "
+     "- (max(CASE WHEN rn = 2 THEN value END) "
+     "- max(CASE WHEN rn = 1 THEN value END))) / (count(*) - 2e0), 6)"),
+    ("autocorrelation_lag_1", "round(corr(value, lead1), 6)"),
+    ("time_reversal_asymmetry_statistic_lag_1",
+     "round(avg(CASE WHEN rn <= n - 2 THEN "
+     "value * lead2 * lead2 - value * value * lead1 END), 2)"),
+    ("number_peaks_n_1",
+     "sum(CASE WHEN rn > 1 AND rn < n AND value > lag1 AND value > lead1 "
+     "THEN 1e0 ELSE 0e0 END)"),
+    ("index_mass_quantile_q_0_5",
+     "round(min(CASE WHEN cum_abs >= 0.5e0 * tot_abs THEN rn END) * 1e0 "
+     "/ count(*), 6)"),
+    ("symmetry_looking_r_0_05",
+     "CASE WHEN abs(avg(value) - median(value)) "
+     "< 0.05 * (max(value) - min(value)) THEN 1e0 ELSE 0e0 END"),
+    ("large_standard_deviation_r_0_25",
+     "CASE WHEN stddev_pop(value) > 0.25 * (max(value) - min(value)) "
+     "THEN 1e0 ELSE 0e0 END"),
+    ("quantile_q_0_9",
+     f"round({_Q9V} + ((count(*) - 1) * 0.9 - floor((count(*) - 1) * 0.9)) "
+     f"* (coalesce({_Q9V2}, {_Q9V}) - {_Q9V}), 6)"),
+    ("value_count_value_0",
+     "sum(CASE WHEN value = 0 THEN 1e0 ELSE 0e0 END)"),
+    ("range_count_max_1_min_m1",
+     "sum(CASE WHEN value >= -1 AND value < 1 THEN 1e0 ELSE 0e0 END)"),
+]
+
+# strikes + binned_entropy are computed in dedicated grouped passes (below);
+# they join onto the shared-aggregate frame
+EXTRA_FEATURES = [
+    "longest_strike_above_mean",
+    "longest_strike_below_mean",
+    "binned_entropy_max_bins_10",
+]
+
+TSF_FEATURE_NAMES = [n for n, _ in SHARED_AGG_EXPRS] + EXTRA_FEATURES
+
+
+def _prep(e: DataFrame) -> DataFrame:
+    s = e.select(
+        "event_type",
+        "rn",
+        "n",
+        "value",
+        *[F.expr(sql).alias(name) for name, sql in PREP_WINDOW_EXPRS],
+    )
+    return s.select(
+        "*", *[F.expr(sql).alias(name) for name, sql in PREP_LAYER2_EXPRS]
+    )
+
+
+def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
+    """Feature matrix for a windowed series frame e(event_type, rn, n, value)
+    — one row per event_type with every TSF_FEATURE_NAMES column plus the
+    features_count/features_sum pair the reference persists for profile
+    matching (`features_profile.py:466-482`)."""
+    s = _prep(e)
+
+    feat = s.groupBy("event_type").agg(
+        *[F.expr(sql).alias(name) for name, sql in SHARED_AGG_EXPRS]
+    )
+
+    # gaps-and-islands strikes: a maximal run of consecutive rn with the
+    # same above/below flag; rn - row_number-within-flag is constant per run
+    from pyspark.sql import Window
+
+    flagged = s.select(
+        "event_type",
+        "rn",
+        (F.col("value") > F.col("mean_v")).alias("above"),
+        (F.col("value") < F.col("mean_v")).alias("below"),
+    )
+    wa = Window.partitionBy("event_type", "above").orderBy("rn")
+    wb = Window.partitionBy("event_type", "below").orderBy("rn")
+    runs = flagged.select(
+        "event_type",
+        "above",
+        "below",
+        (F.col("rn") - F.row_number().over(wa)).alias("ga"),
+        (F.col("rn") - F.row_number().over(wb)).alias("gb"),
+    )
+
+    def _longest(flag, grp):
+        return (
+            runs.where(F.col(flag))
+            .groupBy("event_type", grp)
+            .count()
+            .groupBy("event_type")
+            .agg(F.max("count").alias(f"_{flag}"))
+        )
+
+    # binned_entropy: 10-bin histogram probabilities → -(Σ p·ln p), two tiny
+    # aggs (bin counts, then per-group totals)
+    bins = s.groupBy("event_type", "bin10").agg(F.count(F.lit(1)).alias("c"))
+    totals = bins.groupBy("event_type").agg(F.sum("c").alias("t"))
+    ent = (
+        bins.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t"))),
+                6,
+            ).alias("binned_entropy_max_bins_10")
+        )
+    )
+
+    out = (
+        feat.join(_longest("above", "ga"), "event_type", "left")
+        .join(_longest("below", "gb"), "event_type", "left")
+        .join(ent, "event_type", "left")
+        .withColumn(
+            "longest_strike_above_mean",
+            F.coalesce("_above", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "longest_strike_below_mean",
+            F.coalesce("_below", F.lit(0)).cast("long"),
+        )
+        .drop("_above", "_below")
+        .withColumn("series_length", F.col("series_length").cast("long"))
+        .withColumn("count_above_mean", F.col("count_above_mean").cast("long"))
+        .withColumn("count_below_mean", F.col("count_below_mean").cast("long"))
+        .withColumn(
+            "features_count", F.lit(len(TSF_FEATURE_NAMES)).cast("long")
+        )
+    )
+    return out.withColumn(
+        "features_sum",
+        F.round(
+            sum(
+                (F.col(c) for c in TSF_FEATURE_NAMES[1:]),
+                F.col("series_length") * 1.0,
+            ),
+            2,
+        ),
+    )
+
+
+def tsfresh_oracle_body() -> str:
+    """DuckDB restatement over the windowed-series CTE ``e`` — the SAME
+    shared aggregate strings, plus the strikes/entropy passes."""
+    prep1 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_WINDOW_EXPRS)
+    prep2 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_LAYER2_EXPRS)
+    aggs = ",\n         ".join(f"{sql} AS {name}" for name, sql in SHARED_AGG_EXPRS)
+    feature_sum = " + ".join(TSF_FEATURE_NAMES)
+    return f"""
+, s1 AS (
+  SELECT event_type, rn, n, value,
+         {prep1}
+  FROM e
+), s AS (
+  SELECT *,
+         {prep2}
+  FROM s1
+), flagged AS (
+  SELECT event_type, rn, value > mean_v AS above, value < mean_v AS below
+  FROM s
+), runs AS (
+  SELECT event_type, above, below,
+         rn - row_number() OVER (PARTITION BY event_type, above ORDER BY rn) AS ga,
+         rn - row_number() OVER (PARTITION BY event_type, below ORDER BY rn) AS gb
+  FROM flagged
+), strike_above AS (
+  SELECT event_type, max(c) AS longest FROM (
+    SELECT event_type, count(*) AS c FROM runs WHERE above GROUP BY event_type, ga
+  ) GROUP BY event_type
+), strike_below AS (
+  SELECT event_type, max(c) AS longest FROM (
+    SELECT event_type, count(*) AS c FROM runs WHERE below GROUP BY event_type, gb
+  ) GROUP BY event_type
+), bins AS (
+  SELECT event_type, bin10, count(*) AS c FROM s GROUP BY event_type, bin10
+), totals AS (
+  SELECT event_type, sum(c) AS t FROM bins GROUP BY event_type
+), ent AS (
+  SELECT b.event_type,
+         round(-sum((b.c * 1e0 / tt.t) * ln(b.c * 1e0 / tt.t)), 6)
+           AS binned_entropy_max_bins_10
+  FROM bins b JOIN totals tt ON tt.event_type = b.event_type
+  GROUP BY b.event_type
+), feat AS (
+  SELECT event_type,
+         {aggs}
+  FROM s GROUP BY event_type
+), full_feat AS (
+  SELECT f.* REPLACE (
+           f.series_length::BIGINT AS series_length,
+           f.count_above_mean::BIGINT AS count_above_mean,
+           f.count_below_mean::BIGINT AS count_below_mean),
+         coalesce(sa.longest, 0)::BIGINT AS longest_strike_above_mean,
+         coalesce(sb.longest, 0)::BIGINT AS longest_strike_below_mean,
+         en.binned_entropy_max_bins_10
+  FROM feat f
+  LEFT JOIN strike_above sa USING (event_type)
+  LEFT JOIN strike_below sb USING (event_type)
+  LEFT JOIN ent en USING (event_type)
+)
+SELECT *,
+       {len(TSF_FEATURE_NAMES)}::BIGINT AS features_count,
+       round({feature_sum}, 2) AS features_sum
+FROM full_feat
+ORDER BY event_type
+"""

@@ -1,0 +1,142 @@
+"""tsfresh calculator parity against the reference's own golden CSV.
+
+The reference pins its feature extraction with
+tests/baseline/tsfresh-0.4.0.py3.data.json.features.transposed.csv computed
+by the real tsfresh 0.4.0 on utils/data.json[:60] (the exact fixture
+tests/baseline/tsfresh_features_test.py builds). Every calculator this
+engine implements must reproduce the golden value on that series —
+the test that pinned the ambiguous definitions documented in
+skyline_spark/catalog/tsfresh_calculators.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+GOLDEN_CSV = (
+    "/root/reference/tests/baseline/"
+    "tsfresh-0.4.0.py3.data.json.features.transposed.csv"
+)
+DATA_JSON = "/root/reference/utils/data.json"
+
+# our column → tsfresh 0.4.0 golden key
+GOLDEN_MAP = {
+    "series_length": "value__length",
+    "sum_values": "value__sum_values",
+    "mean_value": "value__mean",
+    "median_value": "value__median",
+    "standard_deviation": "value__standard_deviation",
+    "variance": "value__variance",
+    "maximum": "value__maximum",
+    "minimum": "value__minimum",
+    "abs_energy": "value__abs_energy",
+    "absolute_sum_of_changes": "value__absolute_sum_of_changes",
+    "mean_abs_change": "value__mean_abs_change",
+    "mean_change": "value__mean_change",
+    "count_above_mean": "value__count_above_mean",
+    "count_below_mean": "value__count_below_mean",
+    "first_location_of_maximum": "value__first_location_of_maximum",
+    "last_location_of_minimum": "value__last_location_of_minimum",
+    "first_location_of_minimum": "value__first_location_of_minimum",
+    "last_location_of_maximum": "value__last_location_of_maximum",
+    "has_duplicate": "value__has_duplicate",
+    "has_duplicate_max": "value__has_duplicate_max",
+    "has_duplicate_min": "value__has_duplicate_min",
+    "variance_larger_than_standard_deviation":
+        "value__variance_larger_than_standard_deviation",
+    "ratio_value_number_to_time_series_length":
+        "value__ratio_value_number_to_time_series_length",
+    "sum_of_reoccurring_values": "value__sum_of_reoccurring_values",
+    "percentage_of_reoccurring_datapoints_to_all_datapoints":
+        "value__percentage_of_reoccurring_datapoints_to_all_datapoints",
+    "percentage_of_reoccurring_values_to_all_values":
+        "value__percentage_of_reoccurring_values_to_all_values",
+    "skewness": "value__skewness",
+    "kurtosis": "value__kurtosis",
+    "mean_second_derivate_central": "value__mean_second_derivate_central",
+    "autocorrelation_lag_1": "value__autocorrelation__lag_1",
+    "time_reversal_asymmetry_statistic_lag_1":
+        "value__time_reversal_asymmetry_statistic__lag_1",
+    "number_peaks_n_1": "value__number_peaks__n_1",
+    "index_mass_quantile_q_0_5": None,  # q grid in golden skips 0.5; see below
+    "symmetry_looking_r_0_05": "value__symmetry_looking__r_0.05",
+    "large_standard_deviation_r_0_25": "value__large_standard_deviation__r_0.25",
+    "quantile_q_0_9": "value__quantile__q_0.9",
+    "value_count_value_0": "value__value_count__value_0",
+    "range_count_max_1_min_m1": "value__range_count__max_1__min_-1",
+    "longest_strike_above_mean": "value__longest_strike_above_mean",
+    "longest_strike_below_mean": "value__longest_strike_below_mean",
+    "binned_entropy_max_bins_10": "value__binned_entropy__max_bins_10",
+}
+
+
+@pytest.fixture(scope="module")
+def golden():
+    out = {}
+    with open(GOLDEN_CSV) as f:
+        for r in csv.reader(f):
+            if r and r[0].startswith("value__"):
+                out[r[0]] = float(r[1]) if r[1] not in ("", "nan") else float("nan")
+    return out
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    from skyline_spark.catalog.tsfresh_calculators import tsfresh_feature_frame
+
+    with open(DATA_JSON) as f:
+        pts = json.load(f)["results"][:60]
+    assert int(pts[0][0]) == 1369677886 and len(pts) == 60  # the reference fixture
+    rows = [
+        ("tsfresh_features_test", i + 1, 60, float(v)) for i, (_, v) in enumerate(pts)
+    ]
+    e = spark.createDataFrame(rows, "event_type string, rn int, n int, value double")
+    [row] = tsfresh_feature_frame(e).collect()
+    return row.asDict()
+
+
+def test_every_feature_matches_golden(features, golden):
+    missing, bad = [], []
+    for col, key in GOLDEN_MAP.items():
+        if key is None:
+            continue
+        if key not in golden:
+            missing.append(key)
+            continue
+        ours, want = float(features[col]), golden[key]
+        # our displayed features round at 2–6 dp; allow the rounding quantum
+        # plus float-path noise relative to the golden magnitude
+        tol = max(1e-6 * abs(want), 5e-3)
+        if math.isnan(want):
+            ok = math.isnan(ours)
+        else:
+            ok = abs(ours - want) <= tol
+        if not ok:
+            bad.append((col, ours, want))
+    assert not missing, f"golden keys not found: {missing}"
+    assert not bad, f"feature mismatches vs tsfresh-0.4.0 golden: {bad}"
+
+
+def test_index_mass_quantile_against_numpy(features):
+    # the golden's q grid skips 0.5; pin against the definition directly
+    import numpy as np
+
+    with open(DATA_JSON) as f:
+        x = np.array([float(v) for _, v in json.load(f)["results"][:60]])
+    cs = np.cumsum(np.abs(x)) / np.abs(x).sum()
+    want = (int(np.argmax(cs >= 0.5)) + 1) / len(x)
+    assert abs(features["index_mass_quantile_q_0_5"] - want) < 1e-6
+
+
+def test_features_sum_consistent(features):
+    from skyline_spark.catalog.tsfresh_calculators import TSF_FEATURE_NAMES
+
+    total = sum(float(features[c]) for c in TSF_FEATURE_NAMES)
+    assert abs(features["features_sum"] - round(total, 2)) < 1e-6
+    assert features["features_count"] == len(TSF_FEATURE_NAMES)
