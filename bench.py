@@ -128,6 +128,44 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     extras["partitions_validated"] = n_parts
     extras["partitions_per_hour"] = round(n_parts / dt * 3600, 1)
 
+    # --- resume at bench scale (north_star resumability evidence) ----------
+    # Full run writes the checkpoint; one appended day later, the re-run's
+    # checkpoint anti-join must re-validate ONLY the new day's partitions —
+    # the steady-state shape of a daily 10^12-row sweep. Reported:
+    # partitions validated by the resumed run (vs the full count above) and
+    # its wall time.
+    from skyline_spark.plans.checkpoint import append_checkpoint
+
+    ckpt_path = os.path.join(tmp, "checkpoint")
+    res = validate(
+        pages,
+        ValidationConfig(min_history=4, stale_after_partitions=None),
+        checkpoint_path=ckpt_path,
+        run_ts=1_700_000_000.0,
+    )
+    append_checkpoint(res.checkpoint, ckpt_path)
+    res.release()
+    # append one NEW day (day index n_days) sized like one existing day
+    synth_pages(
+        spark, n_rows=max(n_rows // n_days, 1000), n_days=1,
+        base_date="2026-08-31", defects=False,
+    ).write.mode("append").parquet(pages_path)
+    pages2 = spark.read.parquet(pages_path)
+    t0 = time.time()
+    res2 = validate(
+        pages2,
+        ValidationConfig(min_history=4, stale_after_partitions=None),
+        checkpoint_path=ckpt_path,
+        run_ts=1_700_000_000.0,
+    )
+    resumed_parts = res2.verdicts.count()
+    _noop_sink(res2.violations)
+    dt_resume = time.time() - t0
+    res2.release()
+    timings["validate_resume_1day"] = round(dt_resume, 3)
+    extras["resume_partitions_validated"] = resumed_parts
+    extras["resume_prune_ratio"] = round(resumed_parts / max(n_parts, 1), 4)
+
     # --- kernel throughput: 9-detector ensemble over many series ----------
     n_series = max(int(20_000 * sf / 0.1), 500)
     pts = 60
@@ -190,6 +228,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
 
     # --- representative catalog queries ------------------------------------
     bench_queries = [
+        "validate_pages_relational",
+        "drift_ensemble_daily_relational",
+        "checkpoint_digest_quantiles",
+        "tsfresh_features",
+        "ionosphere_profile_match",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
