@@ -73,6 +73,7 @@ def main() -> int:
     spark = get_spark("parity-check", cores=8)
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,10 +84,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": f"spark error: {e}"[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rows_only += 1
             continue
         try:
@@ -95,6 +98,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            results[name] = {"status": "FAIL", "err": f"duckdb error: {e}"[:300]}
             n_fail += 1
             continue
         sn, sc = norm_rows(scols, srows)
@@ -112,11 +116,23 @@ def main() -> int:
             ok = False
         if ok:
             print(f"ok    {name}: {len(sn)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "ok", "rows": len(sn),
+                             "secs": round(time.time() - t0, 2)}
             n_pass += 1
         else:
+            results[name] = {"status": "FAIL"}
             n_fail += 1
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED")
+    out_json = os.environ.get("PARITY_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": n_pass,
+                       "n_rows_only": n_rows_only, "n_fail": n_fail,
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json}")
     spark.stop()
     return 1 if n_fail else 0
 
