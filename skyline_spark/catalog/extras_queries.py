@@ -269,3 +269,54 @@ from .tsfresh_calculators import (  # noqa: E402
 )
 def tsfresh_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsfresh_feature_frame(_series(spark, sf_dir))
+
+
+#: per-series point cap for the O(n²) entropy calculators (reference
+#: fixture scale: FULL_DURATION series are ~1,440 points)
+TSFRESH_KERNEL_MAX_POINTS = 1440
+
+
+@query(
+    "tsfresh_features_kernel",
+    None,
+    doc="the NON-relational tsfresh calculators (approximate/sample entropy, "
+        "AR(10) coefficients, ADF tau, truncated-rfft fft_coefficient, "
+        "single-segment Welch density, Ricker-CWT coefficients and peak "
+        "counts, corridor change-quantiles, large_number_of_peaks) as "
+        "vectorized numpy kernels in one Arrow-batched grouped map per "
+        "series — every formula pinned to the reference's tsfresh-0.4.0 "
+        "golden CSV values on its own fixture (operators/tsfresh_kernels.py, "
+        "tests/test_tsfresh_golden.py); rows-only (FFT/OLS/wavelets are not "
+        "SQL-expressible), complements the 41 oracled calculators in "
+        "tsfresh_features. The entropy calculators are O(n²) per series by "
+        "definition, so each series is capped at its last "
+        "TSFRESH_KERNEL_MAX_POINTS points — self-described by the "
+        "truncated/window_start columns (same contract as "
+        "replay_full_ensemble); the reference itself extracts features on "
+        "bounded windows (FULL_DURATION series, ~1,440 points)",
+)
+def tsfresh_features_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.tsfresh_kernels import KERNEL_FEATURES, kernel_feature_row
+
+    schema = (
+        "event_type string, truncated boolean, window_start long, "
+        + ", ".join(f"{name} double" for name in KERNEL_FEATURES)
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_full = len(pdf)
+        pdf = pdf.sort_values(["ts", "event_id"]).tail(TSFRESH_KERNEL_MAX_POINTS)
+        vals = kernel_feature_row(pdf["value"].to_numpy())
+        return pd.DataFrame(
+            [
+                [pdf["event_type"].iat[0], n_full > len(pdf), n_full - len(pdf)]
+                + [round(float(v), 6) for v in vals]
+            ],
+            columns=["event_type", "truncated", "window_start"]
+            + list(KERNEL_FEATURES),
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    return ev.groupBy("event_type").applyInPandas(_one, schema)

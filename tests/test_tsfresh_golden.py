@@ -140,3 +140,73 @@ def test_features_sum_consistent(features):
     total = sum(float(features[c]) for c in TSF_FEATURE_NAMES)
     assert abs(features["features_sum"] - round(total, 2)) < 1e-6
     assert features["features_count"] == len(TSF_FEATURE_NAMES)
+
+
+def test_kernel_features_match_golden(golden):
+    """Every non-relational kernel calculator reproduces the tsfresh-0.4.0
+    golden value on the reference fixture — including the era quirks
+    documented in operators/tsfresh_kernels.py."""
+    import numpy as np
+
+    from skyline_spark.operators import tsfresh_kernels as K
+
+    with open(DATA_JSON) as f:
+        x = np.array([float(v) for _, v in json.load(f)["results"][:60]])
+
+    bad = []
+
+    def ck(key, ours, tol=1e-6):
+        want = golden[key]
+        ok = (math.isnan(want) and math.isnan(ours)) or abs(ours - want) <= tol * max(
+            1.0, abs(want)
+        )
+        if not ok:
+            bad.append((key, ours, want))
+
+    for r in K.APEN_RS:
+        ck(f"value__approximate_entropy__m_2__r_{r}", K.approximate_entropy(x, 2, r))
+    ck("value__sample_entropy", K.sample_entropy(x))
+    ar = K.ar_coefficient(x, 10)
+    for c in K.AR_COEFFS:
+        ck(f"value__ar_coefficient__k_10__coeff_{c}", float(ar[c]))
+    ck("value__augmented_dickey_fuller", K.augmented_dickey_fuller_stat(x))
+    fft = K.fft_coefficient(x)
+    for c in range(10):
+        ck(f"value__fft_coefficient__coeff_{c}", float(fft[c]))
+    w = K.spkt_welch_density(x)
+    for c in (2, 5, 8):
+        ck(f"value__spkt_welch_density__coeff_{c}", float(w[c]))
+    n_cwt = 0
+    for (wd, c), v in K.cwt_coefficients(x).items():
+        key = f"value__cwt_coefficients__widths_(2, 5, 10, 20)__coeff_{c}__w_{wd}"
+        if key in golden:
+            ck(key, v)
+            n_cwt += 1
+    assert n_cwt == 60  # the full golden cwt grid
+    for ql in (0.0, 0.2, 0.4, 0.6, 0.8):
+        for qh in (0.2, 0.4, 0.6, 0.8, 1.0):
+            key = f"value__mean_abs_change_quantiles__qh_{qh}__ql_{ql}"
+            if key in golden:
+                ck(key, K.mean_abs_change_quantiles(x, ql, qh))
+    for n in (1, 5):
+        ck(f"value__number_cwt_peaks__n_{n}", float(K.number_cwt_peaks(x, n)))
+    for n in (1, 3, 5):
+        ck(
+            f"value__large_number_of_peaks__n_{n}",
+            1.0 if K.large_number_of_peaks(x, n) else 0.0,
+        )
+    assert not bad, f"kernel feature mismatches vs golden: {bad}"
+
+
+def test_kernel_features_sparse_series():
+    """The sparse statsd fixture pins sample_entropy on a second series
+    (0.3.0 golden, identical formula across versions)."""
+    import numpy as np
+
+    from skyline_spark.operators.tsfresh_kernels import sample_entropy
+
+    with open(
+        "/root/reference/tests/baseline/stats.statsd.bad_lines_seen.20161110.csv"
+    ) as f:
+        x = np.array([float(r.rsplit(",", 1)[1]) for r in f.read().splitlines()])
+    assert abs(sample_entropy(x) - 0.0832384483338) < 1e-10
