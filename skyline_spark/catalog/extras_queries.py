@@ -280,6 +280,7 @@ TSFRESH_KERNEL_MAX_POINTS = 1440
     "tsfresh_features_kernel",
     None,
     doc="the NON-relational tsfresh calculators (approximate/sample entropy, "
+        "mean_autocorrelation with its historical lag-k divisor quirk, "
         "AR(10) coefficients, ADF tau, truncated-rfft fft_coefficient, "
         "single-segment Welch density, Ricker-CWT coefficients and peak "
         "counts, corridor change-quantiles, large_number_of_peaks) as "

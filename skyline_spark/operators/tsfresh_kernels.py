@@ -27,11 +27,13 @@ recovered several era-specific quirks a textbook implementation would miss
   AIC-selected lag — ``operators.stats_math.adfuller`` already matches the
   golden to 1e-11 (it gates ks_test in the engine).
 
-``mean_autocorrelation`` is NOT implemented: the golden value (1.1720 on a
-60-point series) exceeds 1, so it is not a mean of correlation
-coefficients under any of the ~40 normalization/aggregation variants
-searched; rather than ship a guess the calculator is skipped and the gap
-documented here.
+- ``mean_autocorrelation`` divides each lag-k autocovariance sum by the
+  LAG k — not the pair count (n−k) its own docstring implies — because the
+  historical implementation slices the ``np.correlate`` result one element
+  off; that is why golden values exceed 1 (1.1720 on a 60-point series).
+  Found by exhaustive search over (index shift × divisor vector ×
+  aggregation) after every textbook normalization missed by orders of
+  magnitude; the recovered form reproduces BOTH fixture goldens to 1e-13.
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ from .stats_math import adfuller
 __all__ = [
     "approximate_entropy",
     "sample_entropy",
+    "mean_autocorrelation",
     "ar_coefficient",
     "augmented_dickey_fuller_stat",
     "fft_coefficient",
@@ -96,6 +99,27 @@ def sample_entropy(x: np.ndarray) -> float:
     if cnt == 0 or total == 0:
         return float("nan")
     return -math.log(cnt / total)
+
+
+def mean_autocorrelation(x: np.ndarray) -> float:
+    """tsfresh-0.4 ``mean_autocorrelation``: mean over lags k=1..n−1 of
+    ``S_k / (k·σ²)`` where ``S_k = Σ_t (x_t−μ)(x_{t+k}−μ)`` and σ² is the
+    population variance. NOTE the divisor is the LAG k, not the pair count
+    (n−k) the docstring's estimator formula implies — the historical
+    implementation slices ``np.correlate(...,'full')`` one element off, so
+    lag k's sum lands on divisor k. This is why golden values can exceed 1
+    (1.1720 on the 60-point fixture). Recovered empirically: this exact
+    form reproduces BOTH fixture goldens to 1e-13; every textbook
+    normalization tried is off by orders of magnitude (see module
+    docstring history)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    var = x.var()
+    if abs(var) < 1e-10 or n == 1:
+        return 0.0
+    xc = x - x.mean()
+    s = np.correlate(xc, xc, mode="full")[n:]  # S_k for k=1..n−1
+    return float(np.mean(s / (np.arange(1, n) * var)))
 
 
 def ar_coefficient(x: np.ndarray, k: int = 10) -> np.ndarray:
@@ -302,6 +326,7 @@ PEAK_NS = (1, 3, 5)
 def _kernel_feature_names() -> list[str]:
     names = [f"approximate_entropy_m_2_r_{r}" for r in APEN_RS]
     names.append("sample_entropy")
+    names.append("mean_autocorrelation")
     names += [f"ar_coefficient_k_{AR_K}_coeff_{c}" for c in AR_COEFFS]
     names.append("augmented_dickey_fuller")
     names += [f"fft_coefficient_coeff_{c}" for c in FFT_COEFFS]
@@ -320,6 +345,7 @@ def kernel_feature_row(x: np.ndarray) -> list[float]:
     """All kernel features of one series, in KERNEL_FEATURES order."""
     vals: list[float] = [approximate_entropy(x, 2, r) for r in APEN_RS]
     vals.append(sample_entropy(x))
+    vals.append(mean_autocorrelation(x))
     ar = ar_coefficient(x, AR_K)
     vals += [float(ar[c]) for c in AR_COEFFS]
     vals.append(augmented_dickey_fuller_stat(x))

@@ -166,6 +166,7 @@ def test_kernel_features_match_golden(golden):
     for r in K.APEN_RS:
         ck(f"value__approximate_entropy__m_2__r_{r}", K.approximate_entropy(x, 2, r))
     ck("value__sample_entropy", K.sample_entropy(x))
+    ck("value__mean_autocorrelation", K.mean_autocorrelation(x), tol=1e-12)
     ar = K.ar_coefficient(x, 10)
     for c in K.AR_COEFFS:
         ck(f"value__ar_coefficient__k_10__coeff_{c}", float(ar[c]))
@@ -210,3 +211,8 @@ def test_kernel_features_sparse_series():
     ) as f:
         x = np.array([float(r.rsplit(",", 1)[1]) for r in f.read().splitlines()])
     assert abs(sample_entropy(x) - 0.0832384483338) < 1e-10
+    from skyline_spark.operators.tsfresh_kernels import mean_autocorrelation
+
+    # the lag-divisor quirk reproduces the sparse golden too (0.3.0 CSV,
+    # identical formula across 0.1.2→0.4.0)
+    assert abs(mean_autocorrelation(x) - 0.0280910496391) < 1e-10
