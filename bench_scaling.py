@@ -198,8 +198,8 @@ def run_child(n_exec: int, series_path: str, pages_path: str) -> dict:
 def main() -> None:
     # --reuse DIR: skip prep and time against already-staged inputs (a prior
     # run's tmp dir with series/ and pages/ both carrying _SUCCESS markers)
-    if len(sys.argv) == 3 and sys.argv[1] == "--reuse":
-        tmp = sys.argv[2]
+    if "--reuse" in sys.argv:
+        tmp = sys.argv[sys.argv.index("--reuse") + 1]
         series_path, pages_path = tmp + "/series", tmp + "/pages"
         for p in (series_path, pages_path):
             if not os.path.exists(os.path.join(p, "_SUCCESS")):
