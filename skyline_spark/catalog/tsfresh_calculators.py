@@ -2,10 +2,17 @@
 
 The reference extracts its Ionosphere features with the tsfresh library and
 pins the values with golden CSVs (`tests/baseline/tsfresh-0.4.0.py3.*.csv`,
-`features_profile.py:54-503`). This module restates 41 of those calculators
-as exact relational algebra: every aggregate is ONE shared ANSI-SQL
+`features_profile.py:54-503`). This module restates every SQL-expressible
+calculator — 101 feature columns spanning the FULL tsfresh-0.4.0 default
+parameter grids (autocorrelation lags 0-9, quantile/index_mass_quantile q
+grids, symmetry_looking × 20 r's, large_standard_deviation × 10 r's,
+value_count incl. NaN/±Inf, number_peaks n ∈ {1,3,5}, time-reversal lags
+1-3) — as exact relational algebra: every aggregate is ONE shared ANSI-SQL
 expression string evaluated by Spark (``F.expr`` inside ``groupBy().agg``)
-AND inlined into the DuckDB oracle, so the two sides cannot drift.
+AND inlined into the DuckDB oracle, so the two sides cannot drift. Together
+with the 117 numpy-kernel features (``operators/tsfresh_kernels.py``) the
+engine emits every one of the golden CSV's 216 pinned values
+(tests/test_tsfresh_golden.py::test_full_golden_matrix_coverage).
 
 Definition parity was pinned EMPIRICALLY against the reference's golden CSV
 on its own 60-point fixture (utils/data.json[:60] — the series
@@ -52,9 +59,17 @@ PREP_WINDOW_EXPRS = [
     ("max_v", "max(value) OVER (PARTITION BY event_type)"),
     ("min_v", "min(value) OVER (PARTITION BY event_type)"),
     ("diff", "value - lag(value) OVER (PARTITION BY event_type ORDER BY rn)"),
-    ("lag1", "lag(value, 1) OVER (PARTITION BY event_type ORDER BY rn)"),
-    ("lead1", "lead(value, 1) OVER (PARTITION BY event_type ORDER BY rn)"),
-    ("lead2", "lead(value, 2) OVER (PARTITION BY event_type ORDER BY rn)"),
+    # lag/lead ladders: autocorrelation lags 0-9 need lead1..lead9,
+    # time_reversal lags 1-3 need lead1..lead6, number_peaks n∈{1,3,5} needs
+    # lag1..lag5 + lead1..lead5 — all planned into ONE window node per engine
+    *[
+        (f"lag{k}", f"lag(value, {k}) OVER (PARTITION BY event_type ORDER BY rn)")
+        for k in range(1, 6)
+    ],
+    *[
+        (f"lead{k}", f"lead(value, {k}) OVER (PARTITION BY event_type ORDER BY rn)")
+        for k in range(1, 10)
+    ],
     ("vcnt", "count(*) OVER (PARTITION BY event_type, value)"),
     ("cum_abs",
      "sum(abs(value)) OVER (PARTITION BY event_type ORDER BY rn "
@@ -161,6 +176,122 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
      "sum(CASE WHEN value >= -1 AND value < 1 THEN 1e0 ELSE 0e0 END)"),
 ]
 
+
+def _p(v: float) -> str:
+    """Canonical param fragment for a column name: 0.05 → '0_05', 0.1 → '0_1'
+    (the golden CSV's float-noise reprs like 0.15000000000000002 canonicalize
+    to the same 2-dp value — tests map by parsed float, not by string)."""
+    return f"{round(v, 2):g}".replace(".", "_").replace("-", "m")
+
+
+def _q7(q: float) -> str:
+    """Type-7 (pandas default) quantile of value via the vr value-rank
+    ladder: lo = floor((n−1)·q)+1, linear interpolation to the next rank.
+    Inside the aggregated CASE the series length is the per-row ``n`` column
+    (count(*) there would nest aggregates); the top-level frac term uses
+    count(*) directly — same q_0.9 pattern as the literal list."""
+    lo = f"floor((n - 1) * {q}) + 1"
+    v1 = f"max(CASE WHEN vr = {lo} THEN value END)"
+    v2 = f"max(CASE WHEN vr = {lo} + 1 THEN value END)"
+    frac = f"((count(*) - 1) * {q} - floor((count(*) - 1) * {q}))"
+    return f"round({v1} + {frac} * (coalesce({v2}, {v1}) - {v1}), 6)"
+
+
+# --- full tsfresh-0.4.0 default parameter grids (generated, shared by both
+# engines; every definition pinned against the golden CSV on the reference
+# fixture by tests/test_tsfresh_golden.py) -----------------------------------
+
+# autocorrelation lags 0-9: pandas Series.autocorr — Pearson corr of
+# (x_t, x_{t+lag}); lag 0 is corr(x, x) = 1 whenever the series varies
+SHARED_AGG_EXPRS += [
+    (
+        f"autocorrelation_lag_{k}",
+        "round(corr(value, value), 6)" if k == 0
+        else f"round(corr(value, lead{k}), 6)",
+    )
+    for k in (0, 2, 3, 4, 5, 6, 7, 8, 9)
+]
+
+# time_reversal_asymmetry_statistic lags 2, 3 (lag 1 is in the literal list):
+# mean over the first n−2l points of x·x₊₂ₗ² − x²·x₊ₗ (the 0.4.0 roll form)
+SHARED_AGG_EXPRS += [
+    (
+        f"time_reversal_asymmetry_statistic_lag_{l}",
+        f"round(avg(CASE WHEN rn <= n - {2 * l} THEN "
+        f"value * lead{2 * l} * lead{2 * l} - value * value * lead{l} END), 2)",
+    )
+    for l in (2, 3)
+]
+
+# quantile q grid (q 0.9 is in the literal list; the golden grid skips 0.5)
+SHARED_AGG_EXPRS += [
+    (f"quantile_q_{_p(q)}", _q7(q)) for q in (0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8)
+]
+
+# index_mass_quantile q grid: first rn where the |x| mass reaches q, over n
+# (q 0.5 in the literal list; the golden grid skips it)
+SHARED_AGG_EXPRS += [
+    (
+        f"index_mass_quantile_q_{_p(q)}",
+        f"round(min(CASE WHEN cum_abs >= {q} * tot_abs THEN rn END) * 1e0 "
+        "/ count(*), 6)",
+    )
+    for q in (0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8, 0.9)
+]
+
+# large_standard_deviation r grid: std > r·(max−min) (r 0.25 in literal list)
+SHARED_AGG_EXPRS += [
+    (
+        f"large_standard_deviation_r_{_p(r)}",
+        f"CASE WHEN stddev_pop(value) > {r} * (max(value) - min(value)) "
+        "THEN 1e0 ELSE 0e0 END",
+    )
+    for r in (0.0, 0.05, 0.1, 0.15, 0.2, 0.3, 0.35, 0.4, 0.45)
+]
+
+# symmetry_looking r grid: |mean − median| < r·(max−min) (r 0.05 in literal)
+SHARED_AGG_EXPRS += [
+    (
+        f"symmetry_looking_r_{_p(r)}",
+        f"CASE WHEN abs(avg(value) - median(value)) "
+        f"< {r} * (max(value) - min(value)) THEN 1e0 ELSE 0e0 END",
+    )
+    for r in (
+        0.0, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+        0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95,
+    )
+]
+
+# value_count grid: exact-value point counts (value 0 in the literal list);
+# NaN/±Inf arms keep tsfresh's special values countable — cast('Infinity' as
+# double) parses in both engines
+SHARED_AGG_EXPRS += [
+    ("value_count_value_1", "sum(CASE WHEN value = 1 THEN 1e0 ELSE 0e0 END)"),
+    ("value_count_value_nan",
+     "sum(CASE WHEN isnan(value) THEN 1e0 ELSE 0e0 END)"),
+    ("value_count_value_inf",
+     "sum(CASE WHEN value = cast('Infinity' as double) THEN 1e0 ELSE 0e0 END)"),
+    ("value_count_value_minf",
+     "sum(CASE WHEN value = cast('-Infinity' as double) THEN 1e0 ELSE 0e0 END)"),
+]
+
+# number_peaks n ∈ {3, 5} (n 1 in the literal list): strictly greater than
+# every neighbour within ±n, target index range [n, len−n) 0-based
+SHARED_AGG_EXPRS += [
+    (
+        f"number_peaks_n_{s}",
+        "sum(CASE WHEN rn > {s} AND rn < n - {sm1} AND {cmp} "
+        "THEN 1e0 ELSE 0e0 END)".format(
+            s=s,
+            sm1=s - 1,
+            cmp=" AND ".join(
+                f"value > lag{d} AND value > lead{d}" for d in range(1, s + 1)
+            ),
+        ),
+    )
+    for s in (3, 5)
+]
+
 # strikes + binned_entropy are computed in dedicated grouped passes (below);
 # they join onto the shared-aggregate frame
 EXTRA_FEATURES = [
@@ -260,11 +391,15 @@ def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
             "features_count", F.lit(len(TSF_FEATURE_NAMES)).cast("long")
         )
     )
+    # NULL-skipping sum (pandas .sum() semantics — the reference's
+    # features_sum ignores NaN calculators): coalesce each term in BOTH
+    # engines so a short/degenerate series (NULL lagged corr, etc.) still
+    # sums the defined features
     return out.withColumn(
         "features_sum",
         F.round(
             sum(
-                (F.col(c) for c in TSF_FEATURE_NAMES[1:]),
+                (F.coalesce(F.col(c), F.lit(0.0)) for c in TSF_FEATURE_NAMES[1:]),
                 F.col("series_length") * 1.0,
             ),
             2,
@@ -278,7 +413,7 @@ def tsfresh_oracle_body() -> str:
     prep1 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_WINDOW_EXPRS)
     prep2 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_LAYER2_EXPRS)
     aggs = ",\n         ".join(f"{sql} AS {name}" for name, sql in SHARED_AGG_EXPRS)
-    feature_sum = " + ".join(TSF_FEATURE_NAMES)
+    feature_sum = " + ".join(f"coalesce({n}, 0)" for n in TSF_FEATURE_NAMES)
     return f"""
 , s1 AS (
   SELECT event_type, rn, n, value,

@@ -318,13 +318,26 @@ AR_K = 10
 AR_COEFFS = (0, 1, 2, 3, 4)
 FFT_COEFFS = tuple(range(10))
 WELCH_COEFFS = (2, 5, 8)
-CWT_KEYS = tuple((w, c) for w in (2, 5, 10, 20) for c in (0, 1, 2))
-MACQ_QS = ((0.0, 0.4), (0.4, 0.8), (0.8, 1.0))
+# the FULL tsfresh-0.4.0 default grids — every (param, value) the reference's
+# golden CSV pins is emitted by the engine (tests/test_tsfresh_golden.py
+# asserts full-matrix coverage)
+CWT_KEYS = tuple((w, c) for w in CWT_WIDTHS for c in range(CWT_N_COEFFS))
+MACQ_QS = tuple(
+    (ql, qh)
+    for qh in (0.2, 0.4, 0.6, 0.8, 1.0)
+    for ql in (0.0, 0.2, 0.4, 0.6, 0.8)
+)
 PEAK_NS = (1, 3, 5)
 
 
+def _pname(v: float) -> str:
+    """Canonical float fragment for a feature-column name (0.05 → '0_05',
+    1.0 → '1') — same scheme as catalog/tsfresh_calculators._p."""
+    return f"{round(v, 2):g}".replace(".", "_")
+
+
 def _kernel_feature_names() -> list[str]:
-    names = [f"approximate_entropy_m_2_r_{r}" for r in APEN_RS]
+    names = [f"approximate_entropy_m_2_r_{_pname(r)}" for r in APEN_RS]
     names.append("sample_entropy")
     names.append("mean_autocorrelation")
     names += [f"ar_coefficient_k_{AR_K}_coeff_{c}" for c in AR_COEFFS]
@@ -332,10 +345,13 @@ def _kernel_feature_names() -> list[str]:
     names += [f"fft_coefficient_coeff_{c}" for c in FFT_COEFFS]
     names += [f"spkt_welch_density_coeff_{c}" for c in WELCH_COEFFS]
     names += [f"cwt_coefficients_w_{w}_coeff_{c}" for w, c in CWT_KEYS]
-    names += [f"mean_abs_change_quantiles_ql_{ql}_qh_{qh}" for ql, qh in MACQ_QS]
+    names += [
+        f"mean_abs_change_quantiles_ql_{_pname(ql)}_qh_{_pname(qh)}"
+        for ql, qh in MACQ_QS
+    ]
     names += [f"number_cwt_peaks_n_{n}" for n in PEAK_NS]
     names += [f"large_number_of_peaks_n_{n}" for n in PEAK_NS]
-    return [n.replace(".", "_") for n in names]
+    return names
 
 
 KERNEL_FEATURES = _kernel_feature_names()

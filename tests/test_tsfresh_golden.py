@@ -199,6 +199,90 @@ def test_kernel_features_match_golden(golden):
     assert not bad, f"kernel feature mismatches vs golden: {bad}"
 
 
+def _engine_name(golden_key: str) -> str:
+    """Map a golden CSV key to the engine's feature-column name (relational
+    frame column or kernel feature), canonicalizing the golden's float-noise
+    param reprs (0.15000000000000002 → 0_15)."""
+
+    def p(v: str) -> str:
+        return f"{round(float(v), 2):g}".replace(".", "_").replace("-", "m")
+
+    base = golden_key.split("__", 1)[1]
+    fam, *rest = base.split("__")
+    params = dict(r.split("_", 1) for r in rest if "_" in r)
+    if fam == "autocorrelation":
+        return f"autocorrelation_lag_{params['lag']}"
+    if fam == "time_reversal_asymmetry_statistic":
+        return f"time_reversal_asymmetry_statistic_lag_{params['lag']}"
+    if fam in ("quantile", "index_mass_quantile"):
+        return f"{fam}_q_{p(params['q'])}"
+    if fam in ("large_standard_deviation", "symmetry_looking"):
+        return f"{fam}_r_{p(params['r'])}"
+    if fam == "value_count":
+        v = params["value"]
+        lbl = {"0": "0", "1": "1", "nan": "nan", "inf": "inf", "-inf": "minf"}[v]
+        return f"value_count_value_{lbl}"
+    if fam == "range_count":
+        return "range_count_max_1_min_m1"
+    if fam in ("number_peaks", "large_number_of_peaks", "number_cwt_peaks"):
+        return f"{fam}_n_{params['n']}"
+    if fam == "binned_entropy":
+        return "binned_entropy_max_bins_10"
+    if fam == "approximate_entropy":
+        return f"approximate_entropy_m_2_r_{p(params['r'])}"
+    if fam == "ar_coefficient":
+        return f"ar_coefficient_k_10_coeff_{params['coeff']}"
+    if fam in ("fft_coefficient", "spkt_welch_density"):
+        return f"{fam}_coeff_{params['coeff']}"
+    if fam == "cwt_coefficients":
+        return f"cwt_coefficients_w_{params['w']}_coeff_{params['coeff']}"
+    if fam == "mean_abs_change_quantiles":
+        return f"mean_abs_change_quantiles_ql_{p(params['ql'])}_qh_{p(params['qh'])}"
+    if fam in ("mean_autocorrelation", "sample_entropy", "augmented_dickey_fuller"):
+        return fam  # parameterless kernel features keep the tsfresh name
+    # non-parameterized scalars ride the curated map
+    inv = {v: k for k, v in GOLDEN_MAP.items() if v is not None}
+    assert golden_key in inv, f"no engine mapping for {golden_key}"
+    return inv[golden_key]
+
+
+def test_full_golden_matrix_coverage(features, golden):
+    """EVERY one of the golden CSV's 216 pinned feature values is emitted by
+    the engine — by the oracled relational frame (101 columns) or the
+    Arrow-batched kernel matrix (117 features) — and matches."""
+    import numpy as np
+
+    from skyline_spark.operators.tsfresh_kernels import (
+        KERNEL_FEATURES,
+        kernel_feature_row,
+    )
+
+    with open(DATA_JSON) as f:
+        x = np.array([float(v) for _, v in json.load(f)["results"][:60]])
+    kernel_vals = dict(zip(KERNEL_FEATURES, kernel_feature_row(x)))
+
+    assert len(golden) == 216
+    missing, bad = [], []
+    for key, want in golden.items():
+        name = _engine_name(key)
+        if name in features:
+            ours, relational = float(features[name]), True
+        elif name in kernel_vals:
+            ours, relational = float(kernel_vals[name]), False
+        else:
+            missing.append((key, name))
+            continue
+        # relational columns round at 2-6 dp; kernels are full-precision
+        tol = max(1e-6 * abs(want), 5e-3) if relational else 1e-6 * max(
+            1.0, abs(want)
+        )
+        ok = (math.isnan(want) and math.isnan(ours)) or abs(ours - want) <= tol
+        if not ok:
+            bad.append((key, name, ours, want))
+    assert not missing, f"golden keys with no engine feature: {missing}"
+    assert not bad, f"full-matrix mismatches vs golden: {bad}"
+
+
 def test_kernel_features_sparse_series():
     """The sparse statsd fixture pins sample_entropy on a second series
     (0.3.0 golden, identical formula across versions)."""
