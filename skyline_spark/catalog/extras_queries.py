@@ -258,8 +258,9 @@ from .tsfresh_calculators import (  # noqa: E402
     "tsfresh_features",
     _E_CTE + tsfresh_oracle_body(),
     doc="tsfresh-parity feature matrix per series (features_profile.py:"
-        "54-503): 41 calculators restated as exact relational algebra, each "
-        "a SINGLE shared ANSI aggregate string evaluated by both engines "
+        "54-503): 101 calculators — the full tsfresh-0.4.0 default grids of "
+        "every SQL-expressible family — restated as exact relational "
+        "algebra, each a SINGLE shared ANSI aggregate string run by both engines "
         "(catalog/tsfresh_calculators.py); definitions pinned empirically "
         "against the reference golden CSV tests/baseline/tsfresh-0.4.0."
         "py3.data.json.features.transposed.csv on its own 60-point fixture "
@@ -288,7 +289,7 @@ TSFRESH_KERNEL_MAX_POINTS = 1440
         "series — every formula pinned to the reference's tsfresh-0.4.0 "
         "golden CSV values on its own fixture (operators/tsfresh_kernels.py, "
         "tests/test_tsfresh_golden.py); rows-only (FFT/OLS/wavelets are not "
-        "SQL-expressible), complements the 41 oracled calculators in "
+        "SQL-expressible), complements the 101 oracled calculators in "
         "tsfresh_features. The entropy calculators are O(n²) per series by "
         "definition, so each series is capped at its last "
         "TSFRESH_KERNEL_MAX_POINTS points — self-described by the "
