@@ -199,6 +199,8 @@ def main() -> None:
     # --reuse DIR: skip prep and time against already-staged inputs (a prior
     # run's tmp dir with series/ and pages/ both carrying _SUCCESS markers)
     if "--reuse" in sys.argv:
+        if sys.argv.index("--reuse") + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench_scaling.py [--reuse DIR] [--keep]")
         tmp = sys.argv[sys.argv.index("--reuse") + 1]
         series_path, pages_path = tmp + "/series", tmp + "/pages"
         for p in (series_path, pages_path):

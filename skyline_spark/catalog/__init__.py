@@ -32,7 +32,13 @@ from . import flagship_queries  # noqa: F401,E402
 # tests/test_catalog.py::test_driver_window_membership pins this list.
 # ---------------------------------------------------------------------------
 
-PRIORITY: list[str] = [
+#: the driver records correctness rows for exactly this many queries()
+#: entries (dict order), rows-only entries included — evidenced by
+#: CORRECTNESS_r01.json (43 entries → all recorded, incl. no_oracle rows)
+#: vs CORRECTNESS_r02.json (68 registered → first 50 recorded)
+DRIVER_WINDOW = 50
+
+PRIORITY_WINDOW: list[str] = [
     # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
     "validate_pages_relational",
     "drift_ensemble_daily_relational",
@@ -88,13 +94,20 @@ PRIORITY: list[str] = [
     "dedup_clusters",
     "dedup_embedding_lsh",
     "ann_lsh_topk",
+]
+assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
+    f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
+    f"got {len(PRIORITY_WINDOW)}"
+)
+
+# --- past the 50-row line from here: every one of these has a green row in
+# CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
+# sweep each round (tests/test_catalog.py pins that rotation invariant) ---
+PRIORITY_ROTATED: list[str] = [
     "filter_pipeline",
     "decontaminate_ngrams",
     "ann_ivf_topk",
     "kmeans_lloyd",
-    # --- past the 50-row line from here: every one of these has a green
-    # row in CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the
-    # in-repo sweep each round ---
     "text_tfidf_topk",
     "dedup_passages",
     "text_repetition",
@@ -113,6 +126,8 @@ PRIORITY: list[str] = [
     "multimodal_media_features",
     "multimodal_resize_frames",
 ]
+
+PRIORITY: list[str] = PRIORITY_WINDOW + PRIORITY_ROTATED
 
 
 def _apply_priority() -> None:

@@ -1373,7 +1373,7 @@ FROM j ORDER BY event_type
         "ranges agree within IONOSPHERE_MINMAX_SCALING_RANGE_TOLERANCE "
         "(15%), both are min-max scaled to [0,1] and the sums compared "
         "again. Profile = first 70% of the span; feature set = the "
-        "deterministic 7-term tsfresh stand-in (the full 41-calculator "
+        "deterministic 7-term tsfresh stand-in (the full 101-calculator "
         "matrix lives in tsfresh_features); the reference's int()-bucketed "
         "range comparison is restated as the documented +/-15% margin",
 )

@@ -146,12 +146,14 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
      "/ (var_pop(value) * var_pop(value)) - 3e0) + 6e0) "
      "* (count(*) - 1e0) / ((count(*) - 2e0) * (count(*) - 3e0)), 6) "
      "ELSE 0e0 END"),
+    # n = 2 guard: the n−2 divisor is zero there and ANSI mode would trap
+    # the division (tsfresh's slice mean over zero points is NaN → NULL)
     ("mean_second_derivate_central",
+     "CASE WHEN count(*) > 2 THEN "
      "round(0.5e0 * ((max(CASE WHEN rn = n THEN value END) "
      "- max(CASE WHEN rn = n - 1 THEN value END)) "
      "- (max(CASE WHEN rn = 2 THEN value END) "
-     "- max(CASE WHEN rn = 1 THEN value END))) / (count(*) - 2e0), 6)"),
-    ("autocorrelation_lag_1", "round(corr(value, lead1), 6)"),
+     "- max(CASE WHEN rn = 1 THEN value END))) / (count(*) - 2e0), 6) END"),
     ("time_reversal_asymmetry_statistic_lag_1",
      "round(avg(CASE WHEN rn <= n - 2 THEN "
      "value * lead2 * lead2 - value * value * lead1 END), 2)"),
@@ -202,14 +204,28 @@ def _q7(q: float) -> str:
 # fixture by tests/test_tsfresh_golden.py) -----------------------------------
 
 # autocorrelation lags 0-9: pandas Series.autocorr — Pearson corr of
-# (x_t, x_{t+lag}); lag 0 is corr(x, x) = 1 whenever the series varies
-SHARED_AGG_EXPRS += [
-    (
-        f"autocorrelation_lag_{k}",
-        "round(corr(value, value), 6)" if k == 0
-        else f"round(corr(value, lead{k}), 6)",
+# (x_t, x_{t+lag}); lag 0 is corr(x, x) = 1 whenever the series varies.
+# NOT native corr(): Spark's corr aggregate divides by the pair stddevs
+# INSIDE the aggregate, so a constant (or constant-pair) series traps
+# DIVIDE_BY_ZERO under ANSI mode even behind a CASE guard (aggregates
+# evaluate regardless of the branch taken). The Pearson r is restated from
+# population moments over the pair rows with a nullif-guarded top-level
+# division — NULL on zero variance in BOTH engines (DuckDB's native corr
+# returns NULL there too, so parity holds).
+
+
+def _autocorr(k: int) -> str:
+    if k == 0:
+        return "CASE WHEN var_pop(value) > 0 THEN 1e0 END"
+    xk = f"CASE WHEN lead{k} IS NOT NULL THEN value END"
+    return (
+        f"round((avg(({xk}) * lead{k}) - avg({xk}) * avg(lead{k})) "
+        f"/ nullif(stddev_pop({xk}) * stddev_pop(lead{k}), 0), 6)"
     )
-    for k in (0, 2, 3, 4, 5, 6, 7, 8, 9)
+
+
+SHARED_AGG_EXPRS += [
+    (f"autocorrelation_lag_{k}", _autocorr(k)) for k in range(10)
 ]
 
 # time_reversal_asymmetry_statistic lags 2, 3 (lag 1 is in the literal list):

@@ -1,6 +1,6 @@
 """Numpy kernels for the tsfresh calculators that aren't relational algebra.
 
-Complements ``catalog/tsfresh_calculators.py`` (the 41 SQL-expressible
+Complements ``catalog/tsfresh_calculators.py`` (the 101 SQL-expressible
 calculators): these need FFT / OLS / O(n²) template matching / wavelet
 convolution, so they run as vectorized numpy inside Arrow-batched grouped
 maps — never per-row Python. Every formula below was pinned EMPIRICALLY
@@ -332,8 +332,11 @@ PEAK_NS = (1, 3, 5)
 
 def _pname(v: float) -> str:
     """Canonical float fragment for a feature-column name (0.05 → '0_05',
-    1.0 → '1') — same scheme as catalog/tsfresh_calculators._p."""
-    return f"{round(v, 2):g}".replace(".", "_")
+    1.0 → '1', -1 → 'm1') — MUST stay identical to
+    catalog/tsfresh_calculators._p (operators/ cannot import from catalog/,
+    so the one-liner is mirrored; tests/test_tsfresh_golden.py's key mapper
+    canonicalizes with the same scheme and would catch a drift)."""
+    return f"{round(v, 2):g}".replace(".", "_").replace("-", "m")
 
 
 def _kernel_feature_names() -> list[str]:

@@ -194,11 +194,16 @@ def test_driver_window_membership():
     entries. Pin that the curated order puts the flagship consensus, the
     round-2 orphans, and the core detectors inside that window — a module
     import reshuffle must never again silently drop their driver rows."""
-    from skyline_spark.catalog import PRIORITY
+    from skyline_spark.catalog import DRIVER_WINDOW, PRIORITY, PRIORITY_WINDOW
 
     names = list(QUERIES)
     assert names[: len(PRIORITY)] == PRIORITY, "PRIORITY not applied to dict order"
-    window = set(names[:50])
+    assert len(PRIORITY_WINDOW) == DRIVER_WINDOW
+    window = set(names[:DRIVER_WINDOW])
+    assert window == set(PRIORITY_WINDOW), (
+        "the first DRIVER_WINDOW registered queries must be exactly the "
+        "curated PRIORITY_WINDOW list"
+    )
     must_have = {
         "drift_ensemble_relational",
         "validate_pages_full",
@@ -237,7 +242,7 @@ def test_driver_window_membership():
                 if v.get("rows_match") and v.get("schema_match")
             }
     rotated_out = [
-        n for n in names[50:]
+        n for n in names[DRIVER_WINDOW:]
         if QUERIES[n].oracle is not None and n not in evidenced
     ]
     assert not rotated_out, (

@@ -25,6 +25,12 @@ GOLDEN_CSV = (
 )
 DATA_JSON = "/root/reference/utils/data.json"
 
+# off this box the reference checkout is absent — skip cleanly, don't error
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(GOLDEN_CSV),
+    reason="reference golden CSVs not available",
+)
+
 # our column → tsfresh 0.4.0 golden key
 GOLDEN_MAP = {
     "series_length": "value__length",
