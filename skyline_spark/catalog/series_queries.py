@@ -1341,29 +1341,30 @@ WITH span AS (
   JOIN scaled cs ON cs.event_type = p.event_type AND NOT cs.is_profile
   WHERE p.is_profile
 )
+, k AS (
+  -- each predicate computed ONCE (the Spark builder mirrors this shape
+  -- with its matched/eligible/pct_s columns)
+  SELECT j.*,
+         abs((calc_sum - fp_sum) / fp_sum * 100) AS pct,
+         ((p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
+          AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx)))
+           AS eligible,
+         abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100) AS pct_s
+  FROM j
+)
 SELECT event_type,
        round(fp_sum, 6) AS fp_sum,
        round(calc_sum, 6) AS calc_sum,
-       round(abs((calc_sum - fp_sum) / fp_sum * 100), 6) AS percent_different,
-       (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
-         AS matched,
-       ((p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
-        AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx)))
-         AS minmax_eligible,
-       round(abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100), 6)
-         AS minmax_percent_different,
-       (NOT (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
-        AND (p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
-        AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx))
-        AND abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100)
-            <= {PROFILE_PERCENT_SIMILAR}) AS matched_minmax,
-       ((abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
-        OR (NOT (abs((calc_sum - fp_sum) / fp_sum * 100) <= {PROFILE_PERCENT_SIMILAR})
-            AND (p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
-            AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx))
-            AND abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100)
-                <= {PROFILE_PERCENT_SIMILAR})) AS not_anomalous
-FROM j ORDER BY event_type
+       round(pct, 6) AS percent_different,
+       (pct <= {PROFILE_PERCENT_SIMILAR}) AS matched,
+       eligible AS minmax_eligible,
+       round(pct_s, 6) AS minmax_percent_different,
+       (NOT (pct <= {PROFILE_PERCENT_SIMILAR}) AND eligible
+        AND pct_s <= {PROFILE_PERCENT_SIMILAR}) AS matched_minmax,
+       ((pct <= {PROFILE_PERCENT_SIMILAR})
+        OR (NOT (pct <= {PROFILE_PERCENT_SIMILAR}) AND eligible
+            AND pct_s <= {PROFILE_PERCENT_SIMILAR})) AS not_anomalous
+FROM k ORDER BY event_type
 """,
     doc="Ionosphere features-profile match with the min-max second chance "
         "(ionosphere.py:1864-1998 + 2027-2455, settings.py:1750,1767,1781): "
