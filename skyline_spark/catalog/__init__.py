@@ -69,6 +69,7 @@ PRIORITY_WINDOW: list[str] = [
     "alert_dedup",
     "ionosphere_layers",
     "ionosphere_profile_match",
+    "ionosphere_tsfresh_match",
     "mirage_second_pass",
     "events_daily_stats",
     # round-2 orphans (oracled, green in pytest + r1, no r2 row)
@@ -93,7 +94,6 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_lsh",
-    "ann_lsh_topk",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -104,6 +104,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "ann_lsh_topk",
     "filter_pipeline",
     "decontaminate_ngrams",
     "ann_ivf_topk",

@@ -322,3 +322,109 @@ def tsfresh_features_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
     return ev.groupBy("event_type").applyInPandas(_one, schema)
+
+
+# ---------------------------------------------------------------------------
+# ionosphere profile match over the REAL full tsfresh matrix (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+from .series_queries import (  # noqa: E402
+    PROFILE_PERCENT_SIMILAR,
+    PROFILE_SPLIT,
+)
+
+# the profile/calc halves ride tsfresh_feature_frame unchanged by keying the
+# series frame on event_type || '|' || is_profile — both engines compute the
+# SAME 101-column matrix they already compute for tsfresh_features, then the
+# halves are joined back and compared with the reference's ±1% rule
+_TSF_MATCH_SQL = f"""
+WITH matrix AS (
+  WITH span AS (
+    SELECT min(epoch_ms(ts)) + {PROFILE_SPLIT}
+           * (max(epoch_ms(ts)) - min(epoch_ms(ts))) AS cut
+    FROM events
+  ), h AS (
+    SELECT event_type || '|'
+           || (epoch_ms(ts) < (SELECT cut FROM span))::VARCHAR AS event_type,
+           ts, value, event_id
+    FROM events
+  ), e AS (
+    SELECT event_type, ts, value, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+           count(*)    OVER (PARTITION BY event_type) AS n
+    FROM h
+  )
+  {{body}}
+)
+SELECT split_part(p.event_type, '|', 1) AS event_type,
+       round(p.features_sum, 6) AS fp_sum,
+       round(c.features_sum, 6) AS calc_sum,
+       round(abs((c.features_sum - p.features_sum)
+                 / p.features_sum * 100), 6) AS percent_different,
+       (abs((c.features_sum - p.features_sum) / p.features_sum * 100)
+          <= {PROFILE_PERCENT_SIMILAR}) AS matched
+FROM matrix p
+JOIN matrix c
+  ON split_part(p.event_type, '|', 1) = split_part(c.event_type, '|', 1)
+ AND p.event_type LIKE '%|true' AND c.event_type LIKE '%|false'
+ORDER BY 1
+"""
+
+
+@query(
+    "ionosphere_tsfresh_match",
+    _TSF_MATCH_SQL.format(body=tsfresh_oracle_body()),
+    doc="Ionosphere features-profile match over the REAL full tsfresh "
+        "matrix — the reference computes features_profile.py's full tsfresh "
+        "feature set for both the approved profile and the anomalous window "
+        "and compares features_sum within IONOSPHERE_FEATURES_PERCENT_"
+        "SIMILAR (ionosphere.py:1864-1998, settings.py:1750). Here both "
+        "halves (profile = first 70% of the span) run through the SAME "
+        "101-calculator relational matrix as tsfresh_features by keying the "
+        "series frame on event_type||'|'||is_profile, so the match arithmetic "
+        "is the production feature pipeline, not a stand-in (the 7-term "
+        "stand-in variant with the min-max second chance remains "
+        "ionosphere_profile_match)",
+)
+def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.min(_ms("ts"))
+            + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
+        ).alias("cut")
+    )
+    half = ev.crossJoin(F.broadcast(span)).select(
+        F.concat(
+            "event_type",
+            F.lit("|"),
+            (_ms("ts") < F.col("cut")).cast("string"),
+        ).alias("event_type"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    e = half.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        "value",
+    )
+    feats = tsfresh_feature_frame(e).select("event_type", "features_sum")
+    key = F.substring_index("event_type", "|", 1)
+    p = feats.where(F.col("event_type").endswith("|true")).select(
+        key.alias("event_type"), F.col("features_sum").alias("p_sum")
+    )
+    c = feats.where(F.col("event_type").endswith("|false")).select(
+        key.alias("event_type"), F.col("features_sum").alias("c_sum")
+    )
+    pct = F.abs((F.col("c_sum") - F.col("p_sum")) / F.col("p_sum") * 100)
+    return p.join(c, "event_type").select(
+        "event_type",
+        F.round("p_sum", 6).alias("fp_sum"),
+        F.round("c_sum", 6).alias("calc_sum"),
+        F.round(pct, 6).alias("percent_different"),
+        (pct <= PROFILE_PERCENT_SIMILAR).alias("matched"),
+    )
