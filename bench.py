@@ -233,6 +233,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "checkpoint_digest_quantiles",
         "tsfresh_features",
         "ionosphere_profile_match",
+        "ionosphere_tsfresh_match",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -71,6 +71,12 @@ PREP_WINDOW_EXPRS = [
         for k in range(1, 10)
     ],
     ("vcnt", "count(*) OVER (PARTITION BY event_type, value)"),
+    # first-occurrence marker: sum(vfirst) ≡ count(DISTINCT value) but stays
+    # a plain codegen aggregate — a single count(DISTINCT) in the shared
+    # list forces an Expand that triples the rows through the aggregate
+    ("vfirst",
+     "CASE WHEN row_number() OVER (PARTITION BY event_type, value ORDER BY rn)"
+     " = 1 THEN 1e0 ELSE 0e0 END"),
     ("cum_abs",
      "sum(abs(value)) OVER (PARTITION BY event_type ORDER BY rn "
      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
@@ -90,12 +96,35 @@ _Q9LO = "floor((n - 1) * 0.9) + 1"
 _Q9V = f"max(CASE WHEN vr = {_Q9LO} THEN value END)"
 _Q9V2 = f"max(CASE WHEN vr = {_Q9LO} + 1 THEN value END)"
 
+
+def _q7(q: float) -> str:
+    """Type-7 (pandas default) quantile of value via the vr value-rank
+    ladder: lo = floor((n−1)·q)+1, linear interpolation to the next rank.
+    Inside the aggregated CASE the series length is the per-row ``n`` column
+    (count(*) there would nest aggregates); the top-level frac term uses
+    count(*) directly — same q_0.9 pattern as the literal list."""
+    lo = f"floor((n - 1) * {q}) + 1"
+    v1 = f"max(CASE WHEN vr = {lo} THEN value END)"
+    v2 = f"max(CASE WHEN vr = {lo} + 1 THEN value END)"
+    frac = f"((count(*) - 1) * {q} - floor((count(*) - 1) * {q}))"
+    return f"round({v1} + {frac} * (coalesce({v2}, {v1}) - {v1}), 6)"
+
+
+# np.median == the type-7 quantile at q=0.5 (average of the two middle
+# values for even n). NOT the native median() aggregate: that is a
+# TypedImperativeAggregate, and ONE of it in the 100-aggregate list forces
+# the whole Aggregate node onto the row-based ObjectHashAggregate path with
+# every expression interpreted — measured 15-18 s vs ~2 s for the
+# codegen'd HashAggregate this rank-ladder form keeps (the same
+# ObjectHashAggregate cliff plans/stats.py documents for percentile_approx).
+_MEDIAN = _q7(0.5)
+
 # (column name, shared aggregate SQL over the prepped per-row frame)
 SHARED_AGG_EXPRS: list[tuple[str, str]] = [
     ("series_length", "count(*)"),
     ("sum_values", "round(sum(value), 4)"),
     ("mean_value", "round(avg(value), 6)"),
-    ("median_value", "round(median(value), 6)"),
+    ("median_value", _MEDIAN),
     ("standard_deviation", "round(stddev_pop(value), 6)"),
     ("variance", "round(var_pop(value), 6)"),
     ("maximum", "round(max(value), 6)"),
@@ -117,7 +146,7 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
     ("last_location_of_maximum",
      "round(max(CASE WHEN value = max_v THEN rn END) * 1e0 / count(*), 6)"),
     ("has_duplicate",
-     "CASE WHEN count(*) > count(DISTINCT value) THEN 1e0 ELSE 0e0 END"),
+     "CASE WHEN count(*) > sum(vfirst) THEN 1e0 ELSE 0e0 END"),
     ("has_duplicate_max",
      "CASE WHEN max(CASE WHEN value = max_v THEN vcnt END) > 1 "
      "THEN 1e0 ELSE 0e0 END"),
@@ -127,12 +156,12 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
     ("variance_larger_than_standard_deviation",
      "CASE WHEN var_pop(value) > stddev_pop(value) THEN 1e0 ELSE 0e0 END"),
     ("ratio_value_number_to_time_series_length",
-     "round(count(DISTINCT value) * 1e0 / count(*), 6)"),
+     "round(sum(vfirst) / count(*), 6)"),
     ("sum_of_reoccurring_values",
      "round(sum(CASE WHEN vcnt > 1 THEN value ELSE 0 END), 4)"),
     ("percentage_of_reoccurring_datapoints_to_all_datapoints",
-     "round(count(DISTINCT CASE WHEN vcnt > 1 THEN value END) * 1e0 "
-     "/ count(DISTINCT value), 6)"),
+     "round(sum(CASE WHEN vcnt > 1 THEN vfirst ELSE 0e0 END) "
+     "/ sum(vfirst), 6)"),
     ("percentage_of_reoccurring_values_to_all_values",
      "round(sum(CASE WHEN vcnt > 1 THEN 1e0 ELSE 0e0 END) / count(*), 6)"),
     ("skewness",
@@ -164,7 +193,7 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
      "round(min(CASE WHEN cum_abs >= 0.5e0 * tot_abs THEN rn END) * 1e0 "
      "/ count(*), 6)"),
     ("symmetry_looking_r_0_05",
-     "CASE WHEN abs(avg(value) - median(value)) "
+     f"CASE WHEN abs(avg(value) - {_MEDIAN}) "
      "< 0.05 * (max(value) - min(value)) THEN 1e0 ELSE 0e0 END"),
     ("large_standard_deviation_r_0_25",
      "CASE WHEN stddev_pop(value) > 0.25 * (max(value) - min(value)) "
@@ -184,19 +213,6 @@ def _p(v: float) -> str:
     (the golden CSV's float-noise reprs like 0.15000000000000002 canonicalize
     to the same 2-dp value — tests map by parsed float, not by string)."""
     return f"{round(v, 2):g}".replace(".", "_").replace("-", "m")
-
-
-def _q7(q: float) -> str:
-    """Type-7 (pandas default) quantile of value via the vr value-rank
-    ladder: lo = floor((n−1)·q)+1, linear interpolation to the next rank.
-    Inside the aggregated CASE the series length is the per-row ``n`` column
-    (count(*) there would nest aggregates); the top-level frac term uses
-    count(*) directly — same q_0.9 pattern as the literal list."""
-    lo = f"floor((n - 1) * {q}) + 1"
-    v1 = f"max(CASE WHEN vr = {lo} THEN value END)"
-    v2 = f"max(CASE WHEN vr = {lo} + 1 THEN value END)"
-    frac = f"((count(*) - 1) * {q} - floor((count(*) - 1) * {q}))"
-    return f"round({v1} + {frac} * (coalesce({v2}, {v1}) - {v1}), 6)"
 
 
 # --- full tsfresh-0.4.0 default parameter grids (generated, shared by both
@@ -269,7 +285,7 @@ SHARED_AGG_EXPRS += [
 SHARED_AGG_EXPRS += [
     (
         f"symmetry_looking_r_{_p(r)}",
-        f"CASE WHEN abs(avg(value) - median(value)) "
+        f"CASE WHEN abs(avg(value) - {_MEDIAN}) "
         f"< {r} * (max(value) - min(value)) THEN 1e0 ELSE 0e0 END",
     )
     for r in (
