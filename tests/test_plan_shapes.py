@@ -208,3 +208,23 @@ def test_exact_dedup_single_shuffle(spark):
     p = plan_of(build(spark, "dedup_exact"))
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+
+
+def test_tsfresh_matrix_stays_on_hash_aggregate(spark):
+    # the 101-aggregate feature matrix must plan as codegen HashAggregate
+    # with no Expand: ONE native median() among the aggregates silently
+    # flips the whole node onto the interpreted ObjectHashAggregate path
+    # (measured 15-18 s vs ~4 s at sf0.1), and one count(DISTINCT) triples
+    # the rows through an Expand. The shared strings use the type-7 rank
+    # ladder and the vfirst first-occurrence marker instead — pin that.
+    p = plan_of(build(spark, "tsfresh_features"))
+    assert "HashAggregate" in p
+    assert "ObjectHashAggregate" not in p, (
+        "a TypedImperative aggregate (median/percentile/mode) crept into "
+        "the tsfresh shared strings — the whole matrix falls off codegen"
+    )
+    assert "Expand" not in p, (
+        "a count(DISTINCT ...) crept into the tsfresh shared strings — "
+        "the Expand multiplies every input row through the aggregate"
+    )
+    assert "BatchEvalPython" not in p
