@@ -329,19 +329,25 @@ def tsfresh_features_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .series_queries import (  # noqa: E402
+    PROFILE_CUT_EXPR_SQL,
     PROFILE_PERCENT_SIMILAR,
-    PROFILE_SPLIT,
+    profile_cut,
 )
 
 # the profile/calc halves ride tsfresh_feature_frame unchanged by keying the
 # series frame on event_type || '|' || is_profile — both engines compute the
 # SAME 101-column matrix they already compute for tsfresh_features, then the
-# halves are joined back and compared with the reference's ±1% rule
+# halves are joined back and compared with the reference's ±1% rule.
+# Key recovery strips the exact '|true'/'|false' suffix length (5/6 chars)
+# so event_type values containing '|' round-trip; the halves FULL-join so a
+# series living entirely on one side of the cut still surfaces a row
+# (matched=false, NULL sums) instead of vanishing; pct divides by
+# nullif(fp_sum, 0) so a zero profile sum yields NULL percent + an exact
+# 0-vs-0 equality fallback rather than an ANSI DIVIDE_BY_ZERO crash
 _TSF_MATCH_SQL = f"""
 WITH matrix AS (
   WITH span AS (
-    SELECT min(epoch_ms(ts)) + {PROFILE_SPLIT}
-           * (max(epoch_ms(ts)) - min(epoch_ms(ts))) AS cut
+    SELECT {PROFILE_CUT_EXPR_SQL} AS cut
     FROM events
   ), h AS (
     SELECT event_type || '|'
@@ -355,18 +361,27 @@ WITH matrix AS (
     FROM h
   )
   {{body}}
+), p AS (
+  SELECT left(event_type, length(event_type) - 5) AS event_type,
+         features_sum AS p_sum
+  FROM matrix WHERE event_type LIKE '%|true'
+), c AS (
+  SELECT left(event_type, length(event_type) - 6) AS event_type,
+         features_sum AS c_sum
+  FROM matrix WHERE event_type LIKE '%|false'
+), k AS (
+  -- pct computed ONCE (the Spark builder mirrors this shape)
+  SELECT event_type, p_sum, c_sum,
+         abs((c_sum - p_sum) / nullif(p_sum, 0) * 100) AS pct
+  FROM p FULL JOIN c USING (event_type)
 )
-SELECT split_part(p.event_type, '|', 1) AS event_type,
-       round(p.features_sum, 6) AS fp_sum,
-       round(c.features_sum, 6) AS calc_sum,
-       round(abs((c.features_sum - p.features_sum)
-                 / p.features_sum * 100), 6) AS percent_different,
-       (abs((c.features_sum - p.features_sum) / p.features_sum * 100)
-          <= {PROFILE_PERCENT_SIMILAR}) AS matched
-FROM matrix p
-JOIN matrix c
-  ON split_part(p.event_type, '|', 1) = split_part(c.event_type, '|', 1)
- AND p.event_type LIKE '%|true' AND c.event_type LIKE '%|false'
+SELECT event_type,
+       round(p_sum, 6) AS fp_sum,
+       round(c_sum, 6) AS calc_sum,
+       round(pct, 6) AS percent_different,
+       coalesce(pct <= {PROFILE_PERCENT_SIMILAR},
+                p_sum = 0 AND c_sum = 0, FALSE) AS matched
+FROM k
 ORDER BY 1
 """
 
@@ -388,12 +403,7 @@ ORDER BY 1
 )
 def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    span = ev.agg(
-        (
-            F.min(_ms("ts"))
-            + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
-        ).alias("cut")
-    )
+    span = profile_cut(ev)
     half = ev.crossJoin(F.broadcast(span)).select(
         F.concat(
             "event_type",
@@ -413,18 +423,31 @@ def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     feats = tsfresh_feature_frame(e).select("event_type", "features_sum")
-    key = F.substring_index("event_type", "|", 1)
+    # strip the exact suffix we appended ('|true' = 5 chars, '|false' = 6)
+    # so raw event_type values containing '|' round-trip unharmed
     p = feats.where(F.col("event_type").endswith("|true")).select(
-        key.alias("event_type"), F.col("features_sum").alias("p_sum")
+        F.expr("substring(event_type, 1, length(event_type) - 5)")
+        .alias("event_type"),
+        F.col("features_sum").alias("p_sum"),
     )
     c = feats.where(F.col("event_type").endswith("|false")).select(
-        key.alias("event_type"), F.col("features_sum").alias("c_sum")
+        F.expr("substring(event_type, 1, length(event_type) - 6)")
+        .alias("event_type"),
+        F.col("features_sum").alias("c_sum"),
     )
-    pct = F.abs((F.col("c_sum") - F.col("p_sum")) / F.col("p_sum") * 100)
-    return p.join(c, "event_type").select(
+    pct = F.abs(
+        (F.col("c_sum") - F.col("p_sum"))
+        / F.nullif(F.col("p_sum"), F.lit(0.0))
+        * 100
+    )
+    return p.join(c, "event_type", "full").select(
         "event_type",
         F.round("p_sum", 6).alias("fp_sum"),
         F.round("c_sum", 6).alias("calc_sum"),
         F.round(pct, 6).alias("percent_different"),
-        (pct <= PROFILE_PERCENT_SIMILAR).alias("matched"),
+        F.coalesce(
+            pct <= PROFILE_PERCENT_SIMILAR,
+            (F.col("p_sum") == 0) & (F.col("c_sum") == 0),
+            F.lit(False),
+        ).alias("matched"),
     )

@@ -1296,6 +1296,26 @@ PROFILE_PERCENT_SIMILAR = 1.0   # settings.py:1750
 PROFILE_SPLIT = 0.7             # first 70% of the span = the approved profile
 MINMAX_RANGE_TOLERANCE = 0.15   # settings.py:1781 IONOSPHERE_MINMAX_SCALING_RANGE_TOLERANCE
 
+# the profile/calc split timestamp (epoch ms): one definition shared by both
+# ionosphere queries and both engines, so the two can never disagree on
+# where the approved profile ends
+PROFILE_CUT_EXPR_SQL = (
+    f"min(epoch_ms(ts)) + {PROFILE_SPLIT}"
+    " * (max(epoch_ms(ts)) - min(epoch_ms(ts)))"
+)
+
+
+def profile_cut(ev: DataFrame) -> DataFrame:
+    """1-row frame with the profile/calc cut timestamp (epoch ms); rows at
+    ``_ms(ts) < cut`` form the approved profile (Spark twin of
+    ``PROFILE_CUT_EXPR_SQL``)."""
+    return ev.agg(
+        (
+            F.min(_ms("ts"))
+            + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
+        ).alias("cut")
+    )
+
 # the deterministic tsfresh stand-in summed on both raw and min-max-scaled
 # values (count/sum/mean/std/min/max/abs-energy)
 _FSUM_TERMS = (
@@ -1307,8 +1327,7 @@ _FSUM_TERMS = (
     "ionosphere_profile_match",
     f"""
 WITH span AS (
-  SELECT min(epoch_ms(ts)) AS lo,
-         min(epoch_ms(ts)) + {PROFILE_SPLIT} * (max(epoch_ms(ts)) - min(epoch_ms(ts))) AS cut
+  SELECT {PROFILE_CUT_EXPR_SQL} AS cut
   FROM events
 ), f AS (
   SELECT event_type,
@@ -1380,12 +1399,7 @@ FROM k ORDER BY event_type
 )
 def ionosphere_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    span = ev.agg(
-        (
-            F.min(_ms("ts"))
-            + F.lit(PROFILE_SPLIT) * (F.max(_ms("ts")) - F.min(_ms("ts")))
-        ).alias("cut")
-    )
+    span = profile_cut(ev)
 
     def fsum(v):
         return (

@@ -73,9 +73,12 @@ PREP_WINDOW_EXPRS = [
     ("vcnt", "count(*) OVER (PARTITION BY event_type, value)"),
     # first-occurrence marker: sum(vfirst) ≡ count(DISTINCT value) but stays
     # a plain codegen aggregate — a single count(DISTINCT) in the shared
-    # list forces an Expand that triples the rows through the aggregate
+    # list forces an Expand that triples the rows through the aggregate.
+    # NULL rows marked 0 so the NULL group never counts as a distinct value
+    # (count(DISTINCT) ignores NULLs)
     ("vfirst",
-     "CASE WHEN row_number() OVER (PARTITION BY event_type, value ORDER BY rn)"
+     "CASE WHEN value IS NOT NULL AND "
+     "row_number() OVER (PARTITION BY event_type, value ORDER BY rn)"
      " = 1 THEN 1e0 ELSE 0e0 END"),
     ("cum_abs",
      "sum(abs(value)) OVER (PARTITION BY event_type ORDER BY rn "
