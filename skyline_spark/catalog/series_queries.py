@@ -116,7 +116,7 @@ SELECT event_type,
        round(avg(value), 6) AS mean,
        round(stddev_samp(value), 6) AS std_dev,
        round({_TAIL_SQL}, 6) AS tail_avg,
-       (abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value)) AS anomalous
+       coalesce(abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value), FALSE) AS anomalous
 FROM e GROUP BY event_type ORDER BY event_type
 """,
     doc="|tail_avg − mean| > 3·sample-std (analyzer/algorithms.py:197-216), "
@@ -131,7 +131,10 @@ def detector_stddev_from_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("mean"),
             F.round(F.stddev_samp("value"), 6).alias("std_dev"),
             F.round(t, 6).alias("tail_avg"),
-            (F.abs(t - F.avg("value")) > 3 * F.stddev_samp("value")).alias("anomalous"),
+            F.coalesce(
+                F.abs(t - F.avg("value")) > 3 * F.stddev_samp("value"),
+                F.lit(False),
+            ).alias("anomalous"),
         )
     )
 
@@ -190,8 +193,8 @@ SELECT event_type,
        round(avg(value) FILTER (WHERE rn < n), 6) AS head_mean,
        round(stddev_samp(value) FILTER (WHERE rn < n), 6) AS head_std,
        round({_LAST_SQL}, 6) AS last_value,
-       (abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
-        > 3 * stddev_samp(value) FILTER (WHERE rn < n)) AS anomalous
+       coalesce(abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
+        > 3 * stddev_samp(value) FILTER (WHERE rn < n), FALSE) AS anomalous
 FROM e GROUP BY event_type ORDER BY event_type
 """,
     doc="|last − mean(head)| > 3·std(head), head = all but last "
@@ -207,7 +210,10 @@ def detector_mean_subtraction_cumulation(spark: SparkSession, sf_dir: str) -> Da
             F.round(F.avg(head), 6).alias("head_mean"),
             F.round(F.stddev_samp(head), 6).alias("head_std"),
             F.round(last, 6).alias("last_value"),
-            (F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head)).alias("anomalous"),
+            F.coalesce(
+                F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head),
+                F.lit(False),
+            ).alias("anomalous"),
         )
     )
 
@@ -224,8 +230,8 @@ SELECT event_type,
        round(avg(value) FILTER (WHERE x < 86400), 6) AS baseline_mean,
        round(stddev_samp(value) FILTER (WHERE x < 86400), 6) AS baseline_std,
        round({_TAIL_SQL}, 6) AS tail_avg,
-       (abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
-        > 3 * stddev_samp(value) FILTER (WHERE x < 86400)) AS anomalous
+       coalesce(abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
+        > 3 * stddev_samp(value) FILTER (WHERE x < 86400), FALSE) AS anomalous
 FROM e GROUP BY event_type ORDER BY event_type
 """,
     doc="tail vs the OLDEST day of the series (the reference's 'first hour' "
@@ -241,7 +247,10 @@ def detector_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(base), 6).alias("baseline_mean"),
             F.round(F.stddev_samp(base), 6).alias("baseline_std"),
             F.round(t, 6).alias("tail_avg"),
-            (F.abs(t - F.avg(base)) > 3 * F.stddev_samp(base)).alias("anomalous"),
+            F.coalesce(
+                F.abs(t - F.avg(base)) > 3 * F.stddev_samp(base),
+                F.lit(False),
+            ).alias("anomalous"),
         )
     )
 
@@ -255,9 +264,13 @@ def detector_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     _E_CTE
     + """
 , fit AS (
+  -- nullif: a single-point or constant-time series has var_pop(x)=0; the
+  -- slope goes NULL in BOTH engines (vs an ANSI DIVIDE_BY_ZERO crash on
+  -- Spark / IEEE inf on DuckDB) and the verdict coalesces to FALSE, the
+  -- reference's algorithm-exception contract (algorithms.py:708-723)
   SELECT event_type,
-         covar_pop(x, value) / var_pop(x) AS m,
-         avg(value) - covar_pop(x, value) / var_pop(x) * avg(x) AS c
+         covar_pop(x, value) / nullif(var_pop(x), 0) AS m,
+         avg(value) - covar_pop(x, value) / nullif(var_pop(x), 0) * avg(x) AS c
   FROM e GROUP BY event_type
 ), r AS (
   SELECT e.event_type, e.rn, e.n,
@@ -269,9 +282,9 @@ SELECT event_type,
        round(max(c), 6) AS intercept,
        round(stddev_pop(err), 6) AS resid_std,
        round(avg(err) FILTER (WHERE rn > n - 3), 6) AS tail_resid,
-       (abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
+       coalesce(abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
         AND round(stddev_pop(err)) <> 0
-        AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0) AS anomalous
+        AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0, FALSE) AS anomalous
 FROM r GROUP BY event_type ORDER BY event_type
 """,
     doc="OLS trend via closed form covar_pop/var_pop (the relational twin of "
@@ -280,9 +293,10 @@ FROM r GROUP BY event_type ORDER BY event_type
 )
 def detector_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _series(spark, sf_dir)
+    varx = F.nullif(F.var_pop("x"), F.lit(0.0))
     fit = e.groupBy("event_type").agg(
-        (F.covar_pop("x", "value") / F.var_pop("x")).alias("m"),
-        (F.avg("value") - F.covar_pop("x", "value") / F.var_pop("x") * F.avg("x")).alias(
+        (F.covar_pop("x", "value") / varx).alias("m"),
+        (F.avg("value") - F.covar_pop("x", "value") / varx * F.avg("x")).alias(
             "c"
         ),
     )
@@ -300,10 +314,11 @@ def detector_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c"), 6).alias("intercept"),
         F.round(F.stddev_pop("err"), 6).alias("resid_std"),
         F.round(tail, 6).alias("tail_resid"),
-        (
+        F.coalesce(
             (F.abs(tail) > 3 * F.stddev_pop("err"))
             & (F.round(F.stddev_pop("err"), 0) != 0)
-            & (F.round(tail, 0) != 0)
+            & (F.round(tail, 0) != 0),
+            F.lit(False),
         ).alias("anomalous"),
     )
 
@@ -385,7 +400,8 @@ def detector_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     _E_CTE
     + f"""
 SELECT event_type,
-       round(({_TAIL_SQL} - avg(value)) / stddev_pop(value), 6) AS z_score,
+       round(({_TAIL_SQL} - avg(value))
+             / nullif(stddev_pop(value), 0), 6) AS z_score,
        max(n)::BIGINT AS n
 FROM e GROUP BY event_type ORDER BY event_type
 """,
@@ -399,7 +415,12 @@ def detector_grubbs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _series(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            F.round((t - F.avg("value")) / F.stddev_pop("value"), 6).alias("z_score"),
+            # nullif: a constant series (std 0) gets a NULL z in BOTH
+            # engines instead of an ANSI DIVIDE_BY_ZERO crash
+            F.round(
+                (t - F.avg("value")) / F.nullif(F.stddev_pop("value"), F.lit(0.0)),
+                6,
+            ).alias("z_score"),
             F.max("n").cast("long").alias("n"),
         )
     )
@@ -429,8 +450,12 @@ def detector_grubbs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM g
 )
 SELECT event_type,
-       round(max(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)), 6) AS ks_d,
-       (max(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)) > 0.5) AS d_exceeds
+       -- nullif: a 1-point series has an empty first half (n1=0) — D goes
+       -- NULL and the verdict FALSE in both engines instead of an ANSI /0
+       round(max(abs(c1::DOUBLE / nullif(n1, 0)
+                     - c2::DOUBLE / nullif(n2, 0))), 6) AS ks_d,
+       coalesce(max(abs(c1::DOUBLE / nullif(n1, 0)
+                        - c2::DOUBLE / nullif(n2, 0))) > 0.5, FALSE) AS d_exceeds
 FROM c GROUP BY event_type ORDER BY event_type
 """,
     doc="exact two-sample KS D via RANGE-frame cumulative CDFs (reference "
@@ -453,12 +478,19 @@ def detector_ks_2samp_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("event_type")
     c = g.select(
         "event_type",
-        (F.sum("g1").over(wr).cast("double") / F.sum("g1").over(wp)).alias("f1"),
-        (F.sum("g2").over(wr).cast("double") / F.sum("g2").over(wp)).alias("f2"),
+        (
+            F.sum("g1").over(wr).cast("double")
+            / F.nullif(F.sum("g1").over(wp), F.lit(0))
+        ).alias("f1"),
+        (
+            F.sum("g2").over(wr).cast("double")
+            / F.nullif(F.sum("g2").over(wp), F.lit(0))
+        ).alias("f2"),
     )
     d = F.max(F.abs(F.col("f1") - F.col("f2")))
     return c.groupBy("event_type").agg(
-        F.round(d, 6).alias("ks_d"), (d > 0.5).alias("d_exceeds")
+        F.round(d, 6).alias("ks_d"),
+        F.coalesce(d > 0.5, F.lit(False)).alias("d_exceeds"),
     )
 
 
@@ -485,17 +517,19 @@ _EWM_SQL = """
          max(CASE WHEN rn = n THEN value END) AS last_value
   FROM w GROUP BY event_type
 ), m AS (
+  -- nullif: n=1 makes the bias=False reliability weight 0/0 (pandas yields
+  -- NaN std there) — std goes NULL, verdict FALSE, no ANSI /0 crash
   SELECT event_type, last_value,
          swx / sw AS ewma,
          sqrt(greatest(0.0, (swx2 / sw - (swx / sw) * (swx / sw))
-                            * (sw * sw / (sw * sw - sw2)))) AS ewm_std
+                            * (sw * sw / nullif(sw * sw - sw2, 0)))) AS ewm_std
   FROM a
 )
 SELECT event_type,
        round(ewma, 6) AS ewma,
        round(ewm_std, 6) AS ewm_std,
        round(last_value, 6) AS last_value,
-       (abs(last_value - ewma) > 3 * ewm_std) AS anomalous
+       coalesce(abs(last_value - ewma) > 3 * ewm_std, FALSE) AS anomalous
 FROM m ORDER BY event_type
 """
 
@@ -526,8 +560,8 @@ def detector_stddev_from_moving_average(
     )
     ewma = F.col("swx") / F.col("sw")
     var_biased = F.col("swx2") / F.col("sw") - ewma * ewma
-    corr = (F.col("sw") * F.col("sw")) / (
-        F.col("sw") * F.col("sw") - F.col("sw2")
+    corr = (F.col("sw") * F.col("sw")) / F.nullif(
+        F.col("sw") * F.col("sw") - F.col("sw2"), F.lit(0.0)
     )
     ewm_std = F.sqrt(F.greatest(F.lit(0.0), var_biased * corr))
     return a.select(
@@ -535,7 +569,9 @@ def detector_stddev_from_moving_average(
         F.round(ewma, 6).alias("ewma"),
         F.round(ewm_std, 6).alias("ewm_std"),
         F.round("last_value", 6).alias("last_value"),
-        (F.abs(F.col("last_value") - ewma) > 3 * ewm_std).alias("anomalous"),
+        F.coalesce(
+            F.abs(F.col("last_value") - ewma) > 3 * ewm_std, F.lit(False)
+        ).alias("anomalous"),
     )
 
 
@@ -1348,42 +1384,51 @@ WITH span AS (
   CROSS JOIN LATERAL (SELECT CASE WHEN f.mx = f.mn THEN 0e0
                       ELSE (e.value - f.mn) / (f.mx - f.mn) END AS sv) s
   GROUP BY e.event_type, f.is_profile
+), ph AS (
+  SELECT f.event_type, f.features_sum AS fp_sum, f.mn AS p_mn, f.mx AS p_mx,
+         s.features_sum_scaled AS fp_sum_scaled
+  FROM f JOIN scaled s ON s.event_type = f.event_type AND s.is_profile
+  WHERE f.is_profile
+), ch AS (
+  SELECT f.event_type, f.features_sum AS calc_sum, f.mn AS c_mn, f.mx AS c_mx,
+         s.features_sum_scaled AS calc_sum_scaled
+  FROM f JOIN scaled s ON s.event_type = f.event_type AND NOT s.is_profile
+  WHERE NOT f.is_profile
 ), j AS (
-  SELECT p.event_type,
-         p.features_sum AS fp_sum, c.features_sum AS calc_sum,
-         p.mn AS p_mn, p.mx AS p_mx, c.mn AS c_mn, c.mx AS c_mx,
-         ps.features_sum_scaled AS fp_sum_scaled,
-         cs.features_sum_scaled AS calc_sum_scaled
-  FROM f p
-  JOIN f c ON p.event_type = c.event_type AND p.is_profile AND NOT c.is_profile
-  JOIN scaled ps ON ps.event_type = p.event_type AND ps.is_profile
-  JOIN scaled cs ON cs.event_type = p.event_type AND NOT cs.is_profile
-  WHERE p.is_profile
+  -- FULL join: a series living entirely on one side of the cut surfaces as
+  -- an unmatchable row instead of silently vanishing from the report
+  SELECT * FROM ph FULL JOIN ch USING (event_type)
 )
 , k AS (
-  -- each predicate computed ONCE (the Spark builder mirrors this shape
-  -- with its matched/eligible/pct_s columns)
+  -- each predicate computed ONCE (the Spark builder mirrors this shape);
+  -- nullif keeps a zero/NULL profile sum off the ANSI /0 path, and the
+  -- boolean verdicts coalesce NULL -> FALSE (with an exact 0-vs-0 match)
   SELECT j.*,
-         abs((calc_sum - fp_sum) / fp_sum * 100) AS pct,
+         abs((calc_sum - fp_sum) / nullif(fp_sum, 0) * 100) AS pct,
          ((p_mn = c_mn OR abs(c_mn - p_mn) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mn))
           AND (p_mx = c_mx OR abs(c_mx - p_mx) <= {MINMAX_RANGE_TOLERANCE} * abs(p_mx)))
            AS eligible,
-         abs((calc_sum_scaled - fp_sum_scaled) / fp_sum_scaled * 100) AS pct_s
+         abs((calc_sum_scaled - fp_sum_scaled)
+             / nullif(fp_sum_scaled, 0) * 100) AS pct_s
   FROM j
+), k2 AS (
+  SELECT k.*,
+         coalesce(pct <= {PROFILE_PERCENT_SIMILAR},
+                  fp_sum = 0 AND calc_sum = 0, FALSE) AS m_raw,
+         coalesce(eligible, FALSE) AS elig,
+         coalesce(pct_s <= {PROFILE_PERCENT_SIMILAR}, FALSE) AS m_s
+  FROM k
 )
 SELECT event_type,
        round(fp_sum, 6) AS fp_sum,
        round(calc_sum, 6) AS calc_sum,
        round(pct, 6) AS percent_different,
-       (pct <= {PROFILE_PERCENT_SIMILAR}) AS matched,
-       eligible AS minmax_eligible,
+       m_raw AS matched,
+       elig AS minmax_eligible,
        round(pct_s, 6) AS minmax_percent_different,
-       (NOT (pct <= {PROFILE_PERCENT_SIMILAR}) AND eligible
-        AND pct_s <= {PROFILE_PERCENT_SIMILAR}) AS matched_minmax,
-       ((pct <= {PROFILE_PERCENT_SIMILAR})
-        OR (NOT (pct <= {PROFILE_PERCENT_SIMILAR}) AND eligible
-            AND pct_s <= {PROFILE_PERCENT_SIMILAR})) AS not_anomalous
-FROM k ORDER BY event_type
+       (NOT m_raw AND elig AND m_s) AS matched_minmax,
+       (m_raw OR (NOT m_raw AND elig AND m_s)) AS not_anomalous
+FROM k2 ORDER BY event_type
 """,
     doc="Ionosphere features-profile match with the min-max second chance "
         "(ionosphere.py:1864-1998 + 2027-2455, settings.py:1750,1767,1781): "
@@ -1451,23 +1496,39 @@ def ionosphere_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("features_sum_scaled").alias("calc_sum_scaled"),
         )
     )
-    j = p.join(c, "event_type")
-    pct = F.abs((F.col("calc_sum") - F.col("fp_sum")) / F.col("fp_sum") * 100)
+    j = p.join(c, "event_type", "full")
+    pct = F.abs(
+        (F.col("calc_sum") - F.col("fp_sum"))
+        / F.nullif(F.col("fp_sum"), F.lit(0.0))
+        * 100
+    )
     pct_s = F.abs(
         (F.col("calc_sum_scaled") - F.col("fp_sum_scaled"))
-        / F.col("fp_sum_scaled")
+        / F.nullif(F.col("fp_sum_scaled"), F.lit(0.0))
         * 100
     )
     tol = MINMAX_RANGE_TOLERANCE
-    eligible = (
-        (F.col("p_mn") == F.col("c_mn"))
-        | (F.abs(F.col("c_mn") - F.col("p_mn")) <= tol * F.abs(F.col("p_mn")))
-    ) & (
-        (F.col("p_mx") == F.col("c_mx"))
-        | (F.abs(F.col("c_mx") - F.col("p_mx")) <= tol * F.abs(F.col("p_mx")))
+    eligible = F.coalesce(
+        (
+            (F.col("p_mn") == F.col("c_mn"))
+            | (F.abs(F.col("c_mn") - F.col("p_mn")) <= tol * F.abs(F.col("p_mn")))
+        )
+        & (
+            (F.col("p_mx") == F.col("c_mx"))
+            | (F.abs(F.col("c_mx") - F.col("p_mx")) <= tol * F.abs(F.col("p_mx")))
+        ),
+        F.lit(False),
     )
-    matched = pct <= PROFILE_PERCENT_SIMILAR
-    matched_minmax = ~matched & eligible & (pct_s <= PROFILE_PERCENT_SIMILAR)
+    matched = F.coalesce(
+        pct <= PROFILE_PERCENT_SIMILAR,
+        (F.col("fp_sum") == 0) & (F.col("calc_sum") == 0),
+        F.lit(False),
+    )
+    matched_minmax = (
+        ~matched
+        & eligible
+        & F.coalesce(pct_s <= PROFILE_PERCENT_SIMILAR, F.lit(False))
+    )
     return j.select(
         "event_type",
         F.round("fp_sum", 6).alias("fp_sum"),
@@ -1498,7 +1559,7 @@ WITH base AS (
 SELECT d.event_type, d.day,
        round(d.day_avg, 6) AS day_avg,
        round(b.long_mean, 6) AS long_mean,
-       (abs(d.day_avg - b.long_mean) > 3 * b.long_std) AS anomalous
+       coalesce(abs(d.day_avg - b.long_mean) > 3 * b.long_std, FALSE) AS anomalous
 FROM daily d JOIN base b ON d.event_type = b.event_type
 ORDER BY d.event_type, d.day
 """,
@@ -1519,7 +1580,10 @@ def mirage_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round("day_avg", 6).alias("day_avg"),
         F.round("long_mean", 6).alias("long_mean"),
-        (F.abs(F.col("day_avg") - F.col("long_mean")) > 3 * F.col("long_std")).alias(
+        F.coalesce(
+            F.abs(F.col("day_avg") - F.col("long_mean")) > 3 * F.col("long_std"),
+            F.lit(False),
+        ).alias(
             "anomalous"
         ),
     )
@@ -1585,24 +1649,25 @@ RELATIONAL_CONSENSUS = 4  # k of the 6 SQL-expressible detectors (≈ 6-of-9)
   FROM dev GROUP BY 1
 ), base AS (
   SELECT event_type,
-         (abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value)) AS a_stddev,
-         (abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
-          > 3 * stddev_samp(value) FILTER (WHERE rn < n)) AS a_msc,
-         (abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
-          > 3 * stddev_samp(value) FILTER (WHERE x < 86400)) AS a_fha
+         coalesce(abs({_TAIL_SQL} - avg(value)) > 3 * stddev_samp(value),
+                  FALSE) AS a_stddev,
+         coalesce(abs({_LAST_SQL} - avg(value) FILTER (WHERE rn < n))
+          > 3 * stddev_samp(value) FILTER (WHERE rn < n), FALSE) AS a_msc,
+         coalesce(abs({_TAIL_SQL} - avg(value) FILTER (WHERE x < 86400))
+          > 3 * stddev_samp(value) FILTER (WHERE x < 86400), FALSE) AS a_fha
   FROM e GROUP BY 1
 ), fit AS (
-  SELECT event_type, covar_pop(x, value) / var_pop(x) AS m,
-         avg(value) - covar_pop(x, value) / var_pop(x) * avg(x) AS c
+  SELECT event_type, covar_pop(x, value) / nullif(var_pop(x), 0) AS m,
+         avg(value) - covar_pop(x, value) / nullif(var_pop(x), 0) * avg(x) AS c
   FROM e GROUP BY 1
 ), r AS (
   SELECT e.event_type, e.rn, e.n, e.value - (fit.m * e.x + fit.c) AS err
   FROM e JOIN fit USING (event_type)
 ), ls_det AS (
   SELECT event_type,
-         (abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
+         coalesce(abs(avg(err) FILTER (WHERE rn > n - 3)) > 3 * stddev_pop(err)
           AND round(stddev_pop(err)) <> 0
-          AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0) AS a_ls
+          AND round(avg(err) FILTER (WHERE rn > n - 3)) <> 0, FALSE) AS a_ls
   FROM r GROUP BY 1
 ), hstats AS (
   SELECT event_type, min(value) AS mn, max(value) AS mx, {_TAIL_SQL} AS t
@@ -1645,9 +1710,17 @@ def drift_ensemble_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     fha_base = F.when(F.col("x") < 86400, F.col("value"))
 
     base = e.groupBy("event_type").agg(
-        (F.abs(tail - F.avg("value")) > 3 * F.stddev_samp("value")).alias("a_stddev"),
-        (F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head)).alias("a_msc"),
-        (F.abs(tail - F.avg(fha_base)) > 3 * F.stddev_samp(fha_base)).alias("a_fha"),
+        F.coalesce(
+            F.abs(tail - F.avg("value")) > 3 * F.stddev_samp("value"),
+            F.lit(False),
+        ).alias("a_stddev"),
+        F.coalesce(
+            F.abs(last - F.avg(head)) > 3 * F.stddev_samp(head), F.lit(False)
+        ).alias("a_msc"),
+        F.coalesce(
+            F.abs(tail - F.avg(fha_base)) > 3 * F.stddev_samp(fha_base),
+            F.lit(False),
+        ).alias("a_fha"),
     )
 
     med = e.groupBy("event_type").agg(F.median("value").alias("med"))
@@ -1661,10 +1734,11 @@ def drift_ensemble_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("a_mad")
     )
 
+    varx = F.nullif(F.var_pop("x"), F.lit(0.0))
     fit = e.groupBy("event_type").agg(
-        (F.covar_pop("x", "value") / F.var_pop("x")).alias("m"),
+        (F.covar_pop("x", "value") / varx).alias("m"),
         (
-            F.avg("value") - F.covar_pop("x", "value") / F.var_pop("x") * F.avg("x")
+            F.avg("value") - F.covar_pop("x", "value") / varx * F.avg("x")
         ).alias("c"),
     )
     r = e.join(F.broadcast(fit), "event_type").select(
@@ -1675,10 +1749,11 @@ def drift_ensemble_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tail_err = F.avg(F.when(F.col("rn") > F.col("n") - 3, F.col("err")))
     ls_det = r.groupBy("event_type").agg(
-        (
+        F.coalesce(
             (F.abs(tail_err) > 3 * F.stddev_pop("err"))
             & (F.round(F.stddev_pop("err"), 0) != 0)
-            & (F.round(tail_err, 0) != 0)
+            & (F.round(tail_err, 0) != 0),
+            F.lit(False),
         ).alias("a_ls")
     )
 

@@ -745,6 +745,13 @@ def _norm_expr(a):
     return F.sqrt(_dot_expr(a, a))
 
 
+def _cos_expr(a, b):
+    """Cosine with a nullif-guarded denominator: an all-zero vector yields
+    NULL (both engines) instead of an ANSI DIVIDE_BY_ZERO crash on the Spark
+    side and IEEE inf/nan on the DuckDB side — mirrors ``_cos_sql``."""
+    return _dot_expr(a, b) / F.nullif(_norm_expr(a) * _norm_expr(b), F.lit(0.0))
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
@@ -753,7 +760,10 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _cos_sql(a: str, b: str) -> str:
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"nullif(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 0))"
+    )
 
 
 _EMB_DUP_ORACLE = f"""
@@ -777,9 +787,7 @@ ORDER BY vec_a, vec_b
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load(spark, sf_dir, "embeddings"))
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot_expr(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm_expr(F.col("a.embedding")) * _norm_expr(F.col("b.embedding"))
-    )
+    cos = _cos_expr(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -826,9 +834,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = _dot_expr(F.col("q_emb"), F.col("c_emb")) / (
-        _norm_expr(F.col("q_emb")) * _norm_expr(F.col("c_emb"))
-    )
+    cos = _cos_expr(F.col("q_emb"), F.col("c_emb"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
@@ -990,9 +996,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_emb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     cand = cand.join(F.broadcast(q_emb), "query_id").join(c_emb, "neighbor_id")
-    cos = _dot_expr(F.col("q_emb"), F.col("c_emb")) / (
-        _norm_expr(F.col("q_emb")) * _norm_expr(F.col("c_emb"))
-    )
+    cos = _cos_expr(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -1061,9 +1065,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    cc = _dot_expr(F.col("embedding"), F.col("cemb")) / (
-        _norm_expr(F.col("embedding")) * _norm_expr(F.col("cemb"))
-    )
+    cc = _cos_expr(F.col("embedding"), F.col("cemb"))
     ac = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid", cc.alias("cc")
     )
@@ -1083,9 +1085,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
     )
-    cos = _dot_expr(F.col("qemb"), F.col("embedding")) / (
-        _norm_expr(F.col("qemb")) * _norm_expr(F.col("embedding"))
-    )
+    cos = _cos_expr(F.col("qemb"), F.col("embedding"))
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
@@ -1206,8 +1206,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.join(F.broadcast(a_emb), "vec_a").join(
         F.broadcast(b_emb), "vec_b"
     )
-    cos = _fold_dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.col("a_norm") * F.col("b_norm")
+    cos = _fold_dot(F.col("a_emb"), F.col("b_emb")) / F.nullif(
+        F.col("a_norm") * F.col("b_norm"), F.lit(0.0)
     )
     return (
         cand.select("vec_a", "vec_b", cos.alias("_c"))
@@ -1832,9 +1832,7 @@ def _kmeans_assign(e, cents, keep_q: bool):
     lower cluster id."""
     from pyspark.sql import Window
 
-    cos = _dot_expr(F.col("q"), F.col("cq")) / (
-        _norm_expr(F.col("q")) * _norm_expr(F.col("cq"))
-    )
+    cos = _cos_expr(F.col("q"), F.col("cq"))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
     cols = ["vec_id", "q"] if keep_q else ["vec_id"]
     return (
