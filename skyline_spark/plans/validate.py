@@ -82,6 +82,18 @@ def _local_ckpt_rdd_id(df: DataFrame) -> int:
     return df._jdf.queryExecution().analyzed().rdd().id()
 
 
+def _delete_path(spark, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API, so
+    scratch cleanup works for any scheme the cluster writes (file://, hdfs://,
+    s3a://) — not just the local filesystem."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 # Boundary-style defaults (SURVEY §2.6): a partition must not be near-empty
 # and null rates must stay sane even if drift has no baseline yet.
 DEFAULT_STATIC_RULES = (
@@ -100,7 +112,8 @@ class ValidationResult:
     run_id: str = ""
     config: ValidationConfig = field(default_factory=ValidationConfig)
     # storage-backed state created by this run: cached DataFrames plus the
-    # RDD ids of the localCheckpoint barriers (slim/stats/samples).
+    # RDD ids of the localCheckpoint barriers (slim/stats/samples), or the
+    # scratch-table directory when the run materialized to storage instead.
     # localCheckpoint blocks are NOT released by DataFrame.unpersist() — they
     # live until the driver GCs the RDD handle, so a long-lived session
     # running validate() repeatedly (a resident validation service, the
@@ -108,6 +121,7 @@ class ValidationResult:
     # memory per run unless released explicitly.
     _cached: list = field(default_factory=list, repr=False)
     _ckpt_rdd_ids: list = field(default_factory=list, repr=False)
+    _scratch_run_dir: str | None = field(default=None, repr=False)
 
     def release(self) -> None:
         """Free every block this run materialized. The result's DataFrames
@@ -124,6 +138,9 @@ class ValidationResult:
                 if rid in live:
                     jsc.unpersistRDD(rid, False)
             self._ckpt_rdd_ids.clear()
+        if self._scratch_run_dir is not None:
+            _delete_path(self.verdicts.sparkSession, self._scratch_run_dir)
+            self._scratch_run_dir = None
         self._cached.clear()
 
 
@@ -138,11 +155,23 @@ def validate(
     drift_stats: Sequence[str] | None = None,
     sample_backed: set[str] | None = None,
     algorithms: dict | None = None,
+    scratch_dir: str | None = None,
 ) -> ValidationResult:
     """``drift_stats`` / ``sample_backed`` / ``algorithms``: forwarded to
     :func:`..plans.drift.drift_verdicts` — restrict which stat series run
     the ensemble and which kernels vote (the reference's algorithm-set
-    selection). Defaults run the full registry over DRIFT_STATS."""
+    selection). Defaults run the full registry over DRIFT_STATS.
+
+    ``scratch_dir``: materialize the three pipeline barriers (slim / stats /
+    samples) as parquet scratch tables under ``scratch_dir/<run token>/``
+    instead of ``localCheckpoint``. This is the shape a 10^12-row cluster run
+    wants: localCheckpoint truncates lineage into executor-LOCAL blocks, so
+    losing any executor mid-run is unrecoverable (Spark cannot recompute a
+    checkpointed partition whose block died with its host) — a scratch table
+    survives executor churn, costs no block-manager memory, and downstream
+    scans get parquet column pruning. On local[N] the in-memory barrier is
+    faster, so it stays the default. ``release()`` deletes the run's scratch
+    directory (any Hadoop-visible scheme: file://, hdfs://, s3a://)."""
     cfg = cfg or ValidationConfig()
     spark = pages.sparkSession
     run_ts = run_ts if run_ts is not None else _time.time()
@@ -183,9 +212,28 @@ def validate(
     # DIFFERENT executors before any block is published — measured as an
     # absolute slowdown when ADDING executors (27s at 1 → 71s at 4 in
     # round 1). Checkpointing also truncates lineage, so no downstream job
-    # can ever re-touch the multi-KB html column. At 10^12 rows the same
-    # barrier is a scratch-table write; the shape is identical.
-    slim = slim_pages(pages).localCheckpoint(eager=True)
+    # can ever re-touch the multi-KB html column. At 10^12 rows pass
+    # ``scratch_dir`` and the same barrier becomes a parquet scratch-table
+    # write (fault-tolerant: survives executor loss); the shape is identical.
+    scratch_run_dir = None
+    if scratch_dir is not None:
+        # unique per run: concurrent validate() calls on one session must
+        # not clobber each other's scratch tables
+        scratch_run_dir = (
+            f"{scratch_dir.rstrip('/')}/{run_id}-{int(run_ts)}-{id(pages):x}"
+        )
+
+        def _barrier(df: DataFrame, name: str) -> DataFrame:
+            path = f"{scratch_run_dir}/{name}"
+            df.write.mode("errorifexists").parquet(path)
+            return spark.read.parquet(path)
+
+    else:
+
+        def _barrier(df: DataFrame, name: str) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    slim = _barrier(slim_pages(pages), "slim")
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch
     # (row-count gate, drift, statics, digests, fingerprints) into trivial
@@ -197,11 +245,9 @@ def validate(
     import concurrent.futures as _cf
 
     with _cf.ThreadPoolExecutor(2) as _ex:
-        _f_stats = _ex.submit(
-            lambda: partition_stats(slim).localCheckpoint(eager=True)
-        )
+        _f_stats = _ex.submit(lambda: _barrier(partition_stats(slim), "stats"))
         _f_samples = _ex.submit(
-            lambda: stat_samples(slim, cfg.sample_cap).localCheckpoint(eager=True)
+            lambda: _barrier(stat_samples(slim, cfg.sample_cap), "samples")
         )
         stats = _f_stats.result()
         samples = _f_samples.result()
@@ -211,7 +257,11 @@ def validate(
     # before/after diff would race with concurrent validate() runs or
     # caller-side caching on the same session and free someone else's
     # lineage-truncated blocks — unrecoverable for the victim run.
-    _ckpt_rdd_ids = [_local_ckpt_rdd_id(df) for df in (slim, stats, samples)]
+    _ckpt_rdd_ids = (
+        []
+        if scratch_run_dir is not None
+        else [_local_ckpt_rdd_id(df) for df in (slim, stats, samples)]
+    )
 
     fingerprints = (
         stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
@@ -452,4 +502,5 @@ def validate(
         config=cfg,
         _cached=[targets, drift, violations, verdicts, len_hist],
         _ckpt_rdd_ids=_ckpt_rdd_ids,
+        _scratch_run_dir=scratch_run_dir,
     )

@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--lookback", type=int, default=30)
     ap.add_argument("--min-history", type=int, default=6)
+    ap.add_argument(
+        "--scratch-dir",
+        default=None,
+        help="materialize pipeline barriers as parquet scratch tables here "
+        "instead of localCheckpoint — the fault-tolerant choice on a real "
+        "cluster (survives executor loss; any Hadoop scheme). The scratch "
+        "run directory is deleted after the outputs are written.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +65,13 @@ def main() -> None:
         lookback_partitions=args.lookback, min_history=args.min_history
     )
     ckpt_path = f"{args.output}/checkpoint"
-    res = validate(pages, cfg, checkpoint_path=ckpt_path, run_id=run_id)
+    res = validate(
+        pages,
+        cfg,
+        checkpoint_path=ckpt_path,
+        run_id=run_id,
+        scratch_dir=args.scratch_dir,
+    )
 
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts/{run_id}")
     res.violations.write.mode("overwrite").parquet(f"{args.output}/violations/{run_id}")
@@ -68,6 +82,7 @@ def main() -> None:
         "verdicts": res.verdicts.count(),
         "failed": res.verdicts.where("status = 'FAIL'").count(),
     }
+    res.release()
     print(json.dumps(summary))
 
 

@@ -254,3 +254,34 @@ def test_checkpoint_lineage_columns(result, spark, tmp_path):
     assert row["validated_at"] == datetime.datetime.utcfromtimestamp(RUN_TS)
     assert b"row_count" in bytes(row["stat_digests"])
     assert row["metrics"]["checks_run"] > 0
+
+
+def test_scratch_dir_mode_matches_localcheckpoint(result, spark, tmp_path):
+    """scratch_dir materializes the barriers as parquet scratch tables (the
+    fault-tolerant cluster shape) — verdicts and violations must be
+    identical to the default localCheckpoint run, and release() must delete
+    the run's scratch directory."""
+    import os
+
+    scratch = str(tmp_path / "scratch")
+    pages = synth_pages(spark, N_ROWS, N_DAYS)
+    res = validate(pages, run_ts=RUN_TS, scratch_dir=scratch)
+
+    def key(r):
+        return (r["partition_date"], r["lang"])
+
+    got = {key(r): (r["status"], r["checks_run"], r["checks_failed"])
+           for r in res.verdicts.collect()}
+    want = {key(r): (r["status"], r["checks_run"], r["checks_failed"])
+            for r in result.verdicts.collect()}
+    assert got == want
+    assert res.violations.count() == result.violations.count()
+
+    # the three barriers landed as parquet under one per-run directory
+    run_dirs = os.listdir(scratch)
+    assert len(run_dirs) == 1
+    assert sorted(os.listdir(os.path.join(scratch, run_dirs[0]))) == [
+        "samples", "slim", "stats",
+    ]
+    res.release()
+    assert not os.path.exists(os.path.join(scratch, run_dirs[0]))
