@@ -335,25 +335,32 @@ from .series_queries import (  # noqa: E402
 )
 
 # the profile/calc halves ride tsfresh_feature_frame unchanged by keying the
-# series frame on event_type || '|' || is_profile — both engines compute the
-# SAME 101-column matrix they already compute for tsfresh_features, then the
-# halves are joined back and compared with the reference's ±1% rule.
-# Key recovery strips the exact '|true'/'|false' suffix length (5/6 chars)
-# so event_type values containing '|' round-trip; the halves FULL-join so a
-# series living entirely on one side of the cut still surfaces a row
-# (matched=false, NULL sums) instead of vanishing; pct divides by
-# nullif(fp_sum, 0) so a zero profile sum yields NULL percent + an exact
-# 0-vs-0 equality fallback rather than an ANSI DIVIDE_BY_ZERO crash
+# series frame on a STRUCT(et, is_profile) — both engines group/partition by
+# struct keys natively (still HashAggregate, pinned by test_plan_shapes), so
+# both halves compute the SAME 101-column matrix tsfresh_features computes,
+# then the halves are joined back and compared with the reference's ±1% rule.
+# A struct key has no encode/decode grammar: a NULL or '|'-bearing raw
+# event_type survives as-is inside the struct (the old string-concat key went
+# NULL for a NULL event_type and the series vanished from the report). The
+# halves FULL-join NULL-SAFELY so a series living entirely on one side of the
+# cut — or one with a NULL event_type — still surfaces a row (matched=false,
+# NULL sums) instead of vanishing; pct divides by nullif(fp_sum, 0) so a zero
+# profile sum yields NULL percent + an exact 0-vs-0 equality fallback rather
+# than an ANSI DIVIDE_BY_ZERO crash. Rows with NULL ts are EXPLICITLY
+# excluded: a point with no timestamp cannot be placed on either side of the
+# cut, and its rank in the rn ordering would differ between engines
+# (NULLS FIRST vs LAST).
 _TSF_MATCH_SQL = f"""
 WITH matrix AS (
   WITH span AS (
     SELECT {PROFILE_CUT_EXPR_SQL} AS cut
     FROM events
   ), h AS (
-    SELECT event_type || '|'
-           || (epoch_ms(ts) < (SELECT cut FROM span))::VARCHAR AS event_type,
+    SELECT {{{{'et': event_type,
+             'is_profile': epoch_ms(ts) < (SELECT cut FROM span)}}}} AS event_type,
            ts, value, event_id
     FROM events
+    WHERE ts IS NOT NULL
   ), e AS (
     SELECT event_type, ts, value, event_id,
            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
@@ -362,18 +369,16 @@ WITH matrix AS (
   )
   {{body}}
 ), p AS (
-  SELECT left(event_type, length(event_type) - 5) AS event_type,
-         features_sum AS p_sum
-  FROM matrix WHERE event_type LIKE '%|true'
+  SELECT event_type.et AS event_type, features_sum AS p_sum
+  FROM matrix WHERE event_type.is_profile
 ), c AS (
-  SELECT left(event_type, length(event_type) - 6) AS event_type,
-         features_sum AS c_sum
-  FROM matrix WHERE event_type LIKE '%|false'
+  SELECT event_type.et AS event_type, features_sum AS c_sum
+  FROM matrix WHERE NOT event_type.is_profile
 ), k AS (
   -- pct computed ONCE (the Spark builder mirrors this shape)
-  SELECT event_type, p_sum, c_sum,
+  SELECT coalesce(p.event_type, c.event_type) AS event_type, p_sum, c_sum,
          abs((c_sum - p_sum) / nullif(p_sum, 0) * 100) AS pct
-  FROM p FULL JOIN c USING (event_type)
+  FROM p FULL JOIN c ON p.event_type IS NOT DISTINCT FROM c.event_type
 )
 SELECT event_type,
        round(p_sum, 6) AS fp_sum,
@@ -396,19 +401,22 @@ ORDER BY 1
         "SIMILAR (ionosphere.py:1864-1998, settings.py:1750). Here both "
         "halves (profile = first 70% of the span) run through the SAME "
         "101-calculator relational matrix as tsfresh_features by keying the "
-        "series frame on event_type||'|'||is_profile, so the match arithmetic "
+        "series frame on STRUCT(event_type, is_profile) — both engines "
+        "group/partition by struct keys natively, and NULL or '|'-bearing "
+        "event_types survive with no encode/decode — so the match arithmetic "
         "is the production feature pipeline, not a stand-in (the 7-term "
         "stand-in variant with the min-max second chance remains "
-        "ionosphere_profile_match)",
+        "ionosphere_profile_match); NULL-ts rows are explicitly excluded "
+        "(unplaceable on the cut, engine-divergent rank order)",
 )
 def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     span = profile_cut(ev)
+    # struct key: no encode/decode, NULL/'|' event_types survive verbatim
     half = ev.crossJoin(F.broadcast(span)).select(
-        F.concat(
-            "event_type",
-            F.lit("|"),
-            (_ms("ts") < F.col("cut")).cast("string"),
+        F.struct(
+            F.col("event_type").alias("et"),
+            (_ms("ts") < F.col("cut")).alias("is_profile"),
         ).alias("event_type"),
         "ts",
         "value",
@@ -423,16 +431,12 @@ def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     feats = tsfresh_feature_frame(e).select("event_type", "features_sum")
-    # strip the exact suffix we appended ('|true' = 5 chars, '|false' = 6)
-    # so raw event_type values containing '|' round-trip unharmed
-    p = feats.where(F.col("event_type").endswith("|true")).select(
-        F.expr("substring(event_type, 1, length(event_type) - 5)")
-        .alias("event_type"),
+    p = feats.where(F.col("event_type.is_profile")).select(
+        F.col("event_type.et").alias("p_et"),
         F.col("features_sum").alias("p_sum"),
     )
-    c = feats.where(F.col("event_type").endswith("|false")).select(
-        F.expr("substring(event_type, 1, length(event_type) - 6)")
-        .alias("event_type"),
+    c = feats.where(~F.col("event_type.is_profile")).select(
+        F.col("event_type.et").alias("c_et"),
         F.col("features_sum").alias("c_sum"),
     )
     pct = F.abs(
@@ -440,8 +444,9 @@ def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.nullif(F.col("p_sum"), F.lit(0.0))
         * 100
     )
-    return p.join(c, "event_type", "full").select(
-        "event_type",
+    # null-safe FULL join: a NULL-event_type series still pairs its halves
+    return p.join(c, F.col("p_et").eqNullSafe(F.col("c_et")), "full").select(
+        F.coalesce("p_et", "c_et").alias("event_type"),
         F.round("p_sum", 6).alias("fp_sum"),
         F.round("c_sum", 6).alias("calc_sum"),
         F.round(pct, 6).alias("percent_different"),

@@ -84,7 +84,20 @@ PREP_WINDOW_EXPRS = [
      "sum(abs(value)) OVER (PARTITION BY event_type ORDER BY rn "
      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
     ("tot_abs", "sum(abs(value)) OVER (PARTITION BY event_type)"),
-    ("vr", "row_number() OVER (PARTITION BY event_type ORDER BY value, rn)"),
+    # value rank for the type-7 quantile ladder. The leading (value IS NULL)
+    # key is load-bearing: Spark orders NULLS FIRST, DuckDB NULLS LAST, so a
+    # bare ORDER BY value would hand the two engines DIFFERENT ranks for the
+    # non-NULL values whenever the series contains NULLs. Sorting the
+    # boolean first (false < true in both) pins non-NULL values to ranks
+    # 1..nv identically everywhere; NULL rows trail and can never satisfy a
+    # vr = lo probe because their value is NULL anyway.
+    ("vr",
+     "row_number() OVER (PARTITION BY event_type "
+     "ORDER BY (value IS NULL), value, rn)"),
+    # non-NULL value count: the quantile ladder indexes over the values the
+    # old native median() skipped — n/count(*) would shift lo by the NULL
+    # row count
+    ("nv", "count(value) OVER (PARTITION BY event_type)"),
 ]
 
 PREP_LAYER2_EXPRS = [
@@ -94,22 +107,18 @@ PREP_LAYER2_EXPRS = [
      "floor((value - min_v) * 10.0 / (max_v - min_v)))) END"),
 ]
 
-# type-7 quantile helper fragments (pandas default interpolation)
-_Q9LO = "floor((n - 1) * 0.9) + 1"
-_Q9V = f"max(CASE WHEN vr = {_Q9LO} THEN value END)"
-_Q9V2 = f"max(CASE WHEN vr = {_Q9LO} + 1 THEN value END)"
-
-
 def _q7(q: float) -> str:
     """Type-7 (pandas default) quantile of value via the vr value-rank
-    ladder: lo = floor((n−1)·q)+1, linear interpolation to the next rank.
-    Inside the aggregated CASE the series length is the per-row ``n`` column
-    (count(*) there would nest aggregates); the top-level frac term uses
-    count(*) directly — same q_0.9 pattern as the literal list."""
-    lo = f"floor((n - 1) * {q}) + 1"
+    ladder: lo = floor((nv−1)·q)+1, linear interpolation to the next rank.
+    Ranks and the length are both over NON-NULL values (nv / count(value)),
+    matching the NULL-skipping native median()/np.median this ladder
+    replaced. Inside the aggregated CASE the length is the per-row ``nv``
+    window column (count(value) there would nest aggregates); the top-level
+    frac term uses count(value) directly."""
+    lo = f"floor((nv - 1) * {q}) + 1"
     v1 = f"max(CASE WHEN vr = {lo} THEN value END)"
     v2 = f"max(CASE WHEN vr = {lo} + 1 THEN value END)"
-    frac = f"((count(*) - 1) * {q} - floor((count(*) - 1) * {q}))"
+    frac = f"((count(value) - 1) * {q} - floor((count(value) - 1) * {q}))"
     return f"round({v1} + {frac} * (coalesce({v2}, {v1}) - {v1}), 6)"
 
 
@@ -162,9 +171,12 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
      "round(sum(vfirst) / count(*), 6)"),
     ("sum_of_reoccurring_values",
      "round(sum(CASE WHEN vcnt > 1 THEN value ELSE 0 END), 4)"),
+    # nullif: an all-NULL-value series has sum(vfirst)=0 — the unguarded
+    # division traps DIVIDE_BY_ZERO under Spark ANSI mode (this expression
+    # is NOT behind a lazy CASE) and yields IEEE NaN on DuckDB; NULL in both
     ("percentage_of_reoccurring_datapoints_to_all_datapoints",
      "round(sum(CASE WHEN vcnt > 1 THEN vfirst ELSE 0e0 END) "
-     "/ sum(vfirst), 6)"),
+     "/ nullif(sum(vfirst), 0), 6)"),
     ("percentage_of_reoccurring_values_to_all_values",
      "round(sum(CASE WHEN vcnt > 1 THEN 1e0 ELSE 0e0 END) / count(*), 6)"),
     ("skewness",
@@ -201,9 +213,7 @@ SHARED_AGG_EXPRS: list[tuple[str, str]] = [
     ("large_standard_deviation_r_0_25",
      "CASE WHEN stddev_pop(value) > 0.25 * (max(value) - min(value)) "
      "THEN 1e0 ELSE 0e0 END"),
-    ("quantile_q_0_9",
-     f"round({_Q9V} + ((count(*) - 1) * 0.9 - floor((count(*) - 1) * 0.9)) "
-     f"* (coalesce({_Q9V2}, {_Q9V}) - {_Q9V}), 6)"),
+    ("quantile_q_0_9", _q7(0.9)),
     ("value_count_value_0",
      "sum(CASE WHEN value = 0 THEN 1e0 ELSE 0e0 END)"),
     ("range_count_max_1_min_m1",

@@ -233,6 +233,29 @@ def validate(
         def _barrier(df: DataFrame, name: str) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _validate_body(
+            pages, cfg, checkpoint_path, run_id, run_ts, static_rules,
+            lang_allowlist, drift_stats, sample_backed, algorithms,
+            spark, schema_viol, _barrier, scratch_run_dir,
+        )
+    except BaseException:
+        # a failed run must not strand multi-GB scratch tables: the only
+        # handle that deletes them (ValidationResult.release) is built at
+        # the very end of the pipeline, so clean up here on any error
+        if scratch_run_dir is not None:
+            try:
+                _delete_path(spark, scratch_run_dir)
+            except Exception:
+                pass
+        raise
+
+
+def _validate_body(
+    pages, cfg, checkpoint_path, run_id, run_ts, static_rules,
+    lang_allowlist, drift_stats, sample_backed, algorithms,
+    spark, schema_viol, _barrier, scratch_run_dir,
+) -> ValidationResult:
     slim = _barrier(slim_pages(pages), "slim")
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch

@@ -73,16 +73,24 @@ def main() -> None:
         scratch_dir=args.scratch_dir,
     )
 
-    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts/{run_id}")
-    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations/{run_id}")
-    append_checkpoint(res.checkpoint, ckpt_path)
+    try:
+        res.verdicts.write.mode("overwrite").parquet(
+            f"{args.output}/verdicts/{run_id}"
+        )
+        res.violations.write.mode("overwrite").parquet(
+            f"{args.output}/violations/{run_id}"
+        )
+        append_checkpoint(res.checkpoint, ckpt_path)
 
-    summary = {
-        "run_id": run_id,
-        "verdicts": res.verdicts.count(),
-        "failed": res.verdicts.where("status = 'FAIL'").count(),
-    }
-    res.release()
+        summary = {
+            "run_id": run_id,
+            "verdicts": res.verdicts.count(),
+            "failed": res.verdicts.where("status = 'FAIL'").count(),
+        }
+    finally:
+        # release even when an output write raises — otherwise a failed run
+        # strands the scratch tables / checkpoint blocks until session exit
+        res.release()
     print(json.dumps(summary))
 
 

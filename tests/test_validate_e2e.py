@@ -285,3 +285,24 @@ def test_scratch_dir_mode_matches_localcheckpoint(result, spark, tmp_path):
     ]
     res.release()
     assert not os.path.exists(os.path.join(scratch, run_dirs[0]))
+
+
+def test_scratch_dir_cleaned_up_on_failure(spark, tmp_path):
+    """A validate() that fails AFTER the barriers are written must delete
+    its scratch run directory on the way out — release() is unreachable on
+    the exception path and a multi-GB slim table would leak per failed run."""
+    import os
+    from skyline_spark.plans.constraints import StaticRule
+
+    scratch = str(tmp_path / "scratch_fail")
+    pages = synth_pages(spark, 2_000, 4, defects=False)
+    with pytest.raises(ValueError, match="unknown op"):
+        validate(
+            pages,
+            run_ts=RUN_TS,
+            scratch_dir=scratch,
+            static_rules=(StaticRule("row_count", "no_such_op", 1.0),),
+        )
+    # parent may exist, but no per-run directory (and no parquet) survives
+    leftovers = os.listdir(scratch) if os.path.exists(scratch) else []
+    assert leftovers == []
