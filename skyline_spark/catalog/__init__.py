@@ -84,10 +84,11 @@ PRIORITY_WINDOW: list[str] = [
     "window_top_orders_per_nation",
     "domain_cap_sample",
     "mixture_token_budget",
-    # headline LLM-pipeline operators (dedup/ANN/text)
-    "text_token_count",
-    "text_lang_id",
-    "text_quality",
+    # headline LLM-pipeline operators (dedup/ANN/text); round-3 additions
+    # (no committed green row yet) displace three r2-green text ops
+    "dedup_exact_substrings",
+    "url_canonical_dedup",
+    "mixture_temperature_sample",
     "text_pii_scrub",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -104,6 +105,9 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
     "ann_lsh_topk",
     "filter_pipeline",
     "decontaminate_ngrams",

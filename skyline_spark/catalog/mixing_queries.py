@@ -153,3 +153,126 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, stratum="lang", weight_col="ntok", order_col="h",
         tie_col="doc_id", quota=quota, buckets=MIX_BUCKETS,
     ).select("doc_id", "lang", "ntok")
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+#: integer quantizer for the per-source sqrt weight (exact/associative sums)
+TEMP_Q = 1024
+#: fraction of the corpus the tempered sample targets
+TEMP_FRAC = 0.4
+
+
+def _temp_hash_sql() -> str:
+    return X.h32_sql("concat('temp:', doc_id::VARCHAR)")
+
+
+_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         floor(sqrt(n_docs) * {TEMP_Q} + 0.5)::BIGINT AS weight
+  FROM counts
+), tot AS (
+  SELECT source, n_docs, weight,
+         sum(weight) OVER () AS wsum,
+         floor(sum(n_docs) OVER () * {TEMP_FRAC})::BIGINT AS target
+  FROM w
+), quota AS (
+  SELECT source, n_docs, weight,
+         least(n_docs,
+               floor(target::DOUBLE * weight / wsum)::BIGINT) AS quota
+  FROM tot
+), ranked AS (
+  SELECT doc_id, source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+  FROM (SELECT doc_id, source, {_temp_hash_sql()} AS h FROM documents)
+), picked AS (
+  SELECT r.source, count(*)::BIGINT AS picked, sum(r.h)::BIGINT AS sel_hash_sum
+  FROM ranked r JOIN quota q USING (source)
+  WHERE r.rnk <= q.quota
+  GROUP BY r.source
+)
+SELECT q.source, q.n_docs, q.weight, q.quota,
+       coalesce(p.picked, 0)::BIGINT AS picked,
+       coalesce(p.sel_hash_sum, 0)::BIGINT AS sel_hash_sum
+FROM quota q LEFT JOIN picked p USING (source)
+ORDER BY q.source
+"""
+
+
+@query(
+    "mixture_temperature_sample",
+    _TEMP_ORACLE,
+    doc="temperature-scaled mixture sampling (the multilingual/data-mixing "
+        "p_i^alpha upsampling rule, alpha=0.5): each source's share of the "
+        "tempered sample is proportional to sqrt(n_i), flattening "
+        "head-domain dominance while keeping tail domains represented. "
+        "Cross-engine float discipline: sqrt is IEEE-correctly-rounded in "
+        f"both engines, quantized to an integer weight (floor(sqrt*{TEMP_Q}"
+        "+0.5)) so the weight SUM is exact/associative regardless of "
+        "partition fold order; the quota is then ONE double multiply + "
+        "divide + floor — deterministic everywhere. Selection is the "
+        "h32('temp:'||doc_id) rank within source (reproducible across "
+        "runs/engines/partitionings; a resumed run re-picks the identical "
+        "set), checksummed per source so the oracle pins WHICH docs were "
+        "picked, not just how many. Scale: the per-source rank is the same "
+        "skew surface as domain_cap_sample — at 10^12 docs it runs the "
+        "salted two-phase top-K there (operators/mixture.cap_per_key) "
+        "with k=quota_i; the summary side is a broadcast of O(|sources|) "
+        "rows",
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = X.h32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    narrow = d.select("doc_id", "source", h.alias("h"))
+
+    counts = narrow.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt("n_docs") * TEMP_Q + F.lit(0.5)).cast("long")
+    )
+    tot = Window.partitionBy()
+    quota = (
+        w.withColumn("wsum", F.sum("weight").over(tot))
+        .withColumn(
+            "target", F.floor(F.sum("n_docs").over(tot) * TEMP_FRAC).cast("long")
+        )
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.col("target").cast("double") * F.col("weight") / F.col("wsum")
+                ).cast("long"),
+            ),
+        )
+        .select("source", "n_docs", "weight", "quota")
+    )
+
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+    )
+    ranked = narrow.withColumn("rnk", rnk)
+    picked = (
+        ranked.join(F.broadcast(quota.select("source", "quota")), "source")
+        .where(F.col("rnk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("picked"),
+            F.sum("h").cast("long").alias("sel_hash_sum"),
+        )
+    )
+    return (
+        quota.join(picked, "source", "left")
+        .select(
+            "source", "n_docs", "weight", "quota",
+            F.coalesce("picked", F.lit(0)).cast("long").alias("picked"),
+            F.coalesce("sel_hash_sum", F.lit(0)).cast("long").alias("sel_hash_sum"),
+        )
+        .orderBy("source")
+    )

@@ -1892,3 +1892,311 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cluster"),
         X.r6(F.col("cos")).alias("cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better", content-defined-window Spark restatement)
+# ---------------------------------------------------------------------------
+
+#: duplicated-substring window width, in characters
+SUBSTR_W = 40
+#: expected anchor spacing: a position is an anchor iff
+#: h32(anchor-gram) % SUBSTR_STRIDE == 0 (content-defined, winnowing/CDC
+#: style — selection depends on the text, never the doc-start offset, so a
+#: verbatim run shared at ARBITRARY offsets selects the SAME run-relative
+#: window positions in every doc that carries it)
+SUBSTR_STRIDE = 10
+#: anchor-gram width fed to the selection hash
+SUBSTR_ANCHOR = 8
+#: a doc carrying a merged duplicated span at least this long is flagged
+SUBSTR_MIN_SPAN = 60
+
+_SUBSTR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS s, length(text) AS n
+  FROM documents WHERE length(text) >= {SUBSTR_W}
+), anchored AS (
+  SELECT doc_id, n, p, md5(substr(s, p, {SUBSTR_W})) AS h
+  FROM t, unnest(generate_series(1, n - {SUBSTR_W - 1}, 1)) AS u(p)
+  WHERE {X.h32_sql(f"substr(s, p, {SUBSTR_ANCHOR})")} % {SUBSTR_STRIDE} = 0
+), freq AS (
+  SELECT h FROM anchored GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT w.doc_id, w.n, w.p FROM anchored w JOIN freq USING (h)
+), brk AS (
+  SELECT doc_id, n, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {SUBSTR_W}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+), isl AS (
+  SELECT doc_id, n, p,
+         sum(new_span) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM brk
+), spans AS (
+  SELECT doc_id, max(n) AS n, span_id,
+         max(p) - min(p) + {SUBSTR_W} AS span_len
+  FROM isl GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_dup_spans,
+       sum(span_len)::BIGINT AS dup_chars,
+       max(span_len)::BIGINT AS longest_span,
+       {X.r6_sql('sum(span_len)::DOUBLE / max(n)')} AS dup_char_frac,
+       max(span_len) >= {SUBSTR_MIN_SPAN} AS substr_flagged
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_exact_substrings",
+    _SUBSTR_ORACLE,
+    doc="exact-substring dedup (Lee et al. 2022 suffix-array dedup, "
+        "restated Spark-shaped with content-defined windows): a position "
+        f"is an anchor iff h32 of its {SUBSTR_ANCHOR}-char gram is 0 mod "
+        f"{SUBSTR_STRIDE} (winnowing/CDC-style selection — depends only on "
+        "the text, so a verbatim run shared at arbitrary, differently-"
+        "aligned offsets anchors the SAME run-relative positions in every "
+        f"doc); each anchor's {SUBSTR_W}-char window is md5-keyed, window "
+        "contents occurring >=2 times corpus-wide are duplicated, and per "
+        "doc the duplicated windows merge into maximal spans (gaps-and-"
+        "islands over positions), yielding span count / duplicated chars / "
+        f"longest span / flagged at {SUBSTR_MIN_SPAN}+ chars. Doc-anchored "
+        "striding would miss every cross-doc repeat whose offsets disagree "
+        "mod stride — the failure tests/test_corpus_ops.py pins. Recall is "
+        "probabilistic like MinHash: a run of R chars misses only if its "
+        "R-W interior positions all miss the 1/S anchor draw "
+        "(~e^-(R-W)/S: 13% at R=60, ~0 at R=200). The dedup key is the "
+        "full 128-bit md5 (h32 would brand distinct windows duplicated at "
+        "10^12-doc scale). Plan: one scan -> explode all positions (map-"
+        "side only; the anchor filter runs IN the same projection, so the "
+        "shuffle carries ~n/S rows) -> window-hash count (partial agg, one "
+        "shuffle on h) -> equi-join back -> per-doc islands window (one "
+        "shuffle on doc_id). Boilerplate windows are the hot keys; AQE "
+        "skew-join splits them. A full suffix array (the paper's single-"
+        "node structure) does not shard; the W/S dial trades shuffle "
+        "volume for minimum catchable repeat length",
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(load(spark, sf_dir, "documents"))
+    t = d.where(F.length("text") >= SUBSTR_W).select(
+        "doc_id", F.lower(F.col("text")).alias("s"), F.length("text").alias("n")
+    )
+    ex = t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - F.lit(SUBSTR_W - 1), F.lit(1))
+        ).alias("p"),
+        "s",
+    )
+    anchor = X.h32(F.col("s").substr(F.col("p"), F.lit(SUBSTR_ANCHOR)))
+    # (doc_id, n, p, h) materialized ONCE: the freq branch and the
+    # join-back branch would otherwise each rescan + re-hash the text
+    win = (
+        ex.where(F.pmod(anchor, F.lit(SUBSTR_STRIDE)) == 0)
+        .select(
+            "doc_id", "n", "p",
+            F.md5(F.col("s").substr(F.col("p"), F.lit(SUBSTR_W))).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    freq = win.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    dup = win.join(freq.select("h"), "h").select("doc_id", "n", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = dup.withColumn(
+        "new_span",
+        F.when(
+            F.lag("p").over(w).isNull()
+            | ((F.col("p") - F.lag("p").over(w)) > SUBSTR_W),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "span_id").agg(
+        F.max("n").alias("n"),
+        (F.max("p") - F.min("p") + SUBSTR_W).alias("span_len"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("span_len").cast("long").alias("dup_chars"),
+            F.max("span_len").cast("long").alias("longest_span"),
+            X.r6(
+                F.sum("span_len").cast("double") / F.max("n")
+            ).alias("dup_char_frac"),
+            (F.max("span_len") >= SUBSTR_MIN_SPAN).alias("substr_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical dedup (Common-Crawl url hygiene)
+# ---------------------------------------------------------------------------
+
+#: tracking query params stripped by canonicalization (plus any utm_* name)
+URL_TRACKING_PARAMS = ("gclid", "fbclid")
+
+# Deterministic messy-URL fixture derived from events: five raw variants of
+# the same logical resource (host = user_id mod 10, path = event_id mod 200)
+# differing in scheme/host case, explicit default port, tracking params and
+# fragment. Both engines synthesize identical strings, so the oracle is
+# exact. variant -> canonical classes: m0/m1 -> https+?id=1, m2/m3 -> http,
+# m4 -> https bare.
+_URL_RAW_SQL = """
+  CASE event_id % 5
+    WHEN 0 THEN 'https://H' || (user_id % 10)::VARCHAR || '.EXAMPLE.org:443/p/'
+                || (event_id % 200)::VARCHAR || '?utm_source=feed&id=1#top'
+    WHEN 1 THEN 'https://h' || (user_id % 10)::VARCHAR || '.example.org/p/'
+                || (event_id % 200)::VARCHAR || '?id=1'
+    WHEN 2 THEN 'http://h' || (user_id % 10)::VARCHAR || '.example.org:80/p/'
+                || (event_id % 200)::VARCHAR
+    WHEN 3 THEN 'http://h' || (user_id % 10)::VARCHAR || '.example.org/p/'
+                || (event_id % 200)::VARCHAR || '#frag'
+    ELSE 'https://h' || (user_id % 10)::VARCHAR || '.example.org/p/'
+                || (event_id % 200)::VARCHAR || '?utm_campaign=x&gclid=abc'
+  END
+"""
+
+_URL_ORACLE = f"""
+WITH raw AS (
+  SELECT {_URL_RAW_SQL} AS u FROM events
+), defrag AS (
+  SELECT u, regexp_replace(u, '#.*$', '') AS d FROM raw
+), parts AS (
+  SELECT u,
+         lower(regexp_extract(d, '^[a-zA-Z]+://[^/?#]*', 0)) AS sa,
+         substr(d, length(regexp_extract(d, '^[a-zA-Z]+://[^/?#]*', 0)) + 1)
+           AS rest
+  FROM defrag
+), ports AS (
+  SELECT u,
+         CASE WHEN starts_with(sa, 'https://') THEN replace(sa, ':443', '')
+              WHEN starts_with(sa, 'http://') THEN replace(sa, ':80', '')
+              ELSE sa END AS sa,
+         split_part(rest, '?', 1) AS path,
+         split_part(rest, '?', 2) AS q
+  FROM parts
+), canon AS (
+  SELECT u,
+         sa || path ||
+         CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS c
+  FROM (
+    SELECT u, sa, path,
+           -- duckdb array_to_string([]) is NULL, Spark concat_ws is ''
+           coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> NOT (starts_with(split_part(x, '=', 1), 'utm_')
+                       OR split_part(x, '=', 1) IN {URL_TRACKING_PARAMS})
+           )), '&'), '') AS q2
+    FROM ports)
+)
+SELECT c AS canonical_url,
+       count(*)::BIGINT AS n_raw,
+       count(DISTINCT u)::BIGINT AS n_raw_distinct,
+       min(u) AS keeper_raw
+FROM canon GROUP BY c HAVING count(*) >= 2 ORDER BY canonical_url
+"""
+
+
+def _url_raw_expr() -> F.Column:
+    host = F.pmod("user_id", F.lit(10)).cast("string")
+    path = F.pmod("event_id", F.lit(200)).cast("string")
+    m = F.pmod("event_id", F.lit(5))
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("https://H"), host, F.lit(".EXAMPLE.org:443/p/"), path,
+            F.lit("?utm_source=feed&id=1#top")))
+        .when(m == 1, F.concat(
+            F.lit("https://h"), host, F.lit(".example.org/p/"), path,
+            F.lit("?id=1")))
+        .when(m == 2, F.concat(
+            F.lit("http://h"), host, F.lit(".example.org:80/p/"), path))
+        .when(m == 3, F.concat(
+            F.lit("http://h"), host, F.lit(".example.org/p/"), path,
+            F.lit("#frag")))
+        .otherwise(F.concat(
+            F.lit("https://h"), host, F.lit(".example.org/p/"), path,
+            F.lit("?utm_campaign=x&gclid=abc")))
+    )
+
+
+def url_canonical_expr(u: F.Column) -> F.Column:
+    """Canonical form of a URL, entirely in Catalyst expressions (one map
+    stage, whole-stage codegen): strip the fragment, lowercase
+    scheme+authority, drop explicit default ports, drop utm_*/gclid/fbclid
+    tracking params, sort the surviving query params. The same five steps in
+    the same order as the oracle SQL. replace(':443'/':80') is safe because
+    the authority grammar allows ':' only before the port."""
+    d = F.regexp_replace(u, "#.*$", "")
+    sa_raw = F.regexp_extract(d, "^[a-zA-Z]+://[^/?#]*", 0)
+    sa = F.lower(sa_raw)
+    rest = d.substr(F.length(sa_raw) + 1, F.length(d))
+    sa = (
+        F.when(sa.startswith("https://"), F.replace(sa, F.lit(":443"), F.lit("")))
+        .when(sa.startswith("http://"), F.replace(sa, F.lit(":80"), F.lit("")))
+        .otherwise(sa)
+    )
+    path = F.split_part(rest, F.lit("?"), F.lit(1))
+    q = F.split_part(rest, F.lit("?"), F.lit(2))
+    keep = lambda p: ~(
+        F.split_part(p, F.lit("="), F.lit(1)).startswith("utm_")
+        | F.split_part(p, F.lit("="), F.lit(1)).isin(*URL_TRACKING_PARAMS)
+    )
+    q2 = F.concat_ws("&", F.array_sort(F.filter(F.split(q, "&"), keep)))
+    return F.concat(
+        sa, path, F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2))
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    _URL_ORACLE,
+    doc="URL canonicalization + canonical-key dedup (the Common-Crawl "
+        "hygiene pass behind the north-star url-uniqueness rule — "
+        "uniqueness_violations in plans/constraints.py checks RAW url "
+        "uniqueness per partition; this collapses cosmetic variants "
+        "first): strip fragment, lowercase scheme+host, drop explicit "
+        "default ports, drop utm_*/gclid/fbclid tracking params, sort "
+        "surviving query params — all Catalyst string/array expressions, "
+        "ZERO UDFs, JVM-side throughout (the param-filter lambda is a "
+        "CodegenFallback higher-order function, still JVM, never Python); "
+        "canonicalization is a pure map stage and the "
+        "only shuffle is the final hash agg on the canonical key (hot "
+        "boilerplate URLs split under AQE). Input is a deterministic "
+        "5-variant messy-URL fixture derived from events, identical in "
+        "both engines, so the oracle is exact",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(_url_raw_expr().alias("u"))
+    c = raw.select("u", url_canonical_expr(F.col("u")).alias("c"))
+    # two-level hash agg instead of count(DISTINCT u): a distinct aggregate
+    # plans sort-based (3 Sorts, no codegen); grouping by (c, u) first keeps
+    # every stage a codegen'd HashAggregate with map-side partials
+    per_raw = c.groupBy("c", "u").agg(F.count("*").alias("cnt"))
+    return (
+        per_raw.groupBy("c")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_raw"),
+            F.count("*").cast("long").alias("n_raw_distinct"),
+            F.min("u").alias("keeper_raw"),
+        )
+        .where(F.col("n_raw") >= 2)
+        .select(
+            F.col("c").alias("canonical_url"),
+            "n_raw", "n_raw_distinct", "keeper_raw",
+        )
+        .orderBy("canonical_url")
+    )

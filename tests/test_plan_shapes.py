@@ -68,6 +68,9 @@ NO_ROWWISE_PYTHON = [
     "ionosphere_layers",
     "domain_cap_sample",
     "mixture_token_budget",
+    "dedup_exact_substrings",
+    "url_canonical_dedup",
+    "mixture_temperature_sample",
 ]
 
 
@@ -228,3 +231,36 @@ def test_tsfresh_matrix_stays_on_hash_aggregate(spark):
         "the Expand multiplies every input row through the aggregate"
     )
     assert "BatchEvalPython" not in p
+
+
+def test_url_canonical_is_pure_map_plus_one_agg(spark):
+    # canonicalization must stay a Catalyst expression chain: no joins, no
+    # Python boundary of any kind; the only exchange is the canonical-key agg
+    p = plan_of(build(spark, "url_canonical_dedup"))
+    assert "Join" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
+    # the big first-level agg (per (canon, raw)) must be a HashAggregate
+    # with a map-side partial — the shuffle ships one row per distinct
+    # (canon, raw), not one per event. The canonicalize Project itself is
+    # CodegenFallback (higher-order filter lambda) but still JVM-side —
+    # the EvalPython assert above pins that no Python boundary appears.
+    assert "HashAggregate" in p
+    assert "partial" in p.lower()
+
+
+def test_substring_dedup_joins_are_hash_equi(spark):
+    # the dup-window join-back must be hash-partitionable (equi-join on the
+    # window md5), never a nested loop over candidates
+    p = plan_of(build(spark, "dedup_exact_substrings"))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_temperature_sample_broadcasts_quotas(spark):
+    # the per-source quota side is O(|sources|) rows and must broadcast;
+    # the corpus side is never nested-loop joined
+    p = plan_of(build(spark, "mixture_temperature_sample"))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
