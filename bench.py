@@ -266,6 +266,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "corpus_shuffle_shards",
         "domain_cap_sample",
         "mixture_token_budget",
+        "quality_classifier_score",
+        "ccnet_perplexity_buckets",
+        "semdedup_prune",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -17,6 +17,7 @@ from . import skew_queries  # noqa: F401,E402
 from . import extras_queries  # noqa: F401,E402
 from . import mixing_queries  # noqa: F401,E402
 from . import flagship_queries  # noqa: F401,E402
+from . import curation_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
@@ -62,7 +63,6 @@ PRIORITY_WINDOW: list[str] = [
     # boundary / luminosity / alerts / ionosphere / mirage (§2.5–2.9)
     "boundary_alert_threshold",
     "boundary_static_thresholds",
-    "boundary_autoaggregate",
     "boundary_drop_off_cliff",
     "luminosity_correlation",
     "luminosity_shift_correlation",
@@ -71,7 +71,6 @@ PRIORITY_WINDOW: list[str] = [
     "ionosphere_profile_match",
     "ionosphere_tsfresh_match",
     "mirage_second_pass",
-    "events_daily_stats",
     # round-2 orphans (oracled, green in pytest + r1, no r2 row)
     "tsfresh_features",
     "roomba_vacuum",
@@ -85,11 +84,15 @@ PRIORITY_WINDOW: list[str] = [
     "domain_cap_sample",
     "mixture_token_budget",
     # headline LLM-pipeline operators (dedup/ANN/text); round-3 additions
-    # (no committed green row yet) displace three r2-green text ops
+    # (no committed green row yet) displace r2-green ops — boundary_
+    # autoaggregate, events_daily_stats, text_pii_scrub rotate out (all
+    # hash-green in CORRECTNESS_r02) to make room for the curation trio
     "dedup_exact_substrings",
     "url_canonical_dedup",
     "mixture_temperature_sample",
-    "text_pii_scrub",
+    "quality_classifier_score",
+    "ccnet_perplexity_buckets",
+    "semdedup_prune",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -105,6 +108,9 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "boundary_autoaggregate",
+    "events_daily_stats",
+    "text_pii_scrub",
     "text_token_count",
     "text_lang_id",
     "text_quality",

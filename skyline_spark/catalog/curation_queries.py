@@ -1,0 +1,377 @@
+"""Corpus-curation operators from the published LLM-data-pipeline playbook:
+
+- ``quality_classifier_score`` — fastText-style hashed linear classifier
+  inference (the DCLM / FineWeb-Edu quality-filter shape: Joulin et al. 2017
+  "Bag of Tricks for Efficient Text Classification"; model weights stand in
+  as a deterministic fixture, the inference plumbing is real).
+- ``ccnet_perplexity_buckets`` — CCNet-style LM-perplexity head/middle/tail
+  bucketing (Wenzek et al. 2020 "CCNet: Extracting High Quality Monolingual
+  Datasets from Web Crawl Data"): a bigram LM with add-one smoothing is
+  trained on the corpus itself, every document is scored, and each language
+  is split into perplexity terciles.
+- ``semdedup_prune`` — SemDeDup semantic deduplication (Abbas et al. 2023
+  "SemDeDup: Data-efficient learning at web-scale through semantic
+  deduplication"): k-means-cluster the embedding space, then prune
+  within-cluster near-duplicates by pairwise cosine, keeping the points
+  farthest from their centroid first.
+
+All three follow the house parity rules: integer-valued intermediate sums
+(associative, order-independent), one final double division, ``X.r6``
+rounding, and the portable md5-based ``X.h32`` wherever pseudo-randomness is
+needed — so the DuckDB oracles match hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from .registry import load, query
+from .text_queries import (
+    EMB_DIM,
+    KMEANS_A2_CTES,
+    _cos_expr,
+    _cos_sql,
+    kmeans_a2,
+)
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — hashed-bag-of-words linear classifier inference
+# ---------------------------------------------------------------------------
+
+#: hashing-trick feature buckets (fastText's default is 2M bigram buckets;
+#: scaled to the fixture corpus' 31-token vocabulary)
+QCLF_BUCKETS = 1024
+#: integer weight span: w(b) ∈ {-1000..1000}, interpreted /1000 — integer
+#: per-token weights make the document sum EXACT and order-independent,
+#: so both engines agree bit-for-bit with no fold-order pinning
+QCLF_WSPAN = 2001
+
+_QCLF_TOKS = X.tokens_sql("text")
+
+
+def _qclf_weight_sql(tok: str) -> str:
+    bucket = f"(({X.h32_sql(tok)}) % {QCLF_BUCKETS})"
+    keyed = X.h32_sql("'qw:' || " + bucket + "::VARCHAR")
+    return f"(({keyed}) % {QCLF_WSPAN} - 1000)"
+
+
+_QCLF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_QCLF_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(toks, t -> {_qclf_weight_sql('t')}::BIGINT)),
+           (acc, x) -> acc + x) AS score_q
+  FROM t
+)
+SELECT doc_id,
+       n_tokens::BIGINT AS n_tokens,
+       {X.r6_sql('score_q::DOUBLE / (1000.0 * nullif(n_tokens, 0))')} AS clf_score,
+       score_q > 0 AS clf_keep
+FROM s ORDER BY doc_id
+"""
+
+
+@query(
+    "quality_classifier_score",
+    _QCLF_ORACLE,
+    doc="fastText-style quality-classifier inference (DCLM / FineWeb-Edu "
+        "filtering stage): hashing-trick bag-of-words — token → "
+        f"h32 % {QCLF_BUCKETS} bucket → integer weight "
+        f"(h32('qw:'||bucket) % {QCLF_WSPAN} − 1000)/1000 — summed per "
+        "document, kept iff the mean weight is positive. The weight table "
+        "is a deterministic md5 fixture standing in for trained parameters "
+        "(both engines re-derive each weight in-expression; a real model "
+        "would broadcast its weight array into the same plan shape). "
+        "ZERO-shuffle: score and verdict are computed inside one projection "
+        "over the scan via transform/aggregate higher-order functions — at "
+        "100 TB this is a pure map stage, whole-stage-codegen'd, with "
+        "nothing but the scan's own partitioning. Integer per-token weights "
+        "keep the document sum exact and order-independent (the same trick "
+        "the k-means recenter uses), so no fold-order pinning is needed",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = X.tokens_expr(F.col("text"))
+
+    def w_of(t):
+        bucket = (X.h32(t) % QCLF_BUCKETS).cast("string")
+        return (
+            X.h32(F.concat(F.lit("qw:"), bucket)) % QCLF_WSPAN - 1000
+        ).cast("long")
+
+    score_q = F.aggregate(
+        F.transform(toks, w_of), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("long")
+    return (
+        d.select("doc_id", n.alias("_nt"), score_q.alias("_sq"))
+        .select(
+            "doc_id",
+            F.col("_nt").alias("n_tokens"),
+            X.r6(
+                F.col("_sq").cast("double")
+                / (F.lit(1000.0) * F.nullif(F.col("_nt"), F.lit(0)).cast("double"))
+            ).alias("clf_score"),
+            (F.col("_sq") > 0).alias("clf_keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — self-trained bigram LM, per-language terciles
+# ---------------------------------------------------------------------------
+
+#: LM vocabulary: top-V unigrams by corpus frequency (ties to the lexically
+#: smaller token); everything else maps to <unk>. The fixture corpus has 31
+#: distinct tokens, so V=24 genuinely exercises the OOV path. CCNet proper
+#: uses a SentencePiece vocab + KenLM 5-gram; the bigram restatement keeps
+#: the same shape (train on text → score every doc → bucket per language).
+CCNET_V = 24
+#: add-one smoothing denominator offset = |vocab ∪ {<unk>}|
+CCNET_SMOOTH = CCNET_V + 1
+#: fixed-point scale for per-bigram log-probs: lp_q = floor(ln(p)·2^20 + 0.5)
+#: — summing INTEGER lp_q per doc is exact and order-independent; the only
+#: cross-engine freedom left is libm ln's final ulp, which would have to
+#:   land within ~1e-16 of a 2^-20 boundary to flip a floor (never observed;
+#:   the binned-entropy tsfresh oracle relies on the same ln+round bound)
+CCNET_Q = 1 << 20
+
+_CCNET_TOKS = X.tokens_sql("text")
+
+_CCNET_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {_CCNET_TOKS} AS toks FROM documents
+), t AS (
+  SELECT * FROM t0 WHERE len(toks) >= 2
+), p AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), v AS (
+  SELECT w FROM (SELECT unnest(toks) AS w FROM t)
+  GROUP BY w ORDER BY count(*) DESC, w LIMIT {CCNET_V}
+), m AS (
+  SELECT doc_id, lang,
+         CASE WHEN w1 IN (SELECT w FROM v) THEN w1 ELSE '<unk>' END AS v1,
+         CASE WHEN w2 IN (SELECT w FROM v) THEN w2 ELSE '<unk>' END AS v2
+  FROM p
+), c12 AS (
+  SELECT v1, v2, count(*) AS c12 FROM m GROUP BY v1, v2
+), c1 AS (
+  SELECT v1, sum(c12) AS c1 FROM c12 GROUP BY v1
+), lm AS (
+  SELECT c12.v1, c12.v2,
+         CAST(floor(ln((c12.c12 + 1.0) / (c1.c1 + {CCNET_SMOOTH}.0))
+                    * {CCNET_Q}.0 + 0.5) AS BIGINT) AS lp_q
+  FROM c12 JOIN c1 USING (v1)
+), s AS (
+  SELECT m.doc_id, m.lang, count(*) AS n, sum(lm.lp_q) AS sl
+  FROM m JOIN lm ON m.v1 = lm.v1 AND m.v2 = lm.v2
+  GROUP BY m.doc_id, m.lang
+), b AS (
+  SELECT doc_id, lang, n, sl,
+         ntile(3) OVER (
+           PARTITION BY lang
+           ORDER BY (-sl)::DOUBLE / ({CCNET_Q}.0 * n) ASC, doc_id
+         ) AS tercile
+  FROM s
+)
+SELECT doc_id, lang,
+       n::BIGINT AS n_bigrams,
+       {X.r6_sql(f'(-sl)::DOUBLE / ({CCNET_Q}.0 * n)')} AS nll_rate,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
+"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    _CCNET_ORACLE,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): a bigram LM "
+        f"with add-one smoothing over the top-{CCNET_V} unigram vocabulary "
+        "(+<unk>) is trained on the corpus, every document is scored by its "
+        "mean negative log-prob per bigram, and each language is split into "
+        "head/middle/tail terciles (head = lowest perplexity, the slice "
+        "CCNet keeps). Reported as nll_rate, not exp(nll_rate): x→exp(x) is "
+        "monotone so the buckets are identical, and pure-rational outputs "
+        "stay bit-portable (same reasoning as text_tfidf_topk's un-logged "
+        "IDF). Scale shape: pass 1 trains the LM — unigram top-V is a "
+        "TakeOrderedAndProject over the distinct-token partial aggregate, "
+        f"the bigram table is capped at (V+1)² = {(CCNET_V + 1) ** 2} rows — "
+        "pass 2 scores with the whole LM BROADCAST (two vocab joins + one "
+        "LM join, all broadcast-hash); each doc's exploded bigrams stay in "
+        "the scan partition, so the per-doc groupBy partial-aggregates to "
+        "one row per doc before its single shuffle. The per-lang ntile is "
+        "exact (matches the oracle); at 10^12 docs you'd swap it for GK-"
+        "digest tercile cut points (operators/gk.py) at the cost of "
+        "approximate boundaries. Per-bigram log-probs are floor-quantized "
+        "to 2^-20 integers so document sums are exact in any order",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", X.tokens_expr(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+
+    bi = F.zip_with(
+        F.expr("slice(toks, 1, size(toks) - 1)"),
+        F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = t.select("doc_id", "lang", F.explode(bi).alias("bg")).select(
+        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+    uni = t.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    # vocab and LM are tiny (V and ≤(V+1)² rows) but their lineage re-scans
+    # and re-tokenizes the corpus; localCheckpoint barriers pin each to ONE
+    # corpus pass — train-vocab, train-LM, score = 3 scans total, the same
+    # staged-materialization pattern text_tfidf_topk uses
+    vocab = (
+        uni.orderBy(F.col("c").desc(), "w")
+        .limit(CCNET_V)
+        .select("w", F.lit(True).alias("in_v"))
+        .localCheckpoint()
+    )
+
+    mapped = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("w").alias("w1"), F.col("in_v").alias("i1"))),
+            "w1", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("w").alias("w2"), F.col("in_v").alias("i2"))),
+            "w2", "left")
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("i1"), F.col("w1")).otherwise(F.lit("<unk>")).alias("v1"),
+            F.when(F.col("i2"), F.col("w2")).otherwise(F.lit("<unk>")).alias("v2"),
+        )
+    )
+
+    c12 = mapped.groupBy("v1", "v2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("v1").agg(F.sum("c12").alias("c1"))
+    lm = c12.join(c1, "v1").select(
+        "v1", "v2",
+        F.floor(
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(float(CCNET_SMOOTH))))
+            * F.lit(float(CCNET_Q)) + F.lit(0.5)
+        ).cast("long").alias("lp_q"),
+    ).localCheckpoint()
+
+    s = (
+        mapped.join(F.broadcast(lm), ["v1", "v2"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"), F.sum("lp_q").alias("sl"))
+    )
+    nll = (-F.col("sl")).cast("double") / (F.lit(float(CCNET_Q)) * F.col("n"))
+    w_t = Window.partitionBy("lang").orderBy(nll.asc(), F.col("doc_id"))
+    return (
+        s.withColumn("tercile", F.ntile(3).over(w_t))
+        .select(
+            "doc_id", "lang",
+            F.col("n").cast("long").alias("n_bigrams"),
+            X.r6(nll).alias("nll_rate"),
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — cluster-then-prune semantic dedup over the embedding space
+# ---------------------------------------------------------------------------
+
+#: within-cluster cosine above which the later-ranked point is pruned.
+#: SemDeDup's production ε targets cosine ≈ 0.95 on real text embeddings;
+#: the synthetic fixture vectors are near-orthogonal (within-cluster pair
+#: cosine: median 0.05, p95 0.25, max 0.51 at sf0.01), so — same precedent
+#: as EMB_COS_DUP_T — the fixture threshold is scaled to 0.35 to keep the
+#: checked output non-vacuous (~16% pruned).
+SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH {KMEANS_A2_CTES}, ranked AS (
+  SELECT vec_id, cluster, q, cos,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY cos ASC NULLS LAST, vec_id
+         ) AS r
+  FROM a2
+), dup AS (
+  SELECT s.vec_id, min(o.vec_id) AS dup_of
+  FROM ranked s JOIN ranked o
+    ON s.cluster = o.cluster AND o.r < s.r
+  WHERE {_cos_sql('s.q', 'o.q')} >= {SEMDEDUP_TAU}
+  GROUP BY s.vec_id
+)
+SELECT rk.vec_id,
+       rk.cluster::BIGINT AS cluster,
+       rk.r::BIGINT AS keep_rank,
+       {X.r6_sql('rk.cos')} AS centroid_cos,
+       d.dup_of IS NOT NULL AS pruned,
+       d.dup_of
+FROM ranked rk LEFT JOIN dup d USING (vec_id)
+ORDER BY rk.vec_id
+"""
+
+
+@query(
+    "semdedup_prune",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023): embeddings are k-means-clustered "
+        "(the exact kmeans_lloyd assignment — both queries share one CTE/"
+        "builder), then inside each cluster points are ranked farthest-from-"
+        "centroid-first (SemDeDup keeps low centroid-similarity points) and "
+        f"a point is pruned iff some earlier-ranked cluster-mate sits within "
+        f"cosine ≥ {SEMDEDUP_TAU} (one-pass leader variant of the greedy "
+        "chain, deterministic and engine-portable; dup_of names the "
+        "earliest such leader). Scale shape: the pairwise leg is an "
+        "EQUI-JOIN on cluster id with a rank residual — O(c²) work per "
+        "cluster, never cross-cluster — and SemDeDup's regime grows K with "
+        "corpus size so c stays bounded (50k clusters for LAION-scale in "
+        "the paper); the ranked frame is localCheckpoint'ed once so the "
+        "two Lloyd passes aren't re-run per join side. Cosines ride the "
+        "integer-quantized vectors, so both engines rank identically",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    a2 = kmeans_a2(spark, sf_dir, keep_q=True)
+    w_r = Window.partitionBy("cluster").orderBy(
+        F.col("cos").asc_nulls_last(), F.col("vec_id")
+    )
+    ranked = a2.withColumn("r", F.row_number().over(w_r)).localCheckpoint()
+
+    s, o = ranked.alias("s"), ranked.alias("o")
+    pair_cos = _cos_expr(F.col("s.q"), F.col("o.q"))
+    dup = (
+        s.join(
+            o,
+            (F.col("s.cluster") == F.col("o.cluster"))
+            & (F.col("o.r") < F.col("s.r")),
+        )
+        .where(pair_cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("s.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("o.vec_id")).alias("dup_of"))
+    )
+    return (
+        ranked.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("r").cast("long").alias("keep_rank"),
+            X.r6(F.col("cos")).alias("centroid_cos"),
+            F.col("dup_of").isNotNull().alias("pruned"),
+            "dup_of",
+        )
+    )

@@ -1793,8 +1793,12 @@ def _quant_sql(col: str) -> str:
 _KMEANS_COS0 = _cos_sql("e.q", "c.cq")
 _KMEANS_COS1 = _cos_sql("e.q", "c.cq")
 
-_KMEANS_ORACLE = f"""
-WITH e AS (
+#: shared CTE chain ending at a2 = the second Lloyd assignment (with the
+#: quantized vectors kept) — reused verbatim by the kmeans_lloyd oracle here
+#: and the semdedup_prune oracle (curation_queries.py), so both engines' and
+#: both queries' cluster assignments are definitionally identical
+KMEANS_A2_CTES = f"""
+e AS (
   SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings
 ), c0 AS (
   SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < {KMEANS_K}
@@ -1814,14 +1818,17 @@ WITH e AS (
 ), c1 AS (
   SELECT cluster AS cid, list(cv ORDER BY pos) AS cq FROM x1 GROUP BY cluster
 ), a2 AS (
-  SELECT vec_id, cid AS cluster, cos FROM (
-    SELECT e.vec_id, c.cid, {_KMEANS_COS1} AS cos,
+  SELECT vec_id, q, cid AS cluster, cos FROM (
+    SELECT e.vec_id, e.q, c.cid, {_KMEANS_COS1} AS cos,
            row_number() OVER (
              PARTITION BY e.vec_id ORDER BY {_KMEANS_COS1} DESC, c.cid
            ) AS rn
     FROM e, c1 c
   ) WHERE rn = 1
-)
+)"""
+
+_KMEANS_ORACLE = f"""
+WITH {KMEANS_A2_CTES}
 SELECT vec_id, cluster::BIGINT AS cluster, {X.r6_sql('cos')} AS cosine
 FROM a2 ORDER BY vec_id
 """
@@ -1842,6 +1849,25 @@ def _kmeans_assign(e, cents, keep_q: bool):
         .where(F.col("rn") == 1)
         .select(*cols, F.col("cid").alias("cluster"), "cos")
     )
+
+
+def kmeans_a2(spark: SparkSession, sf_dir: str, keep_q: bool) -> DataFrame:
+    """The Spark twin of ``KMEANS_A2_CTES``: two unrolled Lloyd iterations,
+    returning the second assignment (vec_id, [q,] cluster, cos). Shared by
+    kmeans_lloyd and semdedup_prune so their cluster assignments agree."""
+    e = _spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * float(KMEANS_Q) + 0.5).cast("double"),
+        ).alias("q"),
+    )
+    c0 = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    a1 = _kmeans_assign(e, c0, keep_q=True)
+    c1 = _kmeans_recenter(a1)
+    return _kmeans_assign(e, c1, keep_q=keep_q)
 
 
 def _kmeans_recenter(assigned):
@@ -1874,19 +1900,7 @@ def _kmeans_recenter(assigned):
         "combine), not vectors",
 )
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _spread(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x * float(KMEANS_Q) + 0.5).cast("double"),
-        ).alias("q"),
-    )
-    c0 = e.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    a1 = _kmeans_assign(e, c0, keep_q=True)
-    c1 = _kmeans_recenter(a1)
-    a2 = _kmeans_assign(e, c1, keep_q=False)
+    a2 = kmeans_a2(spark, sf_dir, keep_q=False)
     return a2.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),

@@ -264,3 +264,37 @@ def test_temperature_sample_broadcasts_quotas(spark):
     p = plan_of(build(spark, "mixture_temperature_sample"))
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_quality_classifier_is_zero_shuffle(spark):
+    # the classifier doc claims inference is a pure map stage: score +
+    # verdict computed inside one projection over the scan — no Exchange,
+    # no join, no Python boundary anywhere in the plan
+    p = plan_of(build(spark, "quality_classifier_score"))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_ccnet_scoring_joins_broadcast(spark):
+    # the bigram LM is capped at (V+1)^2 rows and the vocab at V rows —
+    # the two vocab joins and the LM scoring join must all be broadcast
+    # hash joins (the corpus side is never shuffled for a join), and the
+    # whole pipeline stays JVM-side
+    p = plan_of(build(spark, "ccnet_perplexity_buckets"))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_semdedup_pairwise_is_cluster_equi_join(spark):
+    # the within-cluster pairwise leg must be an equi-join on cluster id
+    # (hash-partitionable; O(c^2) only inside a cluster), never a nested
+    # loop over the whole corpus
+    p = plan_of(build(spark, "semdedup_prune"))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "EvalPython" not in p and "InPandas" not in p
