@@ -269,6 +269,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "quality_classifier_score",
         "ccnet_perplexity_buckets",
         "semdedup_prune",
+        "curation_verdicts",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

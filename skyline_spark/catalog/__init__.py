@@ -65,8 +65,6 @@ PRIORITY_WINDOW: list[str] = [
     "boundary_static_thresholds",
     "boundary_drop_off_cliff",
     "luminosity_correlation",
-    "luminosity_shift_correlation",
-    "alert_dedup",
     "ionosphere_layers",
     "ionosphere_profile_match",
     "ionosphere_tsfresh_match",
@@ -93,6 +91,8 @@ PRIORITY_WINDOW: list[str] = [
     "quality_classifier_score",
     "ccnet_perplexity_buckets",
     "semdedup_prune",
+    "curation_verdicts",
+    "curation_report",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -111,6 +111,8 @@ PRIORITY_ROTATED: list[str] = [
     "boundary_autoaggregate",
     "events_daily_stats",
     "text_pii_scrub",
+    "alert_dedup",
+    "luminosity_shift_correlation",
     "text_token_count",
     "text_lang_id",
     "text_quality",

@@ -14,8 +14,12 @@
   deduplication"): k-means-cluster the embedding space, then prune
   within-cluster near-duplicates by pairwise cosine, keeping the points
   farthest from their centroid first.
+- ``curation_verdicts`` / ``curation_report`` — the four canonical stages
+  (exact dedup → heuristic filters → classifier → per-language token
+  budget) composed as ONE pass with per-doc stage verdicts as columns,
+  plus the per-language funnel rollup a pipeline operator watches.
 
-All three follow the house parity rules: integer-valued intermediate sums
+All of these follow the house parity rules: integer-valued intermediate sums
 (associative, order-independent), one final double division, ``X.r6``
 rounding, and the portable md5-based ``X.h32`` wherever pseudo-randomness is
 needed — so the DuckDB oracles match hash-for-hash.
@@ -28,9 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import text as X
 from .registry import load, query
 from .text_queries import (
-    EMB_DIM,
     KMEANS_A2_CTES,
-    _cos_expr,
     _cos_sql,
     kmeans_a2,
 )
@@ -325,6 +327,61 @@ ORDER BY rk.vec_id
 """
 
 
+def _semdedup_cluster_kernel(pdf):
+    """Per-cluster SemDeDup prune — the paper's own per-cluster numpy shape.
+
+    Rank = (centroid_cos ASC NULLS LAST, vec_id), i.e. farthest-from-centroid
+    kept first; a point's ``dup_of`` is the smallest vec_id among
+    EARLIER-ranked cluster-mates within cosine ≥ τ, else the -1 sentinel
+    (mapped to NULL outside — Arrow would otherwise round-trip NULL as NaN).
+
+    Engine-portable by construction: the quantized components are integers
+    ≤ 2^20, so every pairwise dot is an integer ≤ 64·2^40 < 2^53 — EXACT in
+    float64 under ANY summation order, which is what lets the O(c²) leg run
+    as one BLAS matmul instead of 3c² interpreted 64-element SQL folds
+    (measured 17 s → sub-second at sf0.1 for the join form vs this kernel).
+    sqrt and division are IEEE-correctly-rounded, so cosines match the
+    oracle bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
+    vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+    cos_c = pd.to_numeric(pdf["cos"]).to_numpy(dtype=np.float64)
+
+    # rank: centroid-cos ASC with NULL(NaN)s last, vec_id tiebreak
+    nan_last = np.where(np.isnan(cos_c), np.inf, cos_c)
+    order = np.lexsort((vid, nan_last))
+    r = np.empty(len(vid), dtype=np.int64)
+    r[order] = np.arange(1, len(vid) + 1)
+
+    dots = q @ q.T
+    norms = np.sqrt(np.diag(dots).copy())
+    denom = np.outer(norms, norms)
+    cos_p = np.where(denom > 0.0, dots / np.where(denom > 0.0, denom, 1.0), -np.inf)
+
+    dup = np.full(len(vid), -1, dtype=np.int64)
+    ge = cos_p >= SEMDEDUP_TAU
+    for i in range(len(vid)):
+        mask = ge[i] & (r < r[i])
+        if mask.any():
+            dup[i] = vid[mask].min()
+
+    # NULL centroid-cos (zero vectors) arrives as NaN through Arrow; send it
+    # back as a true None so Spark sees NULL again, not NaN
+    cos_out = pdf["cos"].astype(object).where(pd.notna(pdf["cos"]), None)
+    return pd.DataFrame(
+        {
+            "vec_id": vid,
+            "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+            "r": r,
+            "cos": cos_out.to_numpy(),
+            "dup_of": dup,
+        }
+    )
+
+
 @query(
     "semdedup_prune",
     _SEMDEDUP_ORACLE,
@@ -335,43 +392,232 @@ ORDER BY rk.vec_id
         f"a point is pruned iff some earlier-ranked cluster-mate sits within "
         f"cosine ≥ {SEMDEDUP_TAU} (one-pass leader variant of the greedy "
         "chain, deterministic and engine-portable; dup_of names the "
-        "earliest such leader). Scale shape: the pairwise leg is an "
-        "EQUI-JOIN on cluster id with a rank residual — O(c²) work per "
-        "cluster, never cross-cluster — and SemDeDup's regime grows K with "
-        "corpus size so c stays bounded (50k clusters for LAION-scale in "
-        "the paper); the ranked frame is localCheckpoint'ed once so the "
-        "two Lloyd passes aren't re-run per join side. Cosines ride the "
-        "integer-quantized vectors, so both engines rank identically",
+        "earliest such leader). Scale shape — the paper's own: ONE hash "
+        "shuffle on cluster id into a grouped-map Arrow kernel that does "
+        "the O(c²) pairwise leg as a single exact integer-dot matmul "
+        "(quantized dots < 2^53 are order-independent in float64, so BLAS "
+        "agrees with the oracle's SQL fold bit-for-bit); work is never "
+        "cross-cluster, and SemDeDup's regime grows K with corpus size so "
+        "c stays bounded (50k clusters at LAION scale in the paper). The "
+        "join restatement of the same rule is the DuckDB oracle",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2 = kmeans_a2(spark, sf_dir, keep_q=True)
+    pruned = a2.groupBy("cluster").applyInPandas(
+        _semdedup_cluster_kernel,
+        "vec_id long, cluster long, r long, cos double, dup_of long",
+    )
+    return pruned.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("r").cast("long").alias("keep_rank"),
+        X.r6(F.col("cos")).alias("centroid_cos"),
+        (F.col("dup_of") >= 0).alias("pruned"),
+        F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-pass curation pipeline: dedup → heuristics → classifier → token budget
+# ---------------------------------------------------------------------------
+
+#: per-language token quota for the final budget stage (greedy hash-ordered
+#: prefix, the mixture_token_budget rule). Sized so the fixture corpus
+#: genuinely truncates some languages and not others.
+CURATE_TOKENS_PER_LANG = 2000
+
+
+def _curate_ctes() -> str:
+    from .text_queries import (
+        DUP_3GRAM_FRAC_T,
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+        _DUP3_SQL,
+    )
+
+    toks = X.tokens_sql("text")
+    clf_sum = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(t, tk -> "
+        + _qclf_weight_sql("tk")
+        + "::BIGINT)), (acc, x) -> acc + x)"
+    )
+    order_h = X.h32_sql("'curate:' || doc_id::VARCHAR")
+    return f"""
+tok AS (
+  SELECT doc_id, lang, md5(text) AS th, text, {toks} AS t FROM documents
+), sig AS (
+  SELECT doc_id, lang, th,
+         len(t)::BIGINT AS n_tokens,
+         {X.quality_score_sql('text')} AS quality,
+         {_DUP3_SQL} AS dup3,
+         {clf_sum} AS score_q
+  FROM tok
+), flg AS (
+  SELECT doc_id, lang, n_tokens,
+         doc_id = min(doc_id) OVER (PARTITION BY th) AS dedup_keep,
+         (n_tokens >= {FILTER_MIN_TOKENS} AND quality >= {FILTER_MIN_QUALITY}
+          AND dup3 <= {DUP_3GRAM_FRAC_T}) AS filter_keep,
+         score_q > 0 AS clf_keep
+  FROM sig
+), pre AS (
+  SELECT *, (dedup_keep AND filter_keep AND clf_keep) AS survives
+  FROM flg
+), cum AS (
+  SELECT *,
+         sum(CASE WHEN survives THEN n_tokens ELSE 0 END) OVER (
+           PARTITION BY lang ORDER BY {order_h}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM pre
+), verdicts AS (
+  SELECT doc_id, lang, n_tokens, dedup_keep, filter_keep, clf_keep,
+         (survives AND ct <= {CURATE_TOKENS_PER_LANG}) AS kept,
+         CASE WHEN survives THEN ct END AS tokens_cum
+  FROM cum
+)"""
+
+
+_CURATE_VERDICTS_ORACLE = f"""
+WITH {_curate_ctes()}
+SELECT * FROM verdicts ORDER BY doc_id
+"""
+
+_CURATE_REPORT_ORACLE = f"""
+WITH {_curate_ctes()}
+SELECT lang,
+       count(*)::BIGINT AS docs_total,
+       count(*) FILTER (dedup_keep)::BIGINT AS after_dedup,
+       count(*) FILTER (dedup_keep AND filter_keep)::BIGINT AS after_filter,
+       count(*) FILTER (dedup_keep AND filter_keep AND clf_keep)::BIGINT
+         AS after_classifier,
+       count(*) FILTER (kept)::BIGINT AS kept_docs,
+       coalesce(sum(n_tokens) FILTER (kept), 0)::BIGINT AS kept_tokens
+FROM verdicts GROUP BY lang ORDER BY lang
+"""
+
+
+def _curate_verdicts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared one-pass plan behind curation_verdicts/curation_report."""
     from pyspark.sql import Window
 
-    a2 = kmeans_a2(spark, sf_dir, keep_q=True)
-    w_r = Window.partitionBy("cluster").orderBy(
-        F.col("cos").asc_nulls_last(), F.col("vec_id")
+    from .text_queries import (
+        DUP_3GRAM_FRAC_T,
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+        _dupf_expr,
+        _tgs_expr,
     )
-    ranked = a2.withColumn("r", F.row_number().over(w_r)).localCheckpoint()
 
-    s, o = ranked.alias("s"), ranked.alias("o")
-    pair_cos = _cos_expr(F.col("s.q"), F.col("o.q"))
-    dup = (
-        s.join(
-            o,
-            (F.col("s.cluster") == F.col("o.cluster"))
-            & (F.col("o.r") < F.col("s.r")),
-        )
-        .where(pair_cos >= SEMDEDUP_TAU)
-        .groupBy(F.col("s.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("o.vec_id")).alias("dup_of"))
+    d = load(spark, sf_dir, "documents")
+    # bind toks / 3-grams into their own columns first: inlined higher-order
+    # lambdas re-evaluate the split per element (same O(tokens²) trap
+    # filter_pipeline documents); text is projected AWAY right after the
+    # dedup hash is taken, so the two window shuffles carry slim rows
+    tok = d.select(
+        "doc_id", "lang",
+        F.md5(F.col("text")).alias("th"),
+        X.tokens_expr(F.col("text")).alias("toks"),
     )
-    return (
-        ranked.join(dup, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("long").alias("cluster"),
-            F.col("r").cast("long").alias("keep_rank"),
-            X.r6(F.col("cos")).alias("centroid_cos"),
-            F.col("dup_of").isNotNull().alias("pruned"),
-            "dup_of",
-        )
+    tg = tok.select("doc_id", "lang", "th", "toks",
+                    _tgs_expr(F.col("toks")).alias("tgs"))
+
+    def w_of(t):
+        bucket = (X.h32(t) % QCLF_BUCKETS).cast("string")
+        return (
+            X.h32(F.concat(F.lit("qw:"), bucket)) % QCLF_WSPAN - 1000
+        ).cast("long")
+
+    sig = tg.select(
+        "doc_id", "lang", "th",
+        F.size("toks").cast("long").alias("n_tokens"),
+        X.quality_score_from_tokens_expr(F.col("toks")).alias("quality"),
+        _dupf_expr(F.col("tgs")).alias("dup3"),
+        F.aggregate(
+            F.transform(F.col("toks"), w_of),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w_d = Window.partitionBy("th")
+    flg = sig.select(
+        "doc_id", "lang", "n_tokens",
+        (F.col("doc_id") == F.min("doc_id").over(w_d)).alias("dedup_keep"),
+        (
+            (F.col("n_tokens") >= FILTER_MIN_TOKENS)
+            & (F.col("quality") >= FILTER_MIN_QUALITY)
+            & (F.col("dup3") <= DUP_3GRAM_FRAC_T)
+        ).alias("filter_keep"),
+        (F.col("score_q") > 0).alias("clf_keep"),
+    )
+    pre = flg.withColumn(
+        "survives",
+        F.col("dedup_keep") & F.col("filter_keep") & F.col("clf_keep"),
+    )
+    order_h = X.h32(F.concat(F.lit("curate:"), F.col("doc_id").cast("string")))
+    w_b = (
+        Window.partitionBy("lang")
+        .orderBy(order_h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pre.withColumn(
+        "ct",
+        F.sum(F.when(F.col("survives"), F.col("n_tokens")).otherwise(0)).over(w_b),
+    )
+    return cum.select(
+        "doc_id", "lang", "n_tokens", "dedup_keep", "filter_keep", "clf_keep",
+        (F.col("survives") & (F.col("ct") <= CURATE_TOKENS_PER_LANG)).alias("kept"),
+        F.when(F.col("survives"), F.col("ct")).alias("tokens_cum"),
+    )
+
+
+@query(
+    "curation_verdicts",
+    _CURATE_VERDICTS_ORACLE,
+    doc="the full curation pipeline as ONE pass with per-doc verdicts: "
+        "exact dedup (keeper = min doc_id per md5), heuristic filters "
+        "(min-tokens / quality floor / 3-gram repetition cap — the "
+        "filter_pipeline gates sans the language gate, since curation keeps "
+        "the multilingual corpus and the budget stage is per-language), "
+        "quality-classifier keep (score_q > 0), then a per-language token "
+        "budget (greedy hash-ordered prefix, the mixture_token_budget "
+        "rule). Every stage verdict is a COLUMN, so stage composition costs "
+        "nothing extra: one scan, one projection computing every signal "
+        "(tokens bound once), then exactly two slim shuffles — the dedup "
+        "window on md5(text) and the budget window on lang — with the text "
+        "column projected away before either. The budget cumsum runs over "
+        "ALL rows with non-survivors contributing 0, so survivor prefix "
+        "sums equal the survivors-only ladder without a separate "
+        "filter+join. At 10^12 docs the per-lang window is the bottleneck; "
+        "the two-phase bucket plan in mixture_token_budget is the drop-in "
+        "replacement (documented there) — this query favors the exactly-"
+        "oracle-able single-window form",
+)
+def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curate_verdicts_df(spark, sf_dir)
+
+
+@query(
+    "curation_report",
+    _CURATE_REPORT_ORACLE,
+    doc="per-language funnel accounting over curation_verdicts: docs "
+        "surviving each stage prefix (dedup → +filters → +classifier → "
+        "+token budget) plus kept-token mass — the corpus-datasheet rollup "
+        "a pipeline operator watches. Same one-pass plan as "
+        "curation_verdicts with one extra tiny aggregation (one row per "
+        "language)",
+)
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _curate_verdicts_df(spark, sf_dir)
+    cnt = lambda c: F.count(F.when(c, True))  # noqa: E731
+    return v.groupBy("lang").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        cnt(F.col("dedup_keep")).cast("long").alias("after_dedup"),
+        cnt(F.col("dedup_keep") & F.col("filter_keep")).cast("long")
+        .alias("after_filter"),
+        cnt(
+            F.col("dedup_keep") & F.col("filter_keep") & F.col("clf_keep")
+        ).cast("long").alias("after_classifier"),
+        cnt(F.col("kept")).cast("long").alias("kept_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
     )

@@ -181,3 +181,96 @@ def test_semdedup_prunes_exact_copy_only(spark, semdedup_vecs):
     for c, ranks in by_cluster.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), c
     assert 0.0 < SEMDEDUP_TAU < 1.0 and CCNET_Q == 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# curation_verdicts / curation_report
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def curate_docs(spark, tmp_path_factory):
+    """Crafted corpus exercising every stage: docs 0/1 are exact duplicates
+    (doc 1 must lose dedup), doc 2 is too short, doc 3 is pure 3-gram
+    repetition, docs 100.. are 40 well-formed docs in one language whose
+    token mass (~1600) exceeds nothing — and docs 200.. are 60 docs in a
+    second language (~2400 tokens) that MUST hit the 2000-token budget."""
+    # 20 tokens with POSITIVE classifier hash-weights (so clf_keep is True
+    # regardless of the few-token suffixes), forward + reversed = 40 tokens
+    # with no repeated 3-gram (dup3 stays under the cap)
+    pos = ("part sort theta epsilon pi row window fast data upsilon "
+           "slow kappa iota spark gamma rho tau batch mu table").split()
+    base = " ".join(pos + pos[::-1]) + " "
+    rows = [
+        (0, base + "one two three", "aa"),
+        (1, base + "one two three", "aa"),          # exact dup of doc 0
+        (2, "tiny doc", "aa"),                       # < 20 tokens
+        (3, "spam ham " * 30, "aa"),                 # dup3 ≈ 1
+    ]
+    for i in range(40):
+        rows.append((100 + i, base + f"uniq{i:03d} filler words", "bb"))
+    for i in range(60):
+        rows.append((200 + i, base + f"other{i:03d} filler words", "cc"))
+    d = tmp_path_factory.mktemp("curate")
+    spark.createDataFrame(
+        [(i, t, lang, "s0", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_curation_stage_semantics(spark, curate_docs):
+    from skyline_spark.catalog.curation_queries import (
+        CURATE_TOKENS_PER_LANG,
+        curation_report,
+        curation_verdicts,
+    )
+
+    sf_dir, rows = curate_docs
+    got = {r["doc_id"]: r for r in curation_verdicts(spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+
+    # dedup: keeper is the lower doc_id, the copy loses ONLY dedup
+    assert got[0]["dedup_keep"] is True
+    assert got[1]["dedup_keep"] is False
+    assert got[1]["filter_keep"] == got[0]["filter_keep"]
+    assert got[1]["kept"] is False
+    # heuristic gates
+    assert got[2]["filter_keep"] is False      # short
+    assert got[3]["filter_keep"] is False      # repetitive
+    assert got[2]["kept"] is False and got[3]["kept"] is False
+
+    # classifier verdict matches the independent hash/weight reference
+    texts = {i: t for i, t, _ in rows}
+    for doc_id in (0, 100, 200):
+        sq, _, _ = _ref_clf_score(texts[doc_id])
+        assert got[doc_id]["clf_keep"] == (sq > 0), doc_id
+
+    # budget: survivors of lang cc exceed the quota → the kept set must be
+    # exactly the greedy h32('curate:'||id)-ordered prefix fitting 2000
+    surv = [
+        i for i, _, lang in rows
+        if lang == "cc"
+        and got[i]["dedup_keep"] and got[i]["filter_keep"] and got[i]["clf_keep"]
+    ]
+    order = sorted(surv, key=lambda i: (_h32(f"curate:{i}"), i))
+    cum, expect_kept = 0, set()
+    for i in order:
+        cum += got[i]["n_tokens"]
+        if cum <= CURATE_TOKENS_PER_LANG:
+            expect_kept.add(i)
+    actual_kept = {i for i in surv if got[i]["kept"]}
+    assert actual_kept == expect_kept
+    assert 0 < len(actual_kept) < len(surv), "budget should truncate lang cc"
+
+    # the report is the exact funnel rollup of the verdicts
+    rep = {r["lang"]: r for r in curation_report(spark, sf_dir).collect()}
+    for lang in ("aa", "bb", "cc"):
+        rows_l = [r for r in got.values() if r["lang"] == lang]
+        assert rep[lang]["docs_total"] == len(rows_l)
+        assert rep[lang]["after_dedup"] == sum(r["dedup_keep"] for r in rows_l)
+        assert rep[lang]["kept_docs"] == sum(r["kept"] for r in rows_l)
+        assert rep[lang]["kept_tokens"] == sum(
+            r["n_tokens"] for r in rows_l if r["kept"]
+        )
+        assert rep[lang]["kept_tokens"] <= CURATE_TOKENS_PER_LANG

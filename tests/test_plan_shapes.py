@@ -288,13 +288,34 @@ def test_ccnet_scoring_joins_broadcast(spark):
     assert "EvalPython" not in p and "InPandas" not in p
 
 
-def test_semdedup_pairwise_is_cluster_equi_join(spark):
-    # the within-cluster pairwise leg must be an equi-join on cluster id
-    # (hash-partitionable; O(c^2) only inside a cluster), never a nested
-    # loop over the whole corpus
+def test_semdedup_pairwise_is_grouped_arrow_kernel(spark):
+    # the within-cluster pairwise leg must be ONE hash shuffle on cluster id
+    # into a grouped-map Arrow kernel (the SemDeDup paper's per-cluster
+    # numpy shape) — never a c²-row join or a nested loop over the corpus,
+    # and never row-at-a-time Python
     p = plan_of(build(spark, "semdedup_prune"))
-    assert "NestedLoop" not in p and "CartesianProduct" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
-        "BroadcastHashJoin" in p
-    )
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    # the only nested loops are the two sanctioned Lloyd-assignment
+    # crossJoins (corpus × K broadcast centroids, K a compile-time
+    # constant — same exception as ann_ivf_topk); the pairwise prune
+    # itself must contribute none
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == 2
+    assert "BatchEvalPython" not in p
+
+
+def test_curation_pipeline_is_one_scan_two_windows(spark):
+    # four stages composed as columns must cost exactly one corpus scan and
+    # two slim window shuffles (dedup-hash, per-lang budget) — no join, no
+    # Python boundary, and the text column projected away before either
+    # exchange
+    p = plan_of(build(spark, "curation_verdicts"))
+    assert "Join" not in p
     assert "EvalPython" not in p and "InPandas" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Window") == 2
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, "text column crossed a shuffle"

@@ -48,8 +48,11 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # NULL-safe sort: (is-None, value) pairs never compare None against a
+    # concrete value (tuple comparison resolves on the bool first)
     return sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
+        (tuple(norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, v) for v in t),
     ), [cols[i] for i in order]
 
 
