@@ -18,6 +18,7 @@ from . import extras_queries  # noqa: F401,E402
 from . import mixing_queries  # noqa: F401,E402
 from . import flagship_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
+from . import selection_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
@@ -93,11 +94,11 @@ PRIORITY_WINDOW: list[str] = [
     "semdedup_prune",
     "curation_verdicts",
     "curation_report",
-    "dedup_exact",
+    "dsir_select",
+    "pack_context_windows",
+    "bloom_novelty",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_lsh",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -108,6 +109,9 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
     "boundary_autoaggregate",
     "events_daily_stats",
     "text_pii_scrub",

@@ -222,9 +222,18 @@ def test_driver_window_membership():
         "detector_least_squares", "detector_histogram_bins",
         "detector_grubbs_score", "detector_ks_2samp_d",
         "detector_stddev_from_moving_average", "series_gates",
-        # headline dedup
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-        "dedup_embedding_lsh",
+        # headline dedup — the multi-stage paths stay pinned; the
+        # single-window forms (dedup_exact/simhash/embedding_lsh) carry
+        # green rows in CORRECTNESS_r02 and rotate out under the standing
+        # policy: queries with NO committed driver row outrank ones already
+        # evidenced green in a previous round
+        "dedup_minhash_lsh", "dedup_clusters",
+        # round-3 additions (no committed driver row yet)
+        "quality_classifier_score", "ccnet_perplexity_buckets",
+        "semdedup_prune", "curation_verdicts", "curation_report",
+        "dsir_select", "pack_context_windows", "bloom_novelty",
+        "dedup_exact_substrings", "url_canonical_dedup",
+        "mixture_temperature_sample",
     }
     missing = must_have - window
     assert not missing, f"queries fell out of the driver window: {sorted(missing)}"

@@ -71,6 +71,8 @@ NO_ROWWISE_PYTHON = [
     "dedup_exact_substrings",
     "url_canonical_dedup",
     "mixture_temperature_sample",
+    "pack_context_windows",
+    "bloom_novelty",
 ]
 
 
@@ -319,3 +321,33 @@ def test_curation_pipeline_is_one_scan_two_windows(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, "text column crossed a shuffle"
+
+
+def test_packing_is_one_shuffle_without_text(spark):
+    # concat-and-chunk packing must cost exactly one hash shuffle (by
+    # shard) over slim (doc_id, ntok, pk) rows — token counting happens in
+    # the scan projection, so the text column never crosses the exchange
+    p = plan_of(build(spark, "pack_context_windows"))
+    assert "Join" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, "text column crossed the shuffle"
+
+
+def test_bloom_filter_is_broadcast_membership(spark):
+    # the Bloom filter side must reduce to ONE broadcast row (the sorted
+    # distinct-position array, the series_gates 1-row cross-join pattern);
+    # the exact ground-truth leg is a broadcastable key equi-join. The
+    # incoming scan is never shuffled and no nested loop ever touches more
+    # than the 1-row filter side.
+    p = plan_of(build(spark, "bloom_novelty"))
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
