@@ -270,6 +270,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ccnet_perplexity_buckets",
         "semdedup_prune",
         "curation_verdicts",
+        "dsir_select",
+        "pack_context_windows",
+        "bloom_novelty",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

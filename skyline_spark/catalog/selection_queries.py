@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import text as X
 from ..operators.mixture import cap_per_key
 from .registry import load, query
+from .text_queries import _spread
 
 # ---------------------------------------------------------------------------
 # dsir_select — hashed n-gram importance resampling
@@ -75,18 +76,17 @@ WITH t AS (
   SELECT doc_id, lang, is_tgt, {_dsir_bucket_sql('u.tok')} AS bucket
   FROM t1, unnest(toks) AS u(tok)
 ), raw AS (
-  SELECT bucket, count(*) AS cr FROM e GROUP BY bucket
-), tgt AS (
-  SELECT bucket, count(*) AS ct FROM e WHERE is_tgt GROUP BY bucket
+  SELECT bucket, count(*) AS cr,
+         count(*) FILTER (WHERE is_tgt) AS ct
+  FROM e GROUP BY bucket
 ), tot AS (
-  SELECT (SELECT sum(cr) FROM raw) AS nr,
-         (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt
+  SELECT sum(cr) AS nr, sum(ct) AS nt FROM raw
 ), lr AS (
   SELECT raw.bucket,
-         CAST(floor(ln(((coalesce(tgt.ct, 0) + 1.0) * (tot.nr + {DSIR_BUCKETS}))
+         CAST(floor(ln(((raw.ct + 1.0) * (tot.nr + {DSIR_BUCKETS}))
                        / ((raw.cr + 1.0) * (tot.nt + {DSIR_BUCKETS})))
                     * {DSIR_Q}.0 + 0.5) AS BIGINT) AS lr_q
-  FROM raw LEFT JOIN tgt USING (bucket), tot
+  FROM raw, tot
 ), s AS (
   SELECT e.doc_id, e.lang, count(*) AS n, sum(lr.lr_q) AS sl
   FROM e JOIN lr USING (bucket) GROUP BY e.doc_id, e.lang
@@ -112,9 +112,11 @@ FROM r WHERE dsir_rank <= {DSIR_K} ORDER BY doc_id
         f"h32 {1}/{DSIR_TGT_MOD} stand-in for e.g. Wikipedia) and the raw "
         "corpus with add-one smoothing, and each document's importance "
         "weight is the sum of per-token log(p_target/p_raw) — then the "
-        f"top-{DSIR_K} per language are selected. Scale shape: the two "
-        f"bucket distributions partial-aggregate to ≤{DSIR_BUCKETS} rows "
-        "per scan partition before a tiny shuffle; the log-ratio table is "
+        f"top-{DSIR_K} per language are selected. Scale shape: BOTH bucket "
+        "distributions come from ONE conditional aggregation "
+        f"(count + count_if) that partial-aggregates to ≤{DSIR_BUCKETS} "
+        "rows per scan partition before a tiny shuffle — LM training costs "
+        "exactly one corpus pass, scoring a second; the log-ratio table is "
         "BROADCAST back onto the exploded tokens (aggregate-then-broadcast, "
         "the north-star two-pass pattern), each doc's tokens stay in their "
         "scan partition so the per-doc sum partial-aggregates to one row "
@@ -125,12 +127,16 @@ FROM r WHERE dsir_rank <= {DSIR_K} ORDER BY doc_id
         "(ccnet's bound) so document sums are exact in any fold order",
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
+    # codegen-twin tokenizer: trim+split stays inside whole-stage codegen
+    # (the HOF filter form is CodegenFallback and would interpret the
+    # per-token md5 below — measured ~2x slower); after the trim guard the
+    # two forms produce identical token lists
     t1 = (
-        d.select(
-            "doc_id", "lang", X.tokens_expr(F.col("text")).alias("toks")
+        d.where(X._ws_trim(F.col("text")) != "")
+        .select(
+            "doc_id", "lang", X._trim_toks(F.col("text")).alias("toks")
         )
-        .where(F.size("toks") >= 1)
         .withColumn(
             "is_tgt",
             X.h32(F.concat(F.lit("tgt:"), F.col("doc_id").cast("string")))
@@ -143,20 +149,23 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", X.h32(F.concat(F.lit("dsir:"), F.col("tok"))) % DSIR_BUCKETS
     ).drop("tok")
 
-    raw = e.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = e.where("is_tgt").groupBy("bucket").agg(F.count("*").alias("ct"))
+    # ONE conditional aggregation estimates both distributions — the raw
+    # count and the target count per bucket — so LM training costs exactly
+    # one corpus pass, scoring a second (two scans total at any scale)
+    raw = e.groupBy("bucket").agg(
+        F.count("*").alias("cr"), F.count_if(F.col("is_tgt")).alias("ct")
+    )
     # totals via an unpartitioned window over the ≤DSIR_BUCKETS-row bucket
     # table — post-aggregate tiny, never over corpus-sized data
     w_all = Window.partitionBy()
     lr = (
-        raw.join(tgt, "bucket", "left")
-        .withColumn("nr", F.sum("cr").over(w_all))
-        .withColumn("nt", F.coalesce(F.sum("ct").over(w_all), F.lit(0)))
+        raw.withColumn("nr", F.sum("cr").over(w_all))
+        .withColumn("nt", F.sum("ct").over(w_all))
         .select(
             "bucket",
             F.floor(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    ((F.col("ct") + F.lit(1.0))
                      * (F.col("nr") + F.lit(DSIR_BUCKETS)))
                     / ((F.col("cr") + F.lit(1.0))
                        * (F.col("nt") + F.lit(DSIR_BUCKETS)))
@@ -347,7 +356,7 @@ ORDER BY doc_id
         "OR (mergeable, like the GK/log-histogram digests)",
 )
 def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    d = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.md5(F.col("text")).alias("key"),
         (
