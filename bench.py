@@ -273,6 +273,8 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dsir_select",
         "pack_context_windows",
         "bloom_novelty",
+        "asof_join_attribution",
+        "range_join_incidents",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -133,3 +133,155 @@ def window_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("nation", "o_orderkey", "rank", F.round("o_totalprice", 6).alias("o_totalprice"))
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join and range join — the two classic time-series joins Spark lacks
+# as primitives, restated as shuffle-bounded DataFrame plans
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id,
+       p.user_id,
+       c.event_id AS matched_click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS match_lag_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@query(
+    "asof_join_attribution",
+    _ASOF_ORACLE,
+    doc="as-of join (purchase -> most recent prior-or-equal click by the "
+        "same user, the attribution query): Spark has no ASOF JOIN "
+        "primitive, so the scale path is the union-and-carry restatement — "
+        "tag both sides, ONE shuffle on the join key, and a running "
+        "last(click, ignoreNulls) window ordered by (ts, side) carries the "
+        "latest click forward onto each purchase row. No join node exists "
+        "at all: cost is one hash exchange + one in-partition sort, state "
+        "is O(1) per user regardless of history length, and skewed users "
+        "are just large sort groups (no pair explosion, unlike the "
+        "inequality-join form). At equal timestamps the side ordering "
+        "(click before purchase) pins the inclusive >= semantics the "
+        "oracle's native ASOF JOIN uses. lag_us is an exact integer "
+        "microsecond difference — no float discipline needed",
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id", "user_id", "ts",
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+    )
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "is_p",
+        F.when(~F.col("is_p"), F.col("event_id")).alias("c_id"),
+        F.when(~F.col("is_p"), F.unix_micros(F.col("ts").cast("timestamp"))).alias("c_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p").cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id", "user_id", "ts", "is_p",
+        F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("c_us", ignorenulls=True).over(w).alias("click_us"),
+    )
+    # column naming: the non-null unique id (event_id) must sort
+    # alphabetically BEFORE the nullable matched_* columns — the driver's
+    # row canonicalization orders columns by name, and a nullable first
+    # sort key breaks tuple comparison
+    return carried.where("is_p").select(
+        "event_id",
+        "user_id",
+        F.col("click_id").alias("matched_click_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("click_us"))
+        .alias("match_lag_us"),
+    )
+
+
+#: incident window length (also the range-join bucket width — equal by
+#: construction, so every interval covers at most TWO bucket keys)
+RANGE_WINDOW_US = 4 * 3600 * 1_000_000
+
+
+_RANGE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, e.user_id,
+       count(c.t)::BIGINT AS n_clicks,
+       {X.r6_sql('coalesce(sum(c.cents), 0)::DOUBLE / 100.0')}
+         AS click_value_sum
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id
+ AND c.t >= e.s AND c.t < e.s + {RANGE_WINDOW_US}
+GROUP BY e.error_id, e.user_id
+ORDER BY error_id
+"""
+
+
+@query(
+    "range_join_incidents",
+    _RANGE_ORACLE,
+    doc="range join (clicks falling inside each error's 4-hour incident "
+        "window, per user): the naive inequality join — which the oracle "
+        "runs — degrades to a per-user nested loop at scale, so the engine "
+        "runs the bucketed-equi-join restatement: bucket width equals the "
+        "window length, each interval therefore covers at most TWO bucket "
+        "keys (exploded via a 2-element sequence), probes bucket once, and "
+        "the join is a plain hash-partitionable equi-join on (user_id, "
+        "bucket) with the exact range predicate applied as a post-join "
+        "filter. Join fan-out is bounded by real temporal locality, not "
+        "history length; hot users split under AQE skew handling. Click "
+        "values are 2-decimal money — summed as exact integer cents "
+        "(associative under any fold order) with one final double divide, "
+        "the tpch_q1 discipline",
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("bucket", F.floor(F.col("t") / RANGE_WINDOW_US))
+    spans = err.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / RANGE_WINDOW_US),
+                F.floor((F.col("s") + RANGE_WINDOW_US - 1) / RANGE_WINDOW_US),
+            )
+        ),
+    )
+    hits = (
+        spans.join(clk, ["user_id", "bucket"])
+        .where((F.col("t") >= F.col("s"))
+               & (F.col("t") < F.col("s") + RANGE_WINDOW_US))
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks"), F.sum("cents").alias("cents"))
+    )
+    return err.join(hits, "error_id", "left").select(
+        "error_id", "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+        X.r6(
+            F.coalesce(F.col("cents"), F.lit(0)).cast("double") / F.lit(100.0)
+        ).alias("click_value_sum"),
+    )

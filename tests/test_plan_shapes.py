@@ -73,6 +73,8 @@ NO_ROWWISE_PYTHON = [
     "mixture_temperature_sample",
     "pack_context_windows",
     "bloom_novelty",
+    "asof_join_attribution",
+    "range_join_incidents",
 ]
 
 
@@ -351,3 +353,26 @@ def test_bloom_filter_is_broadcast_membership(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_asof_join_has_no_join_node(spark):
+    # the as-of join must plan as union-and-carry: ONE hash exchange on the
+    # key plus an in-partition sort/window — no join node of any kind, so
+    # cost is linear in history and a hot user is a large sort group, never
+    # a pair explosion
+    p = plan_of(build(spark, "asof_join_attribution"))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # the range join must probe via the (user_id, bucket) equi-join — the
+    # inequality form the oracle runs would plan a nested loop; bucket
+    # width equals the window length so each interval explodes to <=2 keys
+    p = plan_of(build(spark, "range_join_incidents"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p or "Generate" in p
