@@ -141,8 +141,18 @@ def window_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ASOF_ORACLE = """
-WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-     c AS (SELECT * FROM events WHERE event_type = 'click')
+WITH p AS (
+  SELECT * FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), c AS (
+  -- ties pinned: one click per (user, ts), the max event_id — DuckDB's
+  -- ASOF picks arbitrarily among equal timestamps otherwise, and the
+  -- engine's running-last window would be partition-order-dependent
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL
+  GROUP BY user_id, ts
+)
 SELECT p.event_id,
        p.user_id,
        c.event_id AS matched_click_id,
@@ -167,13 +177,22 @@ ORDER BY p.event_id
         "are just large sort groups (no pair explosion, unlike the "
         "inequality-join form). At equal timestamps the side ordering "
         "(click before purchase) pins the inclusive >= semantics the "
-        "oracle's native ASOF JOIN uses. lag_us is an exact integer "
-        "microsecond difference — no float discipline needed",
+        "oracle's native ASOF JOIN uses, and the event_id sort suffix pins "
+        "ties among simultaneous clicks to the max event_id (ASOF alone "
+        "picks arbitrarily; the oracle pre-collapses ties to the same "
+        "choice). NULL-user rows are excluded on BOTH sides — the window "
+        "partition would otherwise group NULL users together while the "
+        "oracle's equality predicate never matches NULL = NULL. lag_us is "
+        "an exact integer microsecond difference — no float discipline "
+        "needed",
 )
 def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "click"))
+        .where(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("user_id").isNotNull()
+        )
         .select(
             "event_id", "user_id", "ts",
             (F.col("event_type") == "purchase").alias("is_p"),
@@ -184,9 +203,12 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.col("is_p"), F.col("event_id")).alias("c_id"),
         F.when(~F.col("is_p"), F.unix_micros(F.col("ts").cast("timestamp"))).alias("c_us"),
     )
+    # order suffix event_id: among clicks sharing (user, ts) the running
+    # last() lands on the MAX event_id — same pick the oracle's tie
+    # collapse makes
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_p").cast("int"))
+        .orderBy(F.col("ts"), F.col("is_p").cast("int"), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.select(
@@ -271,17 +293,30 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    hits = (
-        spans.join(clk, ["user_id", "bucket"])
-        .where((F.col("t") >= F.col("s"))
-               & (F.col("t") < F.col("s") + RANGE_WINDOW_US))
-        .groupBy("error_id")
-        .agg(F.count("*").alias("n_clicks"), F.sum("cents").alias("cents"))
+    # ONE pass: LEFT join keeps zero-click errors as null probe rows (their
+    # <=2 bucket rows collapse to one group; count(t) counts non-nulls, so
+    # they report 0) — no second error-side scan or restore join needed
+    clk_a = clk.alias("c")
+    spans_a = spans.alias("e")
+    joined = spans_a.join(
+        clk_a,
+        (F.col("e.user_id") == F.col("c.user_id"))
+        & (F.col("e.bucket") == F.col("c.bucket"))
+        & (F.col("c.t") >= F.col("e.s"))
+        & (F.col("c.t") < F.col("e.s") + RANGE_WINDOW_US),
+        "left",
     )
-    return err.join(hits, "error_id", "left").select(
-        "error_id", "user_id",
-        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
-        X.r6(
-            F.coalesce(F.col("cents"), F.lit(0)).cast("double") / F.lit(100.0)
-        ).alias("click_value_sum"),
+    return (
+        joined.groupBy(F.col("e.error_id").alias("error_id"),
+                       F.col("e.user_id").alias("user_id"))
+        .agg(
+            F.count(F.col("c.t")).cast("long").alias("n_clicks"),
+            F.coalesce(F.sum(F.col("c.cents")), F.lit(0)).alias("cents"),
+        )
+        .select(
+            "error_id", "user_id", "n_clicks",
+            X.r6(F.col("cents").cast("double") / F.lit(100.0)).alias(
+                "click_value_sum"
+            ),
+        )
     )

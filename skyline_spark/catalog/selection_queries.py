@@ -133,9 +133,9 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-token md5 below — measured ~2x slower); after the trim guard the
     # two forms produce identical token lists
     t1 = (
-        d.where(X._ws_trim(F.col("text")) != "")
+        d.where(X.nonempty_text_expr(F.col("text")))
         .select(
-            "doc_id", "lang", X._trim_toks(F.col("text")).alias("toks")
+            "doc_id", "lang", X.tokens_codegen_expr(F.col("text")).alias("toks")
         )
         .withColumn(
             "is_tgt",
@@ -254,7 +254,9 @@ FROM s ORDER BY doc_id
         "so the shuffle carries only (doc_id, ntok, pk). At 10^12 docs the "
         "running sum is per-shard sequential by construction — shard "
         "fan-out is the parallelism knob, exactly how production packing "
-        "jobs bound their sort partitions",
+        "jobs bound their sort partitions. Sizing note: row_number() is "
+        "32-bit, so shard fan-out must keep every shard under 2^31 docs — "
+        "at 10^12 docs that means >=500 shards, not the fixture's 8",
 )
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -158,6 +158,25 @@ def _trim_toks(col: Column) -> Column:
     return F.split(_ws_trim(col), r"\s+")
 
 
+def tokens_codegen_expr(col: Column) -> Column:
+    """Whole-stage-codegen twin of :func:`tokens_expr` for EXPLODE paths.
+
+    The HOF ``F.filter`` form is CodegenFallback and drags every downstream
+    per-token expression (md5 hashing, bucketing) into interpreted
+    evaluation. The trim+split form stays in the codegen span and yields
+    the identical token list — PROVIDED the caller first excludes
+    whitespace-only/empty text with ``nonempty_text_expr`` (trim+split
+    returns ``['']`` there, where the HOF form returns ``[]``).
+    """
+    return _trim_toks(col)
+
+
+def nonempty_text_expr(col: Column) -> Column:
+    """Guard for :func:`tokens_codegen_expr`: True iff the text has at
+    least one token (equivalent to ``size(tokens_expr(col)) >= 1``)."""
+    return _ws_trim(col) != ""
+
+
 def token_count_codegen_expr(col: Column) -> Column:
     """Whole-stage-codegen twin of :func:`token_count_expr`.
 

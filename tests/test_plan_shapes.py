@@ -375,4 +375,11 @@ def test_range_join_is_bucketed_equi_join(spark):
     p = plan_of(build(spark, "range_join_incidents"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "Generate explode" in p or "Generate" in p
+    # formatted mode prints the node as "Generate" with the explode in its
+    # Arguments line
+    assert "Generate" in p and "explode(sequence" in p
+    assert (
+        "BroadcastHashJoin" in p
+        or "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+    ), "bucketed probe must plan a hash-partitionable equi-join"
