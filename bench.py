@@ -275,6 +275,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "bloom_novelty",
         "asof_join_attribution",
         "range_join_incidents",
+        "sessionize_events",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -63,9 +63,9 @@ PRIORITY_WINDOW: list[str] = [
     "series_gates",
     # boundary / luminosity / ionosphere / mirage (§2.5–2.9) + the round-3
     # time-series joins (as-of, range — no committed driver row yet)
-    "boundary_alert_threshold",
     "asof_join_attribution",
     "range_join_incidents",
+    "sessionize_events",
     "luminosity_correlation",
     "ionosphere_layers",
     "ionosphere_profile_match",
@@ -110,6 +110,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "boundary_alert_threshold",
     "boundary_static_thresholds",
     "boundary_drop_off_cliff",
     "dedup_exact",

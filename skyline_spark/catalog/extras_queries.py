@@ -456,3 +456,97 @@ def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events — gaps-and-islands user sessions (30-min inactivity)
+# ---------------------------------------------------------------------------
+
+#: inactivity gap that closes a session (exact integer microseconds)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE user_id IS NOT NULL
+), flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER w > {SESSION_GAP_US}
+                OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, t,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       session_seq::BIGINT AS session_seq,
+       min(t)::BIGINT AS session_start_us,
+       max(t)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS duration_us
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@query(
+    "sessionize_events",
+    _SESSION_ORACLE,
+    doc="sessionization (gaps-and-islands): per-user sessions split at a "
+        "30-minute inactivity gap — lag() flags session starts, a running "
+        "sum numbers them, a group-by rolls each island up to (start, end, "
+        "n_events, duration). The web-analytics primitive every event "
+        "pipeline needs, and the batch twin of Structured Streaming's "
+        "session_window. Scale shape: lag, the running sum, and the final "
+        "group all share ONE partitioning (user_id), so the whole plan "
+        "costs a single hash exchange; a hot user is one large sorted "
+        "group, never a join blow-up. All outputs are exact integer "
+        "microseconds — no float discipline needed. NULL users excluded "
+        "(no meaningful session identity)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = e.select(
+        "user_id", "t",
+        F.when(
+            ((F.col("t") - F.lag("t").over(w)) > SESSION_GAP_US)
+            | F.lag("t").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id", "t", F.sum("new_sess").over(w_run).alias("session_seq")
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("t").alias("session_start_us"),
+            F.max("t").alias("session_end_us"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start_us", "session_end_us", "n_events", "duration_us",
+        )
+    )

@@ -235,6 +235,7 @@ def test_driver_window_membership():
         "dedup_exact_substrings", "url_canonical_dedup",
         "mixture_temperature_sample",
         "asof_join_attribution", "range_join_incidents",
+        "sessionize_events",
     }
     missing = must_have - window
     assert not missing, f"queries fell out of the driver window: {sorted(missing)}"

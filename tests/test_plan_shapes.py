@@ -75,6 +75,7 @@ NO_ROWWISE_PYTHON = [
     "bloom_novelty",
     "asof_join_attribution",
     "range_join_incidents",
+    "sessionize_events",
 ]
 
 
@@ -383,3 +384,12 @@ def test_range_join_is_bucketed_equi_join(spark):
         or "SortMergeJoin" in p
         or "ShuffledHashJoin" in p
     ), "bucketed probe must plan a hash-partitionable equi-join"
+
+
+def test_sessionize_is_single_exchange(spark):
+    # lag, the running session counter, and the island rollup must all
+    # reuse the user_id partitioning: exactly one hash exchange, no join
+    p = plan_of(build(spark, "sessionize_events"))
+    assert "Join" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Exchange") == 1
