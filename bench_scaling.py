@@ -47,6 +47,8 @@ KERNEL_SERIES = 500_000   # 30M stat rows, one ensemble per series
 KERNEL_REPS = 5           # report the BEST (min) rep — see methodology note
 VALIDATE_ROWS = 80_000_000
 VALIDATE_REPS = 3          # best-of-3: shared-tenancy CPU steal varies reps up to 2x
+DEDUP_DOCS = 120_000       # MinHash-LSH corpus: ~60s at 2 cores, variable-dominated
+DEDUP_REPS = 3
 
 # Sizing rationale: a fit of earlier runs at 250k series / 40M pages gives a
 # per-sweep FIXED cost (driver-side plan build, broadcast materialization,
@@ -85,6 +87,8 @@ series.write.mode("overwrite").parquet({series_path!r})
 # sizes, else the last wave idles most cores (17 tasks over 8 cores = 3
 # waves, the 3rd 1/8 full — measured 0.48 scan efficiency from that alone)
 synth_pages(spark, {validate_rows}, 30).repartition(256).write.mode("overwrite").parquet({pages_path!r})
+from skyline_spark.sources.synth import synth_documents
+synth_documents(spark, {dedup_docs}).repartition(64).write.mode("overwrite").parquet({docs_path!r} + "/documents.parquet")
 spark.stop()
 '''
 
@@ -165,6 +169,27 @@ out["validate_rows"] = {validate_rows}
 out["partitions_validated"] = n_parts
 out["partitions_per_hour"] = round(n_parts / dt * 3600, 1)
 
+# --- MinHash-LSH dedup over the synthetic documents corpus ---------------
+# the LLM-pipeline workhorse: shingle -> 16-perm signature (Arrow kernel)
+# -> banded equi-join -> verify-by-id. The corpus is word-stream synthetic
+# (bounded candidates: the 5% injected dup pairs), so the timed work is the
+# signature+band pipeline, not a quadratic verify blow-up.
+from skyline_spark.catalog import QUERIES
+docs_dir = {docs_path!r}
+QUERIES["dedup_minhash_lsh"].build(spark, docs_dir).count()  # warm
+dreps = []
+npairs = 0
+for _ in range({dedup_reps}):
+    t0 = time.time()
+    npairs = QUERIES["dedup_minhash_lsh"].build(spark, docs_dir).count()
+    dreps.append(time.time() - t0)
+dt = min(dreps)
+out["dedup_sec"] = round(dt, 2)
+out["dedup_reps"] = [round(r, 2) for r in dreps]
+out["dedup_docs"] = {dedup_docs}
+out["dedup_pairs"] = npairs
+out["dedup_docs_per_sec"] = round({dedup_docs} / dt, 1)
+
 print("RESULT " + json.dumps(out))
 spark.stop()
 '''
@@ -172,7 +197,7 @@ spark.stop()
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_child(n_exec: int, series_path: str, pages_path: str) -> dict:
+def run_child(n_exec: int, series_path: str, pages_path: str, docs_path: str) -> dict:
     script = _CHILD.format(
         repo=REPO,
         n_exec=n_exec,
@@ -182,8 +207,11 @@ def run_child(n_exec: int, series_path: str, pages_path: str) -> dict:
         kernel_reps=KERNEL_REPS,
         validate_rows=VALIDATE_ROWS,
         validate_reps=VALIDATE_REPS,
+        dedup_docs=DEDUP_DOCS,
+        dedup_reps=DEDUP_REPS,
         series_path=series_path,
         pages_path=pages_path,
+        docs_path=docs_path,
     )
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=3600
@@ -203,30 +231,35 @@ def main() -> None:
             raise SystemExit("usage: bench_scaling.py [--reuse DIR] [--keep]")
         tmp = sys.argv[sys.argv.index("--reuse") + 1]
         series_path, pages_path = tmp + "/series", tmp + "/pages"
-        for p in (series_path, pages_path):
+        docs_path = tmp + "/docs"
+        checks = [series_path, pages_path, docs_path + "/documents.parquet"]
+        for p in checks:
             if not os.path.exists(os.path.join(p, "_SUCCESS")):
                 raise SystemExit(f"--reuse dir incomplete: no _SUCCESS in {p}")
         print(f"reusing staged inputs in {tmp}", flush=True)
     else:
         tmp = tempfile.mkdtemp(prefix="bench_scaling_")
         series_path, pages_path = tmp + "/series", tmp + "/pages"
+        docs_path = tmp + "/docs"
         print("materializing shared inputs ...", flush=True)
         subprocess.run(
             [sys.executable, "-c", _PREP.format(
                 repo=REPO, kernel_series=KERNEL_SERIES,
-                validate_rows=VALIDATE_ROWS,
+                validate_rows=VALIDATE_ROWS, dedup_docs=DEDUP_DOCS,
                 series_path=series_path, pages_path=pages_path,
+                docs_path=docs_path,
             )],
             check=True,
         )
     results = {}
     for n in EXECUTORS:
-        results[n] = run_child(n, series_path, pages_path)
+        results[n] = run_child(n, series_path, pages_path, docs_path)
         r = results[n]
         print(
             f"executors={n}x{EXEC_CORES}c: kernels {r['kernel_ensembles_per_sec']}/s "
             f"(median {r['kernel_sec']}s of {r['kernel_reps']}), validate {r['validate_sec']}s "
-            f"({r['partitions_per_hour']} partitions/h)"
+            f"({r['partitions_per_hour']} partitions/h), dedup {r['dedup_sec']}s "
+            f"({r['dedup_docs_per_sec']} docs/s)"
         )
     lo, hi = EXECUTORS
     factor = hi / lo
@@ -236,6 +269,7 @@ def main() -> None:
         / factor
     )
     validate_eff = results[lo]["validate_sec"] / results[hi]["validate_sec"] / factor
+    dedup_eff = results[lo]["dedup_sec"] / results[hi]["dedup_sec"] / factor
     summary = {
         "mode": f"local-cluster[N,{EXEC_CORES},{EXEC_MEM_MB}] — real separate executor JVMs",
         "validate_note": (
@@ -247,6 +281,7 @@ def main() -> None:
         "results": results,
         "kernel_scaling_efficiency": round(kernel_eff, 3),
         "validate_scaling_efficiency": round(validate_eff, 3),
+        "dedup_scaling_efficiency": round(dedup_eff, 3),
         "machine_note": (
             "pure-CPU multiprocess scaling on this box measures 0.84 efficiency "
             "2→8 procs (per-op cost inflates ~18% as cores share cache/memory) — "

@@ -247,3 +247,37 @@ def synth_pages(
     if not keep_defect_tag:
         out = out.drop("_day", "_defect")
     return out
+
+
+def synth_documents(spark: SparkSession, n_rows: int = 100_000) -> DataFrame:
+    """Deterministic documents table matching the testdata schema
+    (doc_id, text, lang, source, n_chars) at arbitrary scale — used by the
+    scaling bench to size the dedup stage beyond the fixed sf dirs.
+
+    Every 20th doc copies the text of the doc 19 ids earlier (~5% exact
+    duplicates). Text is a per-doc hashed word stream (`_word_stream`
+    seeded by the base id), NOT a lorem-pool substring: overlapping
+    substrings of a small pool give near-ALL-PAIRS MinHash candidates
+    (measured 11M pairs from 50k docs — a quadratic verify stage that
+    would swamp a throughput bench), while independent word streams keep
+    chance 3-gram Jaccard ~0 so the candidate set is the injected dup
+    pairs plus band-collision noise. Generation is HOF-interpreted and
+    therefore slow per row — fine for the bench's one-time prep, not for
+    the 10^6-row page fixtures (_page_text's substring trick exists for
+    those).
+    """
+    rid = F.col("doc_id")
+    base = F.when(rid % 20 == 19, rid - 19).otherwise(rid)
+    n_words = (F.pmod(F.xxhash64(base, F.lit("nw")), F.lit(81)) + 60).cast("int")
+    text = F.concat_ws(" ", _word_stream(base, n_words, "doc"))
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
+    return spark.range(n_rows).select(F.col("id").alias("doc_id")).select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            langs,
+            (F.pmod(F.xxhash64(rid, F.lit("lg")), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        _host(rid, 1000).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
