@@ -276,6 +276,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "asof_join_attribution",
         "range_join_incidents",
         "sessionize_events",
+        "link_graph_pagerank",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -19,6 +19,7 @@ from . import mixing_queries  # noqa: F401,E402
 from . import flagship_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
 from . import selection_queries  # noqa: F401,E402
+from . import graph_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
@@ -99,7 +100,9 @@ PRIORITY_WINDOW: list[str] = [
     "pack_context_windows",
     "bloom_novelty",
     "dedup_minhash_lsh",
-    "dedup_clusters",
+    # link-graph PageRank is round-3-new (no committed driver row yet);
+    # dedup_clusters rotates out — hash-green in CORRECTNESS_r02
+    "link_graph_pagerank",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -110,6 +113,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "dedup_clusters",
     "boundary_alert_threshold",
     "boundary_static_thresholds",
     "boundary_drop_off_cliff",

@@ -1,0 +1,125 @@
+"""Link-graph ranking over the synthetic web corpus.
+
+``link_graph_pagerank`` — the classic web-corpus quality prior (Page et
+al. 1999; Common Crawl publishes exactly this as its host-level ranking):
+every document deterministically emits ``OUT_DEG`` outlinks derived from
+the portable hash (``h32(doc_id ‖ ':j') mod N``), and PageRank runs for a
+fixed ``PR_ITERS`` damped iterations. Demonstrates the third distributed
+iterative pattern in the catalog next to pointer-jumping connected
+components (``dedup_clusters``) and Lloyd's k-means (``kmeans_lloyd``):
+a per-iteration (ranks ⋈ edges on src) → (groupBy dst) pair of slim
+id+long shuffles.
+
+House parity rules: ranks live in int64 micro-units of ``RANK_SCALE``
+(``operators/graph.py``), every update is exact integer arithmetic
+(order-independent, so Spark's partition-parallel sums and DuckDB's
+single-threaded unrolled CTEs agree bit-for-bit); the one readability
+double (``pr_norm``, mean-1 normalized) divides identical integers in
+both engines under ``X.r6``. The oracle unrolls the ``PR_ITERS``
+iterations as chained CTEs generated from the same constants.
+
+Graph contract: the synthetic corpus has dense doc_ids 0..N-1, so every
+hashed dst exists and no node dangles (each emits exactly OUT_DEG links);
+contributions to a nonexistent id would be dropped by the final left join
+identically in both engines. A production corpus would first pass a
+dense-relabel (hash ids → zipWithIndex) map stage.
+
+Reference analog: none — Skyline ranks nothing; this belongs to the
+LLM-data-pipeline surface added on top of the reference's scope (quality
+priors for crawl curation), alongside dedup, mixing, and selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..operators.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, pagerank
+from .registry import load, query
+from .text_queries import _spread
+
+#: outlinks emitted per document (hash-derived, multigraph: duplicate
+#: targets and self-links are kept and contribute once per edge)
+OUT_DEG = 3
+#: fixed damped-iteration count (unrolled in the oracle)
+PR_ITERS = 5
+
+
+def _edges_values_sql() -> str:
+    return ", ".join(f"({j})" for j in range(1, OUT_DEG + 1))
+
+
+def _iteration_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""r{k} AS (
+  SELECT b.doc_id,
+         (b.base + ({DAMP_NUM} * COALESCE(SUM(p.pr // ed.outdeg), 0)) // {DAMP_DEN})::BIGINT AS pr
+  FROM b
+  LEFT JOIN ed ON ed.dst = b.doc_id
+  LEFT JOIN {prev} p ON p.doc_id = ed.src
+  GROUP BY b.doc_id, b.base
+)"""
+
+
+_PAGERANK_ORACLE = (
+    f"""WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst
+  FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+r0 AS (SELECT doc_id, ({RANK_SCALE} // n_nodes)::BIGINT AS pr FROM documents, n),
+b AS (SELECT doc_id,
+             (({DAMP_DEN - DAMP_NUM} * ({RANK_SCALE} // n_nodes)) // {DAMP_DEN})::BIGINT AS base
+      FROM documents, n),
+"""
+    + ",\n".join(_iteration_cte(k) for k in range(1, PR_ITERS + 1))
+    + f"""
+SELECT r{PR_ITERS}.doc_id,
+       r{PR_ITERS}.pr AS pr_int,
+       {X.r6_sql(f"r{PR_ITERS}.pr / {RANK_SCALE}.0 * n.n_nodes")} AS pr_norm
+FROM r{PR_ITERS}, n
+ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "link_graph_pagerank",
+    _PAGERANK_ORACLE,
+    doc="link-graph PageRank quality prior (Page et al. 1999; the Common-"
+        "Crawl host-ranking shape): hash-derived outlinks, 5 damped "
+        "iterations of the (ranks ⋈ edges on src → groupBy dst) slim-shuffle "
+        "pair, ranks in exact int64 fixed-point so partition-parallel sums "
+        "are bit-identical to the oracle's unrolled CTEs",
+)
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load(spark, sf_dir, "documents")).select("doc_id")
+    n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
+    nodes = d.crossJoin(F.broadcast(n1)).select(
+        F.col("doc_id").alias("id"), "n_nodes"
+    )
+    dsts = [
+        (
+            X.h32(F.concat(F.col("id").cast("string"), F.lit(f":{j}")))
+            % F.col("n_nodes")
+        ).cast("long")
+        for j in range(1, OUT_DEG + 1)
+    ]
+    edges = nodes.select(
+        F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    pr = pagerank(nodes, edges, iterations=PR_ITERS)
+    return (
+        pr.join(nodes, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("pr").alias("pr_int"),
+            X.r6(F.col("pr") / F.lit(float(RANK_SCALE)) * F.col("n_nodes")).alias(
+                "pr_norm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

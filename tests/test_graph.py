@@ -1,0 +1,81 @@
+"""operators/graph.py — exact-integer PageRank semantics.
+
+The catalog parity sweep (test_catalog.py) already compares
+``link_graph_pagerank`` against its unrolled DuckDB oracle; these tests pin
+the operator itself against an independent pure-Python reimplementation of
+the fixed-point update on a hand-built graph, plus the invariants the
+int64 design guarantees (bounded mass leak, plan stays JVM-side).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.operators.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, pagerank
+
+# triangle-with-a-chord multigraph: node 0 fans out, 2 funnels back,
+# including a duplicate (multi-)edge 1→2 and a self-loop 2→2
+EDGES = [(0, 1), (0, 2), (1, 2), (1, 2), (2, 0), (2, 2)]
+N = 3
+
+
+def _pagerank_py(edges: list[tuple[int, int]], n: int, iters: int) -> dict[int, int]:
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((DAMP_DEN - DAMP_NUM) * (RANK_SCALE // n)) // DAMP_DEN
+    pr = {v: RANK_SCALE // n for v in range(n)}
+    for _ in range(iters):
+        s: dict[int, int] = {v: 0 for v in range(n)}
+        for u, v in edges:
+            s[v] += pr[u] // outdeg[u]
+        pr = {v: base + (DAMP_NUM * s[v]) // DAMP_DEN for v in range(n)}
+    return pr
+
+
+def _frames(spark):
+    nodes = spark.createDataFrame(
+        [(v, N) for v in range(N)], "id long, n_nodes long"
+    )
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    return nodes, edges
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_pure_python(spark, iters):
+    nodes, edges = _frames(spark)
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(nodes, edges, iterations=iters).collect()
+    }
+    assert got == _pagerank_py(EDGES, N, iters)
+
+
+def test_pagerank_mass_leak_bounded(spark):
+    """Floor divisions only ever LOSE mass, and at most ~(outdeg+1) units
+    per node per iteration — the documented alternative to renormalizing."""
+    iters = 5
+    nodes, edges = _frames(spark)
+    total = (
+        pagerank(nodes, edges, iterations=iters)
+        .agg(F.sum("pr").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total <= RANK_SCALE
+    # generous bound: per node per iteration the two div-100s and the
+    # per-edge div-outdeg each drop < 1 unit of their operand's scale
+    max_leak = iters * N * (len(EDGES) + 2) * DAMP_DEN
+    assert total >= RANK_SCALE - max_leak
+
+
+def test_pagerank_plan_is_jvm_side(spark):
+    import contextlib
+    import io
+
+    nodes, edges = _frames(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pagerank(nodes, edges, iterations=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

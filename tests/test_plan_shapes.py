@@ -76,6 +76,7 @@ NO_ROWWISE_PYTHON = [
     "asof_join_attribution",
     "range_join_incidents",
     "sessionize_events",
+    "link_graph_pagerank",
 ]
 
 
