@@ -98,8 +98,12 @@ ORDER BY doc_id
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents")).select("doc_id")
     n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
-    nodes = d.crossJoin(F.broadcast(n1)).select(
-        F.col("doc_id").alias("id"), "n_nodes"
+    # nodes feeds three consumers (edge derivation, pagerank input, the
+    # final n_nodes re-join) — cut once so the scan+count runs once
+    nodes = (
+        d.crossJoin(F.broadcast(n1))
+        .select(F.col("doc_id").alias("id"), "n_nodes")
+        .localCheckpoint(eager=False)
     )
     dsts = [
         (

@@ -28,7 +28,9 @@ edges both shuffles are id+long only — the slimmest possible rows.
 Dangling nodes (outdeg 0) would lose their mass here; the catalog caller
 constructs a graph where every node emits a fixed number of links, so the
 dangling-mass redistribution term of the original paper is intentionally
-omitted (documented contract, asserted by the caller).
+omitted. This is a documented input contract, not a runtime check (an
+assertion would cost an extra action): a caller whose graph can dangle
+must add the paper's redistribution term or accept the mass loss.
 """
 
 from __future__ import annotations
