@@ -9,7 +9,10 @@ int64 design guarantees (bounded mass leak, plan stays JVM-side).
 
 from __future__ import annotations
 
+import random
+
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from skyline_spark.operators.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, pagerank
@@ -67,6 +70,32 @@ def test_pagerank_mass_leak_bounded(spark):
     # per-edge div-outdeg each drop < 1 unit of their operand's scale
     max_leak = iters * N * (len(EDGES) + 2) * DAMP_DEN
     assert total >= RANK_SCALE - max_leak
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_random_graphs_match_pure_python(spark, n, seed, iters):
+    """Property: on any dangling-free multigraph (every node emits ≥1 edge,
+    self-loops and duplicates allowed), the distributed fixed-point result
+    equals the sequential reimplementation exactly — int64 arithmetic leaves
+    no room for 'close enough'."""
+    rnd = random.Random(seed)
+    edges = [
+        (u, rnd.randrange(n))
+        for u in range(n)
+        for _ in range(rnd.randint(1, 3))
+    ]
+    nodes_df = spark.createDataFrame([(v, n) for v in range(n)], "id long, n_nodes long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(nodes_df, edges_df, iterations=iters).collect()
+    }
+    assert got == _pagerank_py(edges, n, iters)
 
 
 def test_pagerank_plan_is_jvm_side(spark):
