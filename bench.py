@@ -266,6 +266,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "corpus_shuffle_shards",
         "domain_cap_sample",
         "mixture_token_budget",
+        "mixture_epoch_plan",
         "quality_classifier_score",
         "ccnet_perplexity_buckets",
         "semdedup_prune",

@@ -99,9 +99,11 @@ PRIORITY_WINDOW: list[str] = [
     "dsir_select",
     "pack_context_windows",
     "bloom_novelty",
-    "dedup_minhash_lsh",
-    # link-graph PageRank is round-3-new (no committed driver row yet);
-    # dedup_clusters rotates out — hash-green in CORRECTNESS_r02
+    # round-3-new, no committed driver row yet: link-graph PageRank and the
+    # upsampling-epoch planner displace dedup_clusters and dedup_minhash_lsh
+    # (both hash-green in CORRECTNESS_r02; minhash additionally carries the
+    # round-3 scaling-bench evidence in scaling_results.json)
+    "mixture_epoch_plan",
     "link_graph_pagerank",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
@@ -113,6 +115,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "dedup_minhash_lsh",
     "dedup_clusters",
     "boundary_alert_threshold",
     "boundary_static_thresholds",

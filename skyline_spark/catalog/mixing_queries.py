@@ -276,3 +276,157 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+
+#: total plan budget as a multiple of the corpus token mass (> 1 forces
+#: genuine upsampling: every source repeats, most with a fractional epoch)
+EPOCH_BUDGET_X = 2.5
+
+
+def _epoch_hash_sql() -> str:
+    return X.h32_sql("concat('ep:', doc_id::VARCHAR)")
+
+
+_EPOCH_ORACLE = f"""
+WITH ntok AS (
+  SELECT doc_id, source,
+         {X.token_count_sql('text')}::BIGINT AS n_tokens,
+         {_epoch_hash_sql()} AS h
+  FROM documents
+), counts AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS avail_tokens
+  FROM ntok GROUP BY source
+), w AS (
+  SELECT source, n_docs, avail_tokens,
+         floor(sqrt(avail_tokens) * {TEMP_Q} + 0.5)::BIGINT AS weight
+  FROM counts
+), tot AS (
+  SELECT source, n_docs, avail_tokens, weight,
+         sum(weight) OVER () AS wsum,
+         floor(sum(avail_tokens) OVER () * {EPOCH_BUDGET_X})::BIGINT AS budget
+  FROM w
+), plan AS (
+  SELECT source, n_docs, avail_tokens, weight,
+         floor(budget::DOUBLE * weight / wsum)::BIGINT AS target_tokens
+  FROM tot
+), plan2 AS (
+  SELECT *, (target_tokens // avail_tokens)::BIGINT AS epochs_full,
+         (target_tokens - (target_tokens // avail_tokens) * avail_tokens)::BIGINT AS rem_tokens
+  FROM plan
+), ranked AS (
+  SELECT source, doc_id, n_tokens, h,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS cum
+  FROM ntok
+), frac AS (
+  SELECT r.source, count(*)::BIGINT AS frac_docs,
+         sum(r.n_tokens)::BIGINT AS frac_tokens,
+         sum(r.h)::BIGINT AS frac_sel_hash_sum
+  FROM ranked r JOIN plan2 p USING (source)
+  WHERE r.cum <= p.rem_tokens
+  GROUP BY r.source
+)
+SELECT p.source, p.n_docs, p.avail_tokens, p.weight, p.target_tokens,
+       p.epochs_full,
+       coalesce(f.frac_docs, 0)::BIGINT AS frac_docs,
+       coalesce(f.frac_tokens, 0)::BIGINT AS frac_tokens,
+       coalesce(f.frac_sel_hash_sum, 0)::BIGINT AS frac_sel_hash_sum,
+       (p.epochs_full * p.avail_tokens + coalesce(f.frac_tokens, 0))::BIGINT AS planned_tokens
+FROM plan2 p LEFT JOIN frac f USING (source)
+ORDER BY p.source
+"""
+
+
+@query(
+    "mixture_epoch_plan",
+    _EPOCH_ORACLE,
+    doc="upsampling-epoch planner (the data-constrained-recipe step, "
+        "Muennighoff et al. 2023: a token budget LARGER than the corpus is "
+        "met by REPEATING sources): each source's tempered target "
+        "(sqrt-weight share of budget = 2.5x corpus tokens) splits into "
+        "target div avail full epochs plus a fractional epoch filled by the "
+        "deterministic h32-ranked greedy token prefix — the set a resumed "
+        "or re-run plan re-picks identically, checksummed so the oracle "
+        "pins WHICH docs land in the partial epoch. Same float discipline "
+        "as mixture_temperature_sample (integer-quantized sqrt weight, ONE "
+        "double multiply/divide/floor); everything after is exact integer "
+        "arithmetic. Scale: token counting is a pure codegen map; the "
+        "per-source cumulative window is token_budget_fill's skew surface "
+        "and at 10^12 docs runs its bucketed boundary-only form "
+        "(operators/mixture.py); the plan itself is O(|sources|) rows "
+        "broadcast back",
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id",
+        "source",
+        X.token_count_codegen_expr(F.col("text")).cast("long").alias("n_tokens"),
+        X.h32(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+
+    counts = ntok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail_tokens"),
+    )
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt("avail_tokens") * TEMP_Q + F.lit(0.5)).cast("long")
+    )
+    tot = Window.partitionBy()
+    plan = (
+        w.withColumn("wsum", F.sum("weight").over(tot))
+        .withColumn(
+            "budget",
+            F.floor(F.sum("avail_tokens").over(tot) * EPOCH_BUDGET_X).cast("long"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.floor(
+                F.col("budget").cast("double") * F.col("weight") / F.col("wsum")
+            ).cast("long"),
+        )
+        .withColumn("epochs_full", F.expr("target_tokens div avail_tokens"))
+        .withColumn(
+            "rem_tokens",
+            F.col("target_tokens") - F.col("epochs_full") * F.col("avail_tokens"),
+        )
+        .select(
+            "source", "n_docs", "avail_tokens", "weight",
+            "target_tokens", "epochs_full", "rem_tokens",
+        )
+    )
+
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+    )
+    ranked = ntok.withColumn("cum", cum.cast("long"))
+    frac = (
+        ranked.join(F.broadcast(plan.select("source", "rem_tokens")), "source")
+        .where(F.col("cum") <= F.col("rem_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("frac_docs"),
+            F.sum("n_tokens").cast("long").alias("frac_tokens"),
+            F.sum("h").cast("long").alias("frac_sel_hash_sum"),
+        )
+    )
+    return (
+        plan.join(frac, "source", "left")
+        .select(
+            "source", "n_docs", "avail_tokens", "weight", "target_tokens",
+            "epochs_full",
+            F.coalesce("frac_docs", F.lit(0)).cast("long").alias("frac_docs"),
+            F.coalesce("frac_tokens", F.lit(0)).cast("long").alias("frac_tokens"),
+            F.coalesce("frac_sel_hash_sum", F.lit(0)).cast("long")
+            .alias("frac_sel_hash_sum"),
+            (
+                F.col("epochs_full") * F.col("avail_tokens")
+                + F.coalesce("frac_tokens", F.lit(0))
+            ).cast("long").alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

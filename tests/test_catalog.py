@@ -227,7 +227,6 @@ def test_driver_window_membership():
         # green rows in CORRECTNESS_r02 and rotate out under the standing
         # policy: queries with NO committed driver row outrank ones already
         # evidenced green in a previous round
-        "dedup_minhash_lsh",
         # round-3 additions (no committed driver row yet)
         "quality_classifier_score", "ccnet_perplexity_buckets",
         "semdedup_prune", "curation_verdicts", "curation_report",
@@ -235,7 +234,7 @@ def test_driver_window_membership():
         "dedup_exact_substrings", "url_canonical_dedup",
         "mixture_temperature_sample",
         "asof_join_attribution", "range_join_incidents",
-        "sessionize_events", "link_graph_pagerank",
+        "sessionize_events", "link_graph_pagerank", "mixture_epoch_plan",
     }
     missing = must_have - window
     assert not missing, f"queries fell out of the driver window: {sorted(missing)}"

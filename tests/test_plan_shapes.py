@@ -71,6 +71,7 @@ NO_ROWWISE_PYTHON = [
     "dedup_exact_substrings",
     "url_canonical_dedup",
     "mixture_temperature_sample",
+    "mixture_epoch_plan",
     "pack_context_windows",
     "bloom_novelty",
     "asof_join_attribution",
