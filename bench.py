@@ -278,6 +278,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "range_join_incidents",
         "sessionize_events",
         "link_graph_pagerank",
+        "bpe_merge_candidates",
+        "crawl_snapshot_delta",
+        "url_host_blocklist",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

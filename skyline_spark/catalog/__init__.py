@@ -20,6 +20,7 @@ from . import flagship_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
 from . import selection_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
+from . import crawl_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
@@ -61,16 +62,16 @@ PRIORITY_WINDOW: list[str] = [
     "detector_grubbs_score",
     "detector_ks_2samp_d",
     "detector_stddev_from_moving_average",
-    "series_gates",
     # boundary / luminosity / ionosphere / mirage (§2.5–2.9) + the round-3
     # time-series joins (as-of, range — no committed driver row yet)
     "asof_join_attribution",
     "range_join_incidents",
     "sessionize_events",
-    "luminosity_correlation",
-    "ionosphere_layers",
     "ionosphere_profile_match",
     "ionosphere_tsfresh_match",
+    # mirage_second_pass gained a degenerate-input guard this round
+    # (06ad64e), so its r2 row no longer covers the current code — it stays
+    # inside the window for a fresh row
     "mirage_second_pass",
     # round-2 orphans (oracled, green in pytest + r1, no r2 row)
     "tsfresh_features",
@@ -105,6 +106,14 @@ PRIORITY_WINDOW: list[str] = [
     # round-3 scaling-bench evidence in scaling_results.json)
     "mixture_epoch_plan",
     "link_graph_pagerank",
+    # round-3-new crawl-management trio (no committed driver row yet):
+    # displaces series_gates, luminosity_correlation, ionosphere_layers —
+    # all three hash-green in CORRECTNESS_r02 with implementations
+    # untouched since that row was recorded (verified against the
+    # round-boundary diff d510425..HEAD)
+    "bpe_merge_candidates",
+    "crawl_snapshot_delta",
+    "url_host_blocklist",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -115,6 +124,9 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
 # sweep each round (tests/test_catalog.py pins that rotation invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "series_gates",
+    "luminosity_correlation",
+    "ionosphere_layers",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "boundary_alert_threshold",

@@ -46,7 +46,12 @@ def _norm(v):
 
 def _rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows), sorted(cols)
+    # NULL-safe sort (mirrors tools/check_parity.py): (is-None, value) pairs
+    # never compare None against a concrete value
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, v) for v in t),
+    ), sorted(cols)
 
 
 ORACLED = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
@@ -221,7 +226,11 @@ def test_driver_window_membership():
         "detector_mean_subtraction_cumulation", "detector_first_hour_average",
         "detector_least_squares", "detector_histogram_bins",
         "detector_grubbs_score", "detector_ks_2samp_d",
-        "detector_stddev_from_moving_average", "series_gates",
+        "detector_stddev_from_moving_average",
+        # changed this round after its r2 row (degenerate-input guard) →
+        # needs a fresh row; series_gates/luminosity_correlation/
+        # ionosphere_layers are unchanged since their r2 rows and rotate out
+        "mirage_second_pass",
         # headline dedup — the multi-stage paths stay pinned; the
         # single-window forms (dedup_exact/simhash/embedding_lsh) carry
         # green rows in CORRECTNESS_r02 and rotate out under the standing
@@ -235,6 +244,7 @@ def test_driver_window_membership():
         "mixture_temperature_sample",
         "asof_join_attribution", "range_join_incidents",
         "sessionize_events", "link_graph_pagerank", "mixture_epoch_plan",
+        "bpe_merge_candidates", "crawl_snapshot_delta", "url_host_blocklist",
     }
     missing = must_have - window
     assert not missing, f"queries fell out of the driver window: {sorted(missing)}"

@@ -395,3 +395,40 @@ def test_sessionize_is_single_exchange(spark):
     assert "Join" not in p
     tree = p.split("\n\n", 1)[0]
     assert tree.count("Exchange") == 1
+
+
+def test_bpe_counting_is_two_hash_aggs_plus_topk(spark):
+    # the corpus→vocab agg is the only corpus-sized shuffle; the pair agg
+    # runs over the (Heaps-law-small) vocabulary; the final top-K must plan
+    # TakeOrderedAndProject (per-partition heaps + single merge), never a
+    # global Sort of the pair table
+    p = plan_of(build(spark, "bpe_merge_candidates"))
+    assert "TakeOrderedAndProject" in p
+    assert "SortAggregate" not in p and "ObjectHashAggregate" not in p
+    assert "Join" not in p and "BatchEvalPython" not in p
+    tree = p.split("\n\n", 1)[0]
+    # word agg + pair agg (+ the _spread repartition): no hidden shuffles
+    assert tree.count("Exchange") <= 3
+
+
+def test_snapshot_delta_is_single_shuffle_hash_agg(spark):
+    # added/removed/changed/unchanged classification must come from ONE
+    # groupBy(url) with conditional max_by aggregates — no self-join of the
+    # two snapshots, and max_by (unlike max(struct)) keeps the aggregate on
+    # codegen'd HashAggregates with map-side partials
+    p = plan_of(build(spark, "crawl_snapshot_delta"))
+    assert "Join" not in p
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+    tree = p.split("\n\n", 1)[0]
+    # one agg exchange + the output orderBy's range exchange
+    assert tree.count("Exchange") == 2
+
+
+def test_host_blocklist_joins_broadcast(spark):
+    # the denylist side must broadcast (a production UT1 list is tens of
+    # MB); the per-host fact side must never shuffle for the join itself
+    p = plan_of(build(spark, "url_host_blocklist"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
