@@ -90,9 +90,15 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     tmp = tempfile.mkdtemp(prefix="skyline_bench_")
     pages_path = os.path.join(tmp, "pages")
     t0 = time.time()
-    synth_pages(spark, n_rows=n_rows, n_days=n_days).write.mode("overwrite").parquet(
-        pages_path
-    )
+    # hive-partitioned by the days(warc_ts) partition spec — the layout the
+    # 100-TB posture assumes (Iceberg: hidden days(warc_ts) transform), and
+    # what lets the pruned resume below skip unchanged days' FILES via
+    # PartitionFilters instead of merely row-group skipping
+    from skyline_spark.plans.stats import with_partition
+
+    with_partition(
+        synth_pages(spark, n_rows=n_rows, n_days=n_days)
+    ).write.mode("overwrite").partitionBy("partition_date").parquet(pages_path)
     timings["synth_write"] = round(time.time() - t0, 3)
     pages = spark.read.parquet(pages_path)
     # Two timed runs. The FIRST run of this ~150-stage pipeline absorbs
@@ -146,10 +152,12 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     append_checkpoint(res.checkpoint, ckpt_path)
     res.release()
     # append one NEW day (day index n_days) sized like one existing day
-    synth_pages(
-        spark, n_rows=max(n_rows // n_days, 1000), n_days=1,
-        base_date="2026-08-31", defects=False,
-    ).write.mode("append").parquet(pages_path)
+    with_partition(
+        synth_pages(
+            spark, n_rows=max(n_rows // n_days, 1000), n_days=1,
+            base_date="2026-08-31", defects=False,
+        )
+    ).write.mode("append").partitionBy("partition_date").parquet(pages_path)
     pages2 = spark.read.parquet(pages_path)
     t0 = time.time()
     res2 = validate(
@@ -165,6 +173,37 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     timings["validate_resume_1day"] = round(dt_resume, 3)
     extras["resume_partitions_validated"] = resumed_parts
     extras["resume_prune_ratio"] = round(resumed_parts / max(n_parts, 1), 4)
+
+    # pruned resume over the same appended-day shape: narrow change-detection
+    # scan (url/warc_ts/lang only), heavy scan date-pruned to the pending
+    # day via PartitionFilters on the hive layout, drift baselines rebuilt
+    # from the checkpoint's stat_values/sample — verdicts byte-identical to
+    # the unpruned resume (pinned by tests/test_validate_e2e.py)
+    t0 = time.time()
+    res3 = validate(
+        pages2,
+        ValidationConfig(
+            min_history=4, stale_after_partitions=None, pruned_resume=True
+        ),
+        checkpoint_path=ckpt_path,
+        run_ts=1_700_000_000.0,
+    )
+    resumed_parts_pruned = res3.verdicts.count()
+    _noop_sink(res3.violations)
+    dt_pruned = time.time() - t0
+    # the metric that matters at 10^12 rows: how many rows the HEAVY
+    # (html/text) scan actually touched. The pruned run's fresh stats cover
+    # exactly the scanned partitions, so their row_count sum IS the scan
+    # size; the unpruned resume rescans the whole table by construction.
+    pruned_rows = (
+        res3.stats.where(F.col("stat") == "row_count")
+        .agg(F.sum("value")).collect()[0][0]
+    )
+    res3.release()
+    timings["validate_resume_1day_pruned"] = round(dt_pruned, 3)
+    extras["resume_pruned_partitions"] = resumed_parts_pruned
+    extras["resume_pruned_rows_heavy_scanned"] = int(pruned_rows or 0)
+    extras["resume_full_rows_heavy_scanned"] = n_rows + max(n_rows // n_days, 1000)
 
     # --- kernel throughput: 9-detector ensemble over many series ----------
     n_series = max(int(20_000 * sf / 0.1), 500)

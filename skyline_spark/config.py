@@ -59,6 +59,20 @@ class ValidationConfig:
     # None → 16 × spark.sql.shuffle.partitions (plans/drift.py — 4× showed
     # balls-into-bins imbalance at 32 reducers)
     kernel_buckets: int | None = None
+    # Pruned resume: when a checkpoint_path is given, detect changed
+    # partitions with a NARROW scan (url/warc_ts/lang only — parquet column
+    # pruning skips the multi-KB html), scan the heavy columns ONLY for
+    # pending partition dates (partition pruning / parquet min-max skipping
+    # on the date predicate), and rebuild drift baselines for unchanged
+    # partitions from the checkpoint's stat_values/sample columns. Verdicts
+    # are identical to the unpruned path (tests/test_validate_e2e.py pins
+    # equality); the heavy-column bytes read drop from O(table) to
+    # O(changed partitions). Requires a checkpoint written by a run that
+    # carried stat_values (any run of this version); refuses legacy
+    # checkpoints loudly. Default off: the unpruned path has no driver-side
+    # collect, while pruning collects the pending DATE list (bounded by the
+    # calendar, not the data).
+    pruned_resume: bool = False
     # STALE on the partition axis (reference algorithms.py:588-589,
     # settings.py:393 STALE_PERIOD): a lang whose NEWEST partition is more
     # than this many days behind the run date has stopped emitting — its

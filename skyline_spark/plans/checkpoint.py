@@ -33,6 +33,7 @@ __all__ = [
     "load_checkpoint",
     "append_checkpoint",
     "pending_partitions",
+    "checkpoint_history",
 ]
 
 CHECKPOINT_SCHEMA = T.StructType(
@@ -47,6 +48,16 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType()),
         T.StructField("validated_at", T.TimestampType()),
         T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
+        # the partition's full stat vector + capped ks_test sample, carried
+        # so a PRUNED resume (ValidationConfig.pruned_resume) can rebuild
+        # drift baselines from the checkpoint instead of rescanning
+        # already-validated partitions. Bounded: ~13 doubles + <=sample_cap
+        # doubles per (partition, lang) row. Old checkpoints (written before
+        # these columns) read back as NULL — the pruned path refuses them
+        # loudly (checkpoint_history) rather than silently shortening
+        # baselines.
+        T.StructField("stat_values", T.MapType(T.StringType(), T.DoubleType())),
+        T.StructField("sample", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -108,3 +119,63 @@ def pending_partitions(
     return current.select(*PARTITION_COLS, "snapshot_id").join(
         done, [*PARTITION_COLS, "snapshot_id"], "left_anti"
     )
+
+
+def checkpoint_history(checkpoint: DataFrame):
+    """Rebuild the drift inputs (stats series + ks_test samples) for
+    already-validated partitions FROM the checkpoint — the piece that makes
+    a resumed run skip the heavy scan of unchanged partitions entirely
+    (ValidationConfig.pruned_resume).
+
+    The checkpoint is append-only, so a re-validated partition has several
+    rows; the LATEST (validated_at, run_id) wins — exactly the row whose
+    stat_values/sample describe the data the recorded snapshot_id hashes.
+
+    Returns ``(stats_long, samples)`` shaped like plans.stats
+    ``partition_stats`` / ``stat_samples`` output, ready to union with the
+    freshly computed target-partition frames. Raises if any surviving row
+    predates the stat_values/sample columns: silently shortening drift
+    baselines would change verdicts with no signal — re-run once without
+    pruning to rewrite the checkpoint instead.
+    """
+    from .stats import SAMPLE_STAT
+
+    payload = F.struct(
+        F.col("snapshot_id"), F.col("stat_values"), F.col("sample")
+    )
+    order = F.struct(F.col("validated_at"), F.col("run_id"))
+    latest = (
+        checkpoint.groupBy(*PARTITION_COLS)
+        .agg(F.max_by(payload, order).alias("p"))
+        .select(
+            *PARTITION_COLS,
+            F.col("p.snapshot_id").alias("fingerprint"),
+            F.col("p.stat_values").alias("stat_values"),
+            F.col("p.sample").alias("sample"),
+        )
+    )
+    # checkpoint-sized (one row per partition x lang) and consumed by two
+    # frames below plus the legacy-row guard — cache for the run
+    latest = latest.cache()
+    n_legacy = (
+        latest.where(F.col("stat_values").isNull()).limit(1).count()
+    )
+    if n_legacy:
+        latest.unpersist()
+        raise RuntimeError(
+            "pruned resume needs stat_values/sample in every checkpoint row, "
+            "but this checkpoint has rows written before those columns "
+            "existed; run validate() once without pruned_resume to refresh "
+            "it (silently shortening drift baselines is not an option)"
+        )
+    stats_long = latest.select(
+        *PARTITION_COLS,
+        "fingerprint",
+        F.explode("stat_values").alias("stat", "value"),
+    )
+    samples = latest.select(
+        *PARTITION_COLS,
+        F.lit(SAMPLE_STAT).alias("stat"),
+        F.col("sample"),
+    ).where(F.col("sample").isNotNull())
+    return stats_long, samples, latest

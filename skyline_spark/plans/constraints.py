@@ -94,7 +94,15 @@ def schema_violations(pages: DataFrame, expected: T.StructType) -> DataFrame:
         elif got != want:
             rows.append((f.name, got, want))
     for name in actual:
-        if name not in {f.name for f in expected.fields} and not name.startswith("_"):
+        # `partition_date` is the declared partition spec (days(warc_ts))
+        # materialized as a physical column by the hive-parquet layout —
+        # Iceberg keeps the same transform hidden in metadata, so its
+        # presence is a storage-layout detail, not a schema deviation
+        if (
+            name not in {f.name for f in expected.fields}
+            and not name.startswith("_")
+            and name != "partition_date"
+        ):
             rows.append((name, actual[name], "<unexpected column>"))
     spark = pages.sparkSession
     out = spark.createDataFrame(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "stat_digest_blobs",
     "partition_stats",
+    "narrow_partition_keys",
     "stat_samples",
     "slim_pages",
     "length_digest",
@@ -85,6 +86,34 @@ def slim_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def _fingerprint_expr() -> F.Column:
+    """Commutative content fingerprint → snapshot id for resume (decimal
+    accumulator: ANSI-safe at 10^12 rows, folded back to long). Shared by
+    the full stats pass and the narrow change-detection pass so the two can
+    never disagree on what "changed" means."""
+    return F.pmod(
+        F.sum(F.xxhash64("url", "warc_ts", "lang").cast("decimal(38,0)")),
+        F.lit(2**61 - 1).cast("decimal(38,0)"),
+    ).cast("long")
+
+
+def narrow_partition_keys(pages: DataFrame) -> DataFrame:
+    """Change detection WITHOUT touching the heavy columns: per
+    (partition_date, lang), the content fingerprint + row count from a scan
+    of (url, warc_ts, lang) only — parquet column pruning skips html/text
+    entirely, so on a 10^12-row table this pass reads a few percent of the
+    bytes the full stats pass would. On Iceberg the same information comes
+    from snapshot metadata with NO scan; this is the parquet-faithful
+    analog (SURVEY §1.2). Used by the pruned-resume path
+    (plans/validate.py) to decide which partitions need the heavy scan."""
+    return with_partition(
+        pages.select("url", "warc_ts", "lang")
+    ).groupBy(*PARTITION_COLS).agg(
+        _fingerprint_expr().alias("fingerprint"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
 def partition_stats(pages: DataFrame) -> DataFrame:
     """Long-form per-(partition, lang) stats in two codegen'd agg passes.
 
@@ -113,12 +142,8 @@ def partition_stats(pages: DataFrame) -> DataFrame:
         # (partition, lang, text_len) and drags every other agg buffer
         # through |distinct lengths|x more groups — measured 25x slower
         F.approx_count_distinct(text_len).alias("text_len_distinct"),
-        # commutative content fingerprint → snapshot id for resume
-        # (decimal accumulator: ANSI-safe at 10^12 rows, folded back to long)
-        F.pmod(
-            F.sum(F.xxhash64("url", "warc_ts", "lang").cast("decimal(38,0)")),
-            F.lit(2**61 - 1).cast("decimal(38,0)"),
-        ).cast("long").alias("fingerprint"),
+        # snapshot id for resume — shared with narrow_partition_keys
+        _fingerprint_expr().alias("fingerprint"),
     )
     wide = wide.withColumn(
         "url_distinct_ratio",

@@ -38,6 +38,7 @@ from ..operators.detectors import ALGORITHMS, DETECTOR_VERSIONS
 from ..operators.ensemble import kernel_self_test
 from ..sources.synth import PAGE_SCHEMA
 from .checkpoint import (
+    checkpoint_history,
     detector_version_hash,
     load_checkpoint,
     pending_partitions,
@@ -54,7 +55,9 @@ from .constraints import (
 from .drift import drift_verdicts
 from .stats import (
     PARTITION_COLS,
+    SAMPLE_STAT,
     length_histogram,
+    narrow_partition_keys,
     partition_stats,
     slim_pages,
     stat_digest_blobs,
@@ -193,13 +196,22 @@ def validate(
     # then coerced (try_cast / null-fill) so every downstream check still
     # runs instead of crashing mid-plan
     schema_viol = schema_violations(pages, PAGE_SCHEMA)
-    pages = pages.select(
-        *[
-            (F.col(f.name).try_cast(f.dataType) if f.name in pages.columns
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in PAGE_SCHEMA.fields
-        ]
-    )
+    # a hive-partitioned layout materializes the days(warc_ts) partition
+    # spec as a physical `partition_date` column (Iceberg keeps it hidden in
+    # metadata) — carry it under an internal name so the pruned-resume
+    # filter can hit PartitionFilters; everything else derives the key from
+    # warc_ts as usual
+    conform = [
+        (F.col(f.name).try_cast(f.dataType) if f.name in pages.columns
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in PAGE_SCHEMA.fields
+    ]
+    if "partition_date" in pages.columns:
+        conform.append(
+            F.col("partition_date").try_cast(T.DateType())
+            .alias("_native_partition_date")
+        )
+    pages = pages.select(*conform)
 
     # ---- stage 1: ONE scan of the heavy columns → slim derived frame -----
     # html (multi-KB/row) and text are read exactly once; every stage below
@@ -251,11 +263,102 @@ def validate(
         raise
 
 
+def _prune_predicate(pages: DataFrame, dates: list, keep_null_ts: bool) -> F.Column:
+    """Scan filter keeping only the pending partition dates.
+
+    Three conjuncts, each earning its keep at a different layer:
+    - a [min, max+1d) envelope on raw ``warc_ts`` — plain comparisons, so
+      parquet row-group min/max stats skip whole blocks even on an
+      unpartitioned layout (``to_date(warc_ts) IN (...)`` is a function
+      call and never reaches PushedFilters);
+    - the exact ``to_date(warc_ts) IN dates`` membership (post-scan, makes
+      sparse date sets correct inside the envelope);
+    - when the layout materializes the days(warc_ts) partition spec as a
+      physical column (hive-style; Iceberg keeps it in metadata), the same
+      membership on that column — this is what becomes PartitionFilters
+      and skips unchanged days' FILES entirely.
+    ``keep_null_ts`` preserves null/uncastable-timestamp rows: they belong
+    to the null partition group, which is always a (re)validation target
+    (its fingerprint can never match a checkpoint row)."""
+    if dates:
+        keep = (
+            (F.col("warc_ts") >= F.lit(dates[0]).cast("timestamp"))
+            & (F.col("warc_ts") < F.to_timestamp(F.date_add(F.lit(dates[-1]), 1)))
+            & F.to_date("warc_ts").isin(dates)
+        )
+    else:
+        keep = F.lit(False)
+    if keep_null_ts:
+        keep = keep | F.col("warc_ts").isNull()
+    if "_native_partition_date" in pages.columns and dates:
+        nat = F.col("_native_partition_date")
+        keep = keep & (nat.isin(dates) | nat.isNull())
+    return keep
+
+
 def _validate_body(
     pages, cfg, checkpoint_path, run_id, run_ts, static_rules,
     lang_allowlist, drift_stats, sample_backed, algorithms,
     spark, schema_viol, _barrier, scratch_run_dir,
 ) -> ValidationResult:
+    vhash = detector_version_hash()
+    ckpt = (
+        load_checkpoint(spark, checkpoint_path)
+        if checkpoint_path is not None
+        else None
+    )
+
+    def _resume_targets(fps: DataFrame) -> DataFrame:
+        """Stage 2: which (partition, lang) pairs need work — checkpoint
+        anti-join plus the stale-newest re-add (see the STALE comment
+        below). ``fps``: one row per pair with ``snapshot_id``."""
+        if ckpt is None:
+            return fps
+        t = pending_partitions(
+            fps, ckpt, vhash, run_ts=run_ts,
+            max_age_days=cfg.revalidate_after_days,
+        )
+        # STALE must surface even when nothing else changed: a lang that
+        # STOPPED emitting has unchanged fingerprints and detector hash, so
+        # the checkpoint anti-join would remove its newest partition from
+        # targets and the stage-3b staleness verdict could never attach to
+        # any row. Re-add each lang's newest partition whenever it has gone
+        # stale — the reference surfaces Stale metrics on every sweep, not
+        # only on change (`analyzer/algorithms.py:588-589`).
+        if cfg.stale_after_partitions is not None:
+            _run_date = F.lit(_dt.datetime.utcfromtimestamp(run_ts).date())
+            stale_newest = (
+                fps.groupBy("lang")
+                .agg(F.max("partition_date").alias("partition_date"))
+                .where(
+                    F.datediff(_run_date, F.col("partition_date"))
+                    > cfg.stale_after_partitions
+                )
+                .join(fps, PARTITION_COLS, "inner")  # restore snapshot_id
+                .select(*t.columns)
+            )
+            t = t.unionByName(stale_newest).distinct()
+        return t
+
+    # ---- stage 1.5 (pruned resume only): narrow change detection ---------
+    # fingerprint + row count per pair from a scan of (url, warc_ts, lang)
+    # ONLY — column pruning skips the multi-KB html — then restrict the
+    # heavy scan below to the pending partition DATES. The collected date
+    # list is bounded by the calendar, not the data (the one deliberate
+    # driver-side collect in this pipeline).
+    pruned = cfg.pruned_resume and ckpt is not None
+    hist_cache = None
+    if pruned:
+        fingerprints = narrow_partition_keys(pages).select(
+            *PARTITION_COLS, F.col("fingerprint").alias("snapshot_id")
+        )
+        targets = _resume_targets(fingerprints).cache()
+        pend = [r[0] for r in targets.select("partition_date").distinct().collect()]
+        dates = sorted(d for d in pend if d is not None)
+        pages = pages.where(
+            _prune_predicate(pages, dates, keep_null_ts=len(dates) != len(pend))
+        )
+
     slim = _barrier(slim_pages(pages), "slim")
     # stats/samples are checkpoint-sized (one row per partition×lang[×stat])
     # — materialize them once too, collapsing every downstream branch
@@ -286,46 +389,32 @@ def _validate_body(
         else [_local_ckpt_rdd_id(df) for df in (slim, stats, samples)]
     )
 
-    fingerprints = (
-        stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
-        .distinct()
-    )
-
     # ---- stage 2: resume — which (partition, lang) pairs need work? ------
-    vhash = detector_version_hash()
-    if checkpoint_path is not None:
-        ckpt = load_checkpoint(spark, checkpoint_path)
-        targets = pending_partitions(
-            fingerprints,
-            ckpt,
-            vhash,
-            run_ts=run_ts,
-            max_age_days=cfg.revalidate_after_days,
+    # In pruned mode both were computed from the narrow scan before the
+    # barrier; otherwise derive them from the checkpointed stats table
+    # (cache is cheap to fill from it).
+    if not pruned:
+        fingerprints = (
+            stats.select(*PARTITION_COLS, F.col("fingerprint").alias("snapshot_id"))
+            .distinct()
         )
-    else:
-        targets = fingerprints
-    # STALE must surface even when nothing else changed: a lang that STOPPED
-    # emitting has unchanged fingerprints and detector hash, so the
-    # checkpoint anti-join would remove its newest partition from targets
-    # and the stage-3b staleness verdict could never attach to any row.
-    # Re-add each lang's newest partition whenever it has gone stale — the
-    # reference surfaces Stale metrics on every sweep, not only on change
-    # (`analyzer/algorithms.py:588-589`).
-    if checkpoint_path is not None and cfg.stale_after_partitions is not None:
-        _run_date = F.lit(_dt.datetime.utcfromtimestamp(run_ts).date())
-        stale_newest = (
-            fingerprints.groupBy("lang")
-            .agg(F.max("partition_date").alias("partition_date"))
-            .where(
-                F.datediff(_run_date, F.col("partition_date"))
-                > cfg.stale_after_partitions
-            )
-            .join(fingerprints, PARTITION_COLS, "inner")  # restore snapshot_id
-            .select(*targets.columns)
+        targets = _resume_targets(fingerprints).cache()
+
+    # drift baselines: in pruned mode the heavy scan only covered pending
+    # dates, so unchanged partitions' stat series + ks samples come back
+    # from the checkpoint (anti-joined on the freshly scanned pairs — a
+    # pending DATE also rescans that date's unchanged langs, and those
+    # pairs must not appear twice in one series)
+    drift_stats_in, drift_samples_in = stats, samples
+    if pruned:
+        hist_stats, hist_samples, hist_cache = checkpoint_history(ckpt)
+        fresh_keys = stats.select(*PARTITION_COLS).distinct()
+        drift_stats_in = stats.unionByName(
+            hist_stats.join(F.broadcast(fresh_keys), PARTITION_COLS, "left_anti")
         )
-        targets = targets.unionByName(stale_newest).distinct()
-    # derived from the checkpointed stats table — cache is now cheap to fill
-    targets = targets.cache()
+        drift_samples_in = samples.unionByName(
+            hist_samples.join(F.broadcast(fresh_keys), PARTITION_COLS, "left_anti")
+        )
 
     # ---- stage 3: partition row-count gate (TooShort, FIXTURES F4) -------
     row_counts = stats.where(F.col("stat") == "row_count").select(
@@ -370,8 +459,8 @@ def _validate_body(
     # checkpoint rows) — without the cache each downstream action re-runs
     # the ensemble UDF and its joins
     drift = drift_verdicts(
-        stats,
-        samples,
+        drift_stats_in,
+        drift_samples_in,
         cfg,
         targets_df=drift_targets,
         drift_stats=list(drift_stats) if drift_stats is not None else None,
@@ -495,10 +584,24 @@ def _validate_body(
         F.array(*[F.lit(k) for k in DETECTOR_VERSIONS]),
         F.array(*[F.lit(v) for v in DETECTOR_VERSIONS.values()]),
     )
+    # the partition's full stat vector + capped sample ride along so a later
+    # PRUNED resume can rebuild drift baselines without rescanning this
+    # partition (checkpoint_history) — bounded: ~13 doubles + <=sample_cap
+    # doubles per row
+    stat_values_df = stats.groupBy(*PARTITION_COLS).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("stat"), F.col("value")))
+        ).alias("stat_values")
+    )
+    sample_df = samples.where(F.col("stat") == SAMPLE_STAT).select(
+        *PARTITION_COLS, "sample"
+    )
     checkpoint = (
         verdicts.join(fingerprints, PARTITION_COLS)
         .join(row_counts, PARTITION_COLS, "left")
         .join(stat_digests, PARTITION_COLS, "left")
+        .join(stat_values_df, PARTITION_COLS, "left")
+        .join(sample_df, PARTITION_COLS, "left")
         .select(
             *PARTITION_COLS,
             F.col("snapshot_id"),
@@ -512,6 +615,8 @@ def _validate_body(
                 F.array(F.lit("checks_run"), F.lit("checks_failed")),
                 F.array(F.col("checks_run").cast("double"), F.col("checks_failed").cast("double")),
             ).alias("metrics"),
+            F.col("stat_values"),
+            F.col("sample"),
         )
     )
 
@@ -523,7 +628,8 @@ def _validate_body(
         samples=samples,
         run_id=run_id,
         config=cfg,
-        _cached=[targets, drift, violations, verdicts, len_hist],
+        _cached=[targets, drift, violations, verdicts, len_hist]
+        + ([hist_cache] if hist_cache is not None else []),
         _ckpt_rdd_ids=_ckpt_rdd_ids,
         _scratch_run_dir=scratch_run_dir,
     )

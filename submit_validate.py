@@ -43,6 +43,16 @@ def main() -> None:
         "cluster (survives executor loss; any Hadoop scheme). The scratch "
         "run directory is deleted after the outputs are written.",
     )
+    ap.add_argument(
+        "--pruned-resume",
+        action="store_true",
+        help="detect changed partitions with a narrow (url/warc_ts/lang) "
+        "scan and restrict the heavy scan to pending partition dates; "
+        "drift baselines for unchanged partitions come from the checkpoint "
+        "(stat_values/sample). Verdicts are identical to a full rescan; "
+        "requires a checkpoint written by this version (legacy rows are "
+        "refused loudly). The steady-state daily-sweep mode at 10^12 rows.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +72,9 @@ def main() -> None:
         else spark.read.parquet(args.table)
     )
     cfg = ValidationConfig(
-        lookback_partitions=args.lookback, min_history=args.min_history
+        lookback_partitions=args.lookback,
+        min_history=args.min_history,
+        pruned_resume=args.pruned_resume,
     )
     ckpt_path = f"{args.output}/checkpoint"
     res = validate(

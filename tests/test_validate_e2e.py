@@ -306,3 +306,151 @@ def test_scratch_dir_cleaned_up_on_failure(spark, tmp_path):
     # parent may exist, but no per-run directory (and no parquet) survives
     leftovers = os.listdir(scratch) if os.path.exists(scratch) else []
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# pruned resume (ValidationConfig.pruned_resume): identical verdicts, heavy
+# scan restricted to pending partition dates, loud refusal of legacy
+# checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _canon_rows(df):
+    def norm(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return sorted(
+        tuple(norm(v) for v in row) for row in (tuple(r) for r in df.collect())
+    )
+
+
+def test_pruned_resume_matches_full(spark, tmp_path):
+    """After appending one day, a pruned resume (narrow change scan + date-
+    pruned heavy scan + checkpoint-rebuilt baselines) must produce byte-
+    identical verdicts and violations to the full-rescan resume — and its
+    fresh stats frame must prove the heavy path only touched the new day."""
+    pages_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    cfg_full = ValidationConfig(min_history=4, stale_after_partitions=None)
+    cfg_pruned = ValidationConfig(
+        min_history=4, stale_after_partitions=None, pruned_resume=True
+    )
+    synth_pages(spark, 8_000, 10).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    res1 = validate(
+        pages, cfg_full, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11
+    )
+    assert res1.verdicts.count() > 0
+    append_checkpoint(res1.checkpoint, ckpt)
+
+    synth_pages(
+        spark, 800, 1, base_date="2026-08-11", defects=False
+    ).write.mode("append").parquet(pages_path)
+    pages2 = spark.read.parquet(pages_path)
+
+    res_full = validate(
+        pages2, cfg_full, checkpoint_path=ckpt, run_id="rf",
+        run_ts=RUN_TS_AUG11 + 86400,
+    )
+    res_pruned = validate(
+        pages2, cfg_pruned, checkpoint_path=ckpt, run_id="rf",
+        run_ts=RUN_TS_AUG11 + 86400,
+    )
+    new_day = datetime.date(2026, 8, 11)
+    assert _canon_rows(res_pruned.verdicts) == _canon_rows(res_full.verdicts)
+    assert _canon_rows(res_pruned.violations) == _canon_rows(res_full.violations)
+    assert {r["partition_date"] for r in res_pruned.verdicts.collect()} == {new_day}
+    # the behavioral proof of pruning: the pruned run's freshly computed
+    # stats cover ONLY the pending date, the full run's cover every day
+    pruned_days = {
+        r["partition_date"]
+        for r in res_pruned.stats.select("partition_date").distinct().collect()
+    }
+    full_days = {
+        r["partition_date"]
+        for r in res_full.stats.select("partition_date").distinct().collect()
+    }
+    assert pruned_days == {new_day}
+    assert len(full_days) == 11
+    # and the pruned run's checkpoint rows are pruning-capable themselves
+    ck = res_pruned.checkpoint.collect()
+    assert all(r["stat_values"] for r in ck)
+    res_full.release()
+    res_pruned.release()
+
+
+def test_pruned_resume_stale_readd(spark, tmp_path):
+    """The stale-newest re-add happens BEFORE the date list is collected, so
+    a pruned sweep over week-old data still scans and re-verdicts each
+    lang's newest partition as STALE — pruning must never suppress the
+    staleness contract."""
+    ckpt = str(tmp_path / "ckpt_stale_pruned")
+    pages = synth_pages(spark, 6_000, 10, defects=False)
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11)
+    append_checkpoint(res1.checkpoint, ckpt)
+    cfg = ValidationConfig(pruned_resume=True)
+    res3 = validate(
+        pages, cfg, checkpoint_path=ckpt, run_id="r3",
+        run_ts=RUN_TS_AUG11 + 7 * 86400,
+    )
+    rows = res3.verdicts.collect()
+    assert rows and all(r["status"] == "STALE" for r in rows)
+    assert {r["partition_date"] for r in rows} == {datetime.date(2026, 8, 10)}
+
+
+def test_pruned_resume_refuses_legacy_checkpoint(spark, tmp_path):
+    """A checkpoint written before stat_values/sample existed cannot feed
+    baselines; the pruned path must refuse it loudly instead of silently
+    shortening drift history."""
+    ckpt = str(tmp_path / "ckpt_legacy")
+    pages = synth_pages(spark, 4_000, 8, defects=False)
+    res1 = validate(pages, checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11)
+    legacy = res1.checkpoint.drop("stat_values", "sample")
+    legacy.write.mode("append").parquet(ckpt)
+    cfg = ValidationConfig(pruned_resume=True)
+    with pytest.raises(RuntimeError, match="stat_values"):
+        validate(
+            pages, cfg, checkpoint_path=ckpt, run_id="r2",
+            run_ts=RUN_TS_AUG11 + 60,
+        )
+
+
+def test_prune_predicate_reaches_the_scan(spark, tmp_path):
+    """The three-conjunct prune filter must actually reach the storage
+    layer: PartitionFilters on a hive-partitioned layout (files of other
+    days never open), PushedFilters on the warc_ts envelope for a flat
+    layout (row-group min/max skipping)."""
+    import contextlib
+    import io
+
+    from skyline_spark.plans.stats import with_partition
+    from skyline_spark.plans.validate import _prune_predicate
+
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    pages = synth_pages(spark, 2_000, 6, defects=False)
+    pages.write.mode("overwrite").parquet(flat)
+    with_partition(pages).write.mode("overwrite").partitionBy(
+        "partition_date"
+    ).parquet(part)
+    dates = [datetime.date(2026, 8, 6)]
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df_flat = spark.read.parquet(flat)
+    p_flat = plan_of(df_flat.where(_prune_predicate(df_flat, dates, False)))
+    assert "PushedFilters" in p_flat
+    assert "warc_ts" in p_flat.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+    df_part = spark.read.parquet(part).withColumnRenamed(
+        "partition_date", "_native_partition_date"
+    )
+    p_part = plan_of(df_part.where(_prune_predicate(df_part, dates, False)))
+    pf = [
+        line for line in p_part.splitlines() if "PartitionFilters" in line
+    ]
+    assert pf and "partition_date" in pf[0]
