@@ -51,10 +51,13 @@ from .text_queries import _spread, _url_raw_expr, url_canonical_expr
 #: order, so the LIMIT is deterministic in both engines)
 BPE_TOP_PAIRS = 32
 
-#: end-of-word marker appended before pair counting (single char so every
-#: adjacent pair is a 2-char substring; the whitespace tokenizer never
-#: emits it inside a token)
-BPE_EOW = "_"
+#: end-of-word marker appended before pair counting — single char so every
+#: adjacent pair is a 2-char substring. U+2581 LOWER ONE EIGHTH BLOCK (the
+#: sentencepiece marker) sits outside any realistic token alphabet; an
+#: ASCII '_' would collide with underscores inside whitespace tokens
+#: (snake_case, URLs) and let impossible pairs win the top-K. Both engines'
+#: length/substr are codepoint-based, so the 2-char pair math is identical.
+BPE_EOW = "▁"
 
 #: a host is denylisted when h32(host ‖ DENY_SALT) % DENY_MOD == 0 —
 #: deterministic stand-in for the curated UT1-style blocklist table

@@ -131,12 +131,14 @@ def checkpoint_history(checkpoint: DataFrame):
     rows; the LATEST (validated_at, run_id) wins — exactly the row whose
     stat_values/sample describe the data the recorded snapshot_id hashes.
 
-    Returns ``(stats_long, samples)`` shaped like plans.stats
-    ``partition_stats`` / ``stat_samples`` output, ready to union with the
-    freshly computed target-partition frames. Raises if any surviving row
-    predates the stat_values/sample columns: silently shortening drift
-    baselines would change verdicts with no signal — re-run once without
-    pruning to rewrite the checkpoint instead.
+    Returns ``(stats_long, samples, latest_cache)``: the first two shaped
+    like plans.stats ``partition_stats`` / ``stat_samples`` output, ready to
+    union with the freshly computed target-partition frames; the third is
+    the cached per-pair frame both derive from — the caller owns releasing
+    it (``.unpersist()``) once the run's actions are done. Raises if any
+    surviving row predates the stat_values/sample columns: silently
+    shortening drift baselines would change verdicts with no signal —
+    re-run once without pruning to rewrite the checkpoint instead.
     """
     from .stats import SAMPLE_STAT
 

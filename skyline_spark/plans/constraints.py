@@ -94,14 +94,18 @@ def schema_violations(pages: DataFrame, expected: T.StructType) -> DataFrame:
         elif got != want:
             rows.append((f.name, got, want))
     for name in actual:
-        # `partition_date` is the declared partition spec (days(warc_ts))
-        # materialized as a physical column by the hive-parquet layout —
-        # Iceberg keeps the same transform hidden in metadata, so its
-        # presence is a storage-layout detail, not a schema deviation
+        # a DATE-typed `partition_date` is the declared partition spec
+        # (days(warc_ts)) materialized as a physical column by the
+        # hive-parquet layout — Iceberg keeps the same transform hidden in
+        # metadata, so its presence is a storage-layout detail, not a
+        # schema deviation. Any OTHER type under that name is still
+        # reported: it is not the partition spec, and the pruned-resume
+        # path separately audits even a date-typed column's VALUES against
+        # days(warc_ts) before trusting it (plans/validate.py).
         if (
             name not in {f.name for f in expected.fields}
             and not name.startswith("_")
-            and name != "partition_date"
+            and not (name == "partition_date" and actual[name] == "date")
         ):
             rows.append((name, actual[name], "<unexpected column>"))
     spark = pages.sparkSession

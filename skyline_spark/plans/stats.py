@@ -97,21 +97,32 @@ def _fingerprint_expr() -> F.Column:
     ).cast("long")
 
 
-def narrow_partition_keys(pages: DataFrame) -> DataFrame:
+def narrow_partition_keys(pages: DataFrame, native_col: str | None = None) -> DataFrame:
     """Change detection WITHOUT touching the heavy columns: per
-    (partition_date, lang), the content fingerprint + row count from a scan
-    of (url, warc_ts, lang) only — parquet column pruning skips html/text
+    (partition_date, lang), the content fingerprint from a scan of
+    (url, warc_ts, lang) only — parquet column pruning skips html/text
     entirely, so on a 10^12-row table this pass reads a few percent of the
     bytes the full stats pass would. On Iceberg the same information comes
     from snapshot metadata with NO scan; this is the parquet-faithful
     analog (SURVEY §1.2). Used by the pruned-resume path
-    (plans/validate.py) to decide which partitions need the heavy scan."""
-    return with_partition(
-        pages.select("url", "warc_ts", "lang")
-    ).groupBy(*PARTITION_COLS).agg(
-        _fingerprint_expr().alias("fingerprint"),
-        F.count(F.lit(1)).alias("row_count"),
-    )
+    (plans/validate.py) to decide which partitions need the heavy scan.
+
+    ``native_col``: name of a physical partition column to AUDIT against
+    the derived days(warc_ts) key in the same pass — adds a
+    ``native_mismatch`` count per pair (rows where the two disagree,
+    null-safe). The pruned-resume filter only trusts the physical layout
+    for file-level pruning when every partition's count is zero."""
+    cols = ["url", "warc_ts", "lang"] + ([native_col] if native_col else [])
+    narrow = with_partition(pages.select(*cols))
+    aggs = [_fingerprint_expr().alias("fingerprint")]
+    if native_col:
+        aggs.append(
+            F.sum(
+                (~F.col(native_col).eqNullSafe(F.col("partition_date")))
+                .cast("long")
+            ).alias("native_mismatch")
+        )
+    return narrow.groupBy(*PARTITION_COLS).agg(*aggs)
 
 
 def partition_stats(pages: DataFrame) -> DataFrame:

@@ -263,7 +263,9 @@ def validate(
         raise
 
 
-def _prune_predicate(pages: DataFrame, dates: list, keep_null_ts: bool) -> F.Column:
+def _prune_predicate(
+    pages: DataFrame, dates: list, keep_null_ts: bool, use_native: bool = False
+) -> F.Column:
     """Scan filter keeping only the pending partition dates.
 
     Three conjuncts, each earning its keep at a different layer:
@@ -273,10 +275,15 @@ def _prune_predicate(pages: DataFrame, dates: list, keep_null_ts: bool) -> F.Col
       call and never reaches PushedFilters);
     - the exact ``to_date(warc_ts) IN dates`` membership (post-scan, makes
       sparse date sets correct inside the envelope);
-    - when the layout materializes the days(warc_ts) partition spec as a
-      physical column (hive-style; Iceberg keeps it in metadata), the same
-      membership on that column — this is what becomes PartitionFilters
-      and skips unchanged days' FILES entirely.
+    - when ``use_native`` (the layout materializes the days(warc_ts)
+      partition spec as a physical column — hive-style; Iceberg keeps it in
+      metadata — AND the narrow scan audited every row as agreeing with the
+      derived key), the same membership on that column — this is what
+      becomes PartitionFilters and skips unchanged days' FILES entirely.
+      The caller only sets it after the audit: a layout whose column
+      disagrees with days(warc_ts) would silently drop rows here, so it
+      falls back to the warc_ts-only conjuncts (correct, just no file-level
+      pruning).
     ``keep_null_ts`` preserves null/uncastable-timestamp rows: they belong
     to the null partition group, which is always a (re)validation target
     (its fingerprint can never match a checkpoint row)."""
@@ -290,7 +297,7 @@ def _prune_predicate(pages: DataFrame, dates: list, keep_null_ts: bool) -> F.Col
         keep = F.lit(False)
     if keep_null_ts:
         keep = keep | F.col("warc_ts").isNull()
-    if "_native_partition_date" in pages.columns and dates:
+    if use_native and dates:
         nat = F.col("_native_partition_date")
         keep = keep & (nat.isin(dates) | nat.isNull())
     return keep
@@ -348,15 +355,51 @@ def _validate_body(
     # driver-side collect in this pipeline).
     pruned = cfg.pruned_resume and ckpt is not None
     hist_cache = None
+    narrow_cache = None
     if pruned:
-        fingerprints = narrow_partition_keys(pages).select(
+        native = (
+            "_native_partition_date"
+            if "_native_partition_date" in pages.columns
+            else None
+        )
+        # cached: the aggregated frame is checkpoint-sized, and it feeds the
+        # targets collect, the stale-newest broadcast (stage 3b), the
+        # layout audit, and the stage-7 checkpoint join — without the cache
+        # each would re-run the O(table) narrow scan
+        narrow = narrow_partition_keys(pages, native_col=native).cache()
+        narrow_cache = narrow
+        fingerprints = narrow.select(
             *PARTITION_COLS, F.col("fingerprint").alias("snapshot_id")
         )
+        # only trust the physical layout for file-level pruning after
+        # auditing that every row's partition column equals days(warc_ts) —
+        # a disagreeing layout (e.g. partitioned by ingest date) would
+        # silently lose rows to the native conjunct; fall back to the
+        # warc_ts-only filter instead (correct, no file-level pruning)
+        use_native = False
+        if native is not None:
+            bad = narrow.agg(F.sum("native_mismatch")).collect()[0][0] or 0
+            if bad:
+                import warnings
+
+                warnings.warn(
+                    f"partition_date disagrees with days(warc_ts) on {bad} "
+                    "rows — pruning on warc_ts only (no PartitionFilters); "
+                    "repartition the table by days(warc_ts) to restore "
+                    "file-level pruning",
+                    stacklevel=2,
+                )
+            else:
+                use_native = True
         targets = _resume_targets(fingerprints).cache()
         pend = [r[0] for r in targets.select("partition_date").distinct().collect()]
         dates = sorted(d for d in pend if d is not None)
         pages = pages.where(
-            _prune_predicate(pages, dates, keep_null_ts=len(dates) != len(pend))
+            _prune_predicate(
+                pages, dates,
+                keep_null_ts=len(dates) != len(pend),
+                use_native=use_native,
+            )
         )
 
     slim = _barrier(slim_pages(pages), "slim")
@@ -409,12 +452,19 @@ def _validate_body(
     if pruned:
         hist_stats, hist_samples, hist_cache = checkpoint_history(ckpt)
         fresh_keys = stats.select(*PARTITION_COLS).distinct()
-        drift_stats_in = stats.unionByName(
-            hist_stats.join(F.broadcast(fresh_keys), PARTITION_COLS, "left_anti")
-        )
-        drift_samples_in = samples.unionByName(
-            hist_samples.join(F.broadcast(fresh_keys), PARTITION_COLS, "left_anti")
-        )
+        # semi-join on the CURRENT table's pairs: a partition deleted since
+        # its checkpoint row (retention trim, purge) must not haunt the
+        # baselines — a full rescan would never see it, and the pruned path
+        # must produce identical verdicts
+        live_keys = fingerprints.select(*PARTITION_COLS)
+
+        def _hist(df):
+            return df.join(
+                F.broadcast(live_keys), PARTITION_COLS, "left_semi"
+            ).join(F.broadcast(fresh_keys), PARTITION_COLS, "left_anti")
+
+        drift_stats_in = stats.unionByName(_hist(hist_stats))
+        drift_samples_in = samples.unionByName(_hist(hist_samples))
 
     # ---- stage 3: partition row-count gate (TooShort, FIXTURES F4) -------
     row_counts = stats.where(F.col("stat") == "row_count").select(
@@ -629,7 +679,7 @@ def _validate_body(
         run_id=run_id,
         config=cfg,
         _cached=[targets, drift, violations, verdicts, len_hist]
-        + ([hist_cache] if hist_cache is not None else []),
+        + [c for c in (hist_cache, narrow_cache) if c is not None],
         _ckpt_rdd_ids=_ckpt_rdd_ids,
         _scratch_run_dir=scratch_run_dir,
     )

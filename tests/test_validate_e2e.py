@@ -449,8 +449,98 @@ def test_prune_predicate_reaches_the_scan(spark, tmp_path):
     df_part = spark.read.parquet(part).withColumnRenamed(
         "partition_date", "_native_partition_date"
     )
-    p_part = plan_of(df_part.where(_prune_predicate(df_part, dates, False)))
+    p_part = plan_of(
+        df_part.where(_prune_predicate(df_part, dates, False, use_native=True))
+    )
     pf = [
         line for line in p_part.splitlines() if "PartitionFilters" in line
     ]
     assert pf and "partition_date" in pf[0]
+
+
+def test_pruned_resume_ignores_deleted_partitions(spark, tmp_path):
+    """A partition deleted since its checkpoint row (retention trim, purge)
+    must not haunt drift baselines: the pruned run's verdicts must still
+    equal a full rescan's, which never sees the deleted data."""
+    pages_path = str(tmp_path / "pages_del")
+    ckpt = str(tmp_path / "ckpt_del")
+    cfg_full = ValidationConfig(min_history=4, stale_after_partitions=None)
+    cfg_pruned = ValidationConfig(
+        min_history=4, stale_after_partitions=None, pruned_resume=True
+    )
+    synth_pages(spark, 8_000, 10).write.mode("overwrite").parquet(pages_path)
+    res1 = validate(
+        spark.read.parquet(pages_path), cfg_full,
+        checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11,
+    )
+    append_checkpoint(res1.checkpoint, ckpt)
+    # delete the OLDEST day entirely and append a new one
+    kept = spark.read.parquet(pages_path).where(
+        F.to_date("warc_ts") > datetime.date(2026, 8, 1)
+    )
+    trimmed_path = str(tmp_path / "pages_trimmed")
+    kept.write.mode("overwrite").parquet(trimmed_path)
+    synth_pages(
+        spark, 800, 1, base_date="2026-08-11", defects=False
+    ).write.mode("append").parquet(trimmed_path)
+    pages2 = spark.read.parquet(trimmed_path)
+    res_full = validate(
+        pages2, cfg_full, checkpoint_path=ckpt, run_id="rf",
+        run_ts=RUN_TS_AUG11 + 86400,
+    )
+    res_pruned = validate(
+        pages2, cfg_pruned, checkpoint_path=ckpt, run_id="rf",
+        run_ts=RUN_TS_AUG11 + 86400,
+    )
+    assert _canon_rows(res_pruned.verdicts) == _canon_rows(res_full.verdicts)
+    assert _canon_rows(res_pruned.violations) == _canon_rows(res_full.violations)
+    res_full.release()
+    res_pruned.release()
+
+
+def test_pruned_resume_audits_native_layout(spark, tmp_path):
+    """A physical partition_date that disagrees with days(warc_ts) (e.g. an
+    ingest-date layout) must never silently drop rows: the narrow-scan audit
+    falls back to warc_ts-only pruning with a warning, and verdicts still
+    match the full rescan."""
+    import warnings as _w
+
+    from skyline_spark.plans.stats import with_partition
+
+    pages_path = str(tmp_path / "pages_skewed")
+    ckpt = str(tmp_path / "ckpt_skewed")
+    cfg_full = ValidationConfig(min_history=4, stale_after_partitions=None)
+    cfg_pruned = ValidationConfig(
+        min_history=4, stale_after_partitions=None, pruned_resume=True
+    )
+    # physical partition column shifted +1 day from the warc_ts-derived key
+    skewed = with_partition(synth_pages(spark, 6_000, 8)).withColumn(
+        "partition_date", F.date_add("partition_date", 1)
+    )
+    skewed.write.mode("overwrite").partitionBy("partition_date").parquet(pages_path)
+    res1 = validate(
+        spark.read.parquet(pages_path), cfg_full,
+        checkpoint_path=ckpt, run_id="r1", run_ts=RUN_TS_AUG11,
+    )
+    append_checkpoint(res1.checkpoint, ckpt)
+    with_partition(
+        synth_pages(spark, 600, 1, base_date="2026-08-11", defects=False)
+    ).withColumn("partition_date", F.date_add("partition_date", 1)).write.mode(
+        "append"
+    ).partitionBy("partition_date").parquet(pages_path)
+    pages2 = spark.read.parquet(pages_path)
+    res_full = validate(
+        pages2, cfg_full, checkpoint_path=ckpt, run_id="rf",
+        run_ts=RUN_TS_AUG11 + 86400,
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res_pruned = validate(
+            pages2, cfg_pruned, checkpoint_path=ckpt, run_id="rf",
+            run_ts=RUN_TS_AUG11 + 86400,
+        )
+        verd_p = _canon_rows(res_pruned.verdicts)
+    assert any("days(warc_ts)" in str(w.message) for w in caught)
+    assert verd_p == _canon_rows(res_full.verdicts)
+    res_full.release()
+    res_pruned.release()
