@@ -96,9 +96,16 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     # PartitionFilters instead of merely row-group skipping
     from skyline_spark.plans.stats import with_partition
 
+    # repartition by the partition key first: without it every one of the 32
+    # write tasks emits a file into every date directory (~960 small files
+    # at 30 days — measured as a validate_pages scan regression), with it
+    # each date gets one compact file (the layout a real table maintenance
+    # job keeps anyway)
     with_partition(
         synth_pages(spark, n_rows=n_rows, n_days=n_days)
-    ).write.mode("overwrite").partitionBy("partition_date").parquet(pages_path)
+    ).repartition("partition_date").write.mode("overwrite").partitionBy(
+        "partition_date"
+    ).parquet(pages_path)
     timings["synth_write"] = round(time.time() - t0, 3)
     pages = spark.read.parquet(pages_path)
     # Two timed runs. The FIRST run of this ~150-stage pipeline absorbs
@@ -157,7 +164,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
             spark, n_rows=max(n_rows // n_days, 1000), n_days=1,
             base_date="2026-08-31", defects=False,
         )
-    ).write.mode("append").partitionBy("partition_date").parquet(pages_path)
+    ).repartition("partition_date").write.mode("append").partitionBy(
+        "partition_date"
+    ).parquet(pages_path)
     pages2 = spark.read.parquet(pages_path)
     t0 = time.time()
     res2 = validate(
