@@ -329,6 +329,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "bpe_merge_candidates",
         "crawl_snapshot_delta",
         "url_host_blocklist",
+        "heavy_hitters_cms",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -21,6 +21,7 @@ from . import curation_queries  # noqa: F401,E402
 from . import selection_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
 from . import crawl_queries  # noqa: F401,E402
+from . import sketch_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.

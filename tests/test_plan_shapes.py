@@ -432,3 +432,15 @@ def test_host_blocklist_joins_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_cms_sketch_is_hash_agg_plus_topk(spark):
+    # the grid build must be hash-aggregable (cell-wise additive → map-side
+    # partials) and the candidate selection a TakeOrderedAndProject; the
+    # probe join must be a hash equi-join on (i, bucket), never a sort-merge
+    # over the token table
+    p = plan_of(build(spark, "heavy_hitters_cms"))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SortAggregate" not in p and "ObjectHashAggregate" not in p
