@@ -170,3 +170,161 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest round trip: per-partition digests → one-level merge → corpus
+# quantiles judged against exact ranks
+# ---------------------------------------------------------------------------
+#
+# north_star names "quantile sketches via t-digest/GK"; the GK leg rides the
+# production checkpoint blob (flagship_queries.checkpoint_digest_quantiles).
+# This query exercises the t-digest leg (operators/tdigest.py) over the SAME
+# deterministic page table and length histogram: build one k0 merging digest
+# per (partition_date, lang) from the histogram rows, merge each lang's
+# partition digests in ONE level (merge_many — interleaving loss paid once),
+# and judge every quantile estimate against the exact type-1 corpus quantile
+# within the envelope pinned by tests/test_tdigest.py:
+# |true_rank(est) − ceil(q·n)| ≤ td_rank_tol(n) = 2·ceil(2n/δ)+1.
+#
+# Scale shape: length_histogram is ONE whole-stage-codegen'd scan+agg whose
+# group count is bounded (partitions × langs × distinct lengths) at any table
+# size; the digest build is a grouped-map over those bounded groups (never
+# the raw pages); the corpus-exact arrays join back broadcast. The digests
+# themselves are what a 10^12-row run would persist in checkpoint lineage —
+# O(δ) floats per partition — and merging them replaces ever re-scanning
+# closed partitions.
+
+_TD_QS = (0.25, 0.5, 0.9, 0.99)
+
+_TD_PART_SCHEMA = "lang string, td_json string"
+_TD_OUT_SCHEMA = "lang string, q double, exact_len double, n long, td_rank_ok boolean"
+
+
+def _td_build_fn(pdf):
+    """One (partition_date, lang) histogram group → one serialized digest."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..operators.tdigest import TDigest
+
+    pdf = pdf.sort_values("len")
+    td = TDigest.from_value_counts(
+        pdf["len"].astype("float64").tolist(), pdf["cnt"].astype("int64").tolist()
+    )
+    return pd.DataFrame(
+        {"lang": [pdf["lang"].iat[0]], "td_json": [_json.dumps(td.to_dict())]}
+    )
+
+
+def _td_judge_fn(pdf):
+    """One lang group: merge every partition digest at one level, judge each
+    q against the exact corpus histogram carried in as bounded arrays."""
+    import json as _json
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.tdigest import TDigest, td_rank_tol
+
+    lang = pdf["lang"].iat[0]
+    merged = TDigest.merge_many(
+        [TDigest.from_dict(_json.loads(b)) for b in pdf["td_json"] if b]
+    )
+    lens = np.asarray(pdf["_lens"].iat[0], dtype=np.float64)
+    cnts = np.asarray(pdf["_cnts"].iat[0], dtype=np.int64)
+    order = np.argsort(lens)
+    lens, cnts = lens[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    tol = td_rank_tol(n)
+    out = []
+    for q in _TD_QS:
+        need = max(1, _math.ceil(q * n))
+        exact = float(lens[np.searchsorted(cum, need)])
+        est = merged.quantile(q)
+        i_lo = int(np.searchsorted(lens, est, side="left"))
+        i_hi = int(np.searchsorted(lens, est, side="right"))
+        if i_hi > i_lo:  # est IS an observed value: its occupied ranks
+            rank_lo = int(cum[i_lo - 1]) + 1 if i_lo > 0 else 1
+            rank_hi = int(cum[i_hi - 1])
+        elif i_lo == 0:  # below the observed minimum: nearest rank 1
+            rank_lo = rank_hi = 1
+        elif i_lo == len(lens):  # above the observed maximum: nearest rank n
+            rank_lo = rank_hi = n
+        else:  # interpolated between two observed values: bracketing ranks
+            rank_lo = int(cum[i_lo - 1])
+            rank_hi = rank_lo + 1
+        err = max(0, rank_lo - need, need - rank_hi)
+        ok = bool(merged.n == n and err <= tol)
+        out.append((lang, float(q), exact, n, ok))
+    return pd.DataFrame(
+        out, columns=["lang", "q", "exact_len", "n", "td_rank_ok"]
+    )
+
+
+def _td_oracle() -> str:
+    from .flagship_queries import _PAGES_SQL
+
+    return (
+        _PAGES_SQL
+        + f"""
+, corpus AS (
+  SELECT g, tl, count(*) AS cnt FROM slim WHERE tl IS NOT NULL GROUP BY g, tl
+), ccum AS (
+  SELECT g, tl,
+         sum(cnt) OVER (PARTITION BY g ORDER BY tl) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS total
+  FROM corpus
+), qs AS (SELECT unnest({list(_TD_QS)!r}) AS q)
+SELECT g AS lang, q,
+       min(CASE WHEN cum >= greatest(1, ceil(q * total)) THEN tl END)::DOUBLE
+         AS exact_len,
+       max(total)::BIGINT AS n,
+       true AS td_rank_ok
+FROM ccum CROSS JOIN qs
+GROUP BY g, q ORDER BY g, q
+"""
+    )
+
+
+def _register_tdigest() -> None:
+    @query(
+        "tdigest_quantiles",
+        _td_oracle(),
+        doc="north-star t-digest leg: one k0 merging digest (Dunning & Ertl "
+            "2019) per partition×lang built from the bounded length "
+            "histogram, merged per lang in ONE level (merge_many), every "
+            "quantile estimate judged against the exact type-1 corpus "
+            "quantile within the tested envelope 2·ceil(2n/δ)+1 ranks; the "
+            "oracle pins the exact quantiles and asserts the verdicts",
+    )
+    def tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..plans.stats import length_histogram
+        from .flagship_queries import _derived_pages
+
+        len_hist = length_histogram(_derived_pages(spark, sf_dir))
+        part_digests = (
+            len_hist.groupBy("partition_date", "lang")
+            .applyInPandas(_td_build_fn, _TD_PART_SCHEMA)
+        )
+        corpus = (
+            len_hist.groupBy("lang")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("len"), F.col("cnt")))
+                ).alias("_h")
+            )
+            .select(
+                "lang",
+                F.transform("_h", lambda s: s["len"].cast("double")).alias("_lens"),
+                F.transform("_h", lambda s: s["cnt"].cast("long")).alias("_cnts"),
+            )
+        )
+        joined = part_digests.join(F.broadcast(corpus), "lang")
+        return joined.groupBy("lang").applyInPandas(_td_judge_fn, _TD_OUT_SCHEMA)
+
+
+_register_tdigest()

@@ -444,3 +444,16 @@ def test_cms_sketch_is_hash_agg_plus_topk(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "SortAggregate" not in p and "ObjectHashAggregate" not in p
+
+
+def test_tdigest_round_trip_is_two_grouped_maps_plus_broadcast(spark):
+    # build leg: one codegen'd histogram agg feeding a grouped-map per
+    # partition×lang; judge leg: grouped-map per lang with the corpus-exact
+    # arrays joined BROADCAST (the digest frame is tiny, the corpus frame is
+    # bounded) — never a sort-merge join, a cartesian, or per-row Python
+    p = plan_of(build(spark, "tdigest_quantiles"))
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("FlatMapGroupsInPandas") == 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
