@@ -327,9 +327,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "sessionize_events",
         "link_graph_pagerank",
         "bpe_merge_candidates",
+        "bpe_train_merges",
         "crawl_snapshot_delta",
         "url_host_blocklist",
         "heavy_hitters_cms",
+        "tdigest_quantiles",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -292,3 +292,161 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training: R merge rounds, each feeding the next
+# ---------------------------------------------------------------------------
+#
+# ``bpe_merge_candidates`` above scores ONE round's candidates;
+# ``bpe_train_merges`` runs the actual trainer loop (Sennrich et al. 2016,
+# Algorithm 1): R rounds of count-adjacent-pairs → pick the most frequent →
+# apply the merge to every word → recount. The corpus-scale story is
+# unchanged — the corpus is collapsed to its distinct-word frequency table
+# ONCE (the only corpus-sized shuffle; Heaps' law keeps the vocab sublinear)
+# and every round runs over the vocabulary only, exactly how production BPE
+# trainers (subword-nmt, HuggingFace tokenizers) are structured.
+#
+# Cross-engine determinism: the symbol sequence of a word is carried as a
+# U+001F-joined string; the best pair is the (freq DESC, l, r) total-order
+# head; the merge application is a LEFT FOLD over the symbols with a string
+# accumulator — "merge when the accumulator's last complete symbol is l and
+# the next symbol is r" — which is the left-to-right non-overlapping greedy
+# of the published algorithm, and is expressed by the SAME lambda in Spark
+# (``F.aggregate``) and DuckDB (``list_reduce``), so the engines cannot
+# diverge. Spark's higher-order functions do not codegen, but they run over
+# the bounded vocab, never the corpus; each round's vocab is localCheckpoint
+# cut so the R-round lineage stays linear instead of exponential (the same
+# treatment as link_graph_pagerank's iterations).
+
+#: trained merge rounds (unrolled in the oracle)
+BPE_TRAIN_ROUNDS = 6
+
+#: symbol separator inside a carried word — U+001F UNIT SEPARATOR cannot
+#: appear in any token (the tokenizer strips control chars), so "ends with
+#: SEP||l" tests exactly "last complete symbol is l"
+BPE_SEP = "\x1f"
+_SEP_SQL = "chr(31)"
+
+
+def _bpe_round_ctes(k: int) -> str:
+    return f"""p{k} AS (
+  SELECT s.syms[r.i] AS l, s.syms[r.i + 1] AS r, sum(s.wf)::BIGINT AS freq
+  FROM (SELECT string_split(w_s, {_SEP_SQL}) AS syms, wf FROM v{k - 1}) s,
+       unnest(range(1, len(s.syms))) AS r(i)
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT {k} AS merge_round, l, r, freq
+  FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
+),
+v{k} AS (
+  SELECT CASE WHEN strpos(w_s, {_SEP_SQL}) = 0 THEN w_s
+         ELSE list_reduce(string_split(w_s, {_SEP_SQL}),
+              (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, {_SEP_SQL} || b.l))
+                               AND x = b.r
+                          THEN acc || x ELSE acc || {_SEP_SQL} || x END) END AS w_s,
+         wf
+  FROM v{k - 1}, best{k} b
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    f"""WITH v0 AS (
+  SELECT array_to_string(string_split(t || '{BPE_EOW}', ''), {_SEP_SQL}) AS w_s,
+         count(*)::BIGINT AS wf
+  FROM documents, unnest({X.tokens_sql("text")}) AS u(t)
+  GROUP BY 1
+),
+"""
+    + ",\n".join(_bpe_round_ctes(k) for k in range(1, BPE_TRAIN_ROUNDS + 1))
+    + """
+SELECT merge_round, l AS left_sym, r AS right_sym, l || r AS merged, freq
+FROM ("""
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM best{k}" for k in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    + """)
+ORDER BY merge_round
+"""
+)
+
+
+@query(
+    "bpe_train_merges",
+    _BPE_TRAIN_ORACLE,
+    doc=f"the full BPE trainer loop (Sennrich et al. 2016 Alg. 1): "
+        f"{BPE_TRAIN_ROUNDS} rounds of pair-count → (freq DESC, pair) "
+        "argmax → greedy left-to-right merge applied to every vocab word, "
+        "each round feeding the next; corpus collapsed to the distinct-word "
+        "frequency table once (the only corpus-sized shuffle), rounds run "
+        "on the vocab only; the merge fold is the identical lambda in both "
+        "engines (F.aggregate / list_reduce) and the oracle unrolls the "
+        "rounds as chained CTEs",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents")).select("text")
+    vocab = (
+        docs.select(F.explode(X.tokens_expr(F.col("text"))).alias("t"))
+        .select(
+            F.array_join(
+                F.split(F.concat(F.col("t"), F.lit(BPE_EOW)), ""), BPE_SEP
+            ).alias("w_s")
+        )
+        .groupBy("w_s")
+        .agg(F.count("*").cast("long").alias("wf"))
+        .localCheckpoint(eager=False)
+    )
+    bests = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(F.col("w_s"), BPE_SEP)
+        pairs = (
+            vocab.where(F.size(syms) >= 2)
+            .select(
+                syms.alias("syms"),
+                "wf",
+                F.explode(F.sequence(F.lit(1), F.size(syms) - 1)).alias("i"),
+            )
+            .select(
+                F.element_at(F.col("syms"), F.col("i")).alias("l"),
+                F.element_at(F.col("syms"), F.col("i") + 1).alias("r"),
+                "wf",
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wf").cast("long").alias("freq"))
+            .orderBy(F.col("freq").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        bests.append(
+            best.select(
+                F.lit(k).cast("int").alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat(F.col("l"), F.col("r")).alias("merged"),
+                "freq",
+            )
+        )
+        sep_l = F.concat(F.lit(BPE_SEP), F.col("l"))
+        merged_ws = F.when(F.size(syms) == 1, F.col("w_s")).otherwise(
+            F.aggregate(
+                F.slice(syms, 2, F.size(syms) - 1),
+                F.element_at(syms, 1),
+                lambda acc, x: F.when(
+                    ((acc == F.col("l")) | acc.endswith(sep_l))
+                    & (x == F.col("r")),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(merged_ws.alias("w_s"), "wf")
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")
