@@ -328,6 +328,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "link_graph_pagerank",
         "bpe_merge_candidates",
         "bpe_train_merges",
+        "bpe_tokenize_fertility",
         "crawl_snapshot_delta",
         "url_host_blocklist",
         "heavy_hitters_cms",

@@ -341,7 +341,8 @@ best{k} AS (
   FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
 ),
 v{k} AS (
-  SELECT CASE WHEN strpos(w_s, {_SEP_SQL}) = 0 THEN w_s
+  SELECT w0,
+         CASE WHEN strpos(w_s, {_SEP_SQL}) = 0 THEN w_s
          ELSE list_reduce(string_split(w_s, {_SEP_SQL}),
               (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, {_SEP_SQL} || b.l))
                                AND x = b.r
@@ -351,15 +352,23 @@ v{k} AS (
 )"""
 
 
-_BPE_TRAIN_ORACLE = (
-    f"""WITH v0 AS (
-  SELECT array_to_string(string_split(t || '{BPE_EOW}', ''), {_SEP_SQL}) AS w_s,
+_BPE_V0_SQL = f"""v0 AS (
+  SELECT t || '{BPE_EOW}' AS w0,
+         array_to_string(string_split(t || '{BPE_EOW}', ''), {_SEP_SQL}) AS w_s,
          count(*)::BIGINT AS wf
   FROM documents, unnest({X.tokens_sql("text")}) AS u(t)
-  GROUP BY 1
-),
-"""
+  GROUP BY 1, 2
+)"""
+
+_BPE_CHAIN_SQL = (
+    "WITH "
+    + _BPE_V0_SQL
+    + ",\n"
     + ",\n".join(_bpe_round_ctes(k) for k in range(1, BPE_TRAIN_ROUNDS + 1))
+)
+
+_BPE_TRAIN_ORACLE = (
+    _BPE_CHAIN_SQL
     + """
 SELECT merge_round, l AS left_sym, r AS right_sym, l || r AS merged, freq
 FROM ("""
@@ -372,28 +381,21 @@ ORDER BY merge_round
 )
 
 
-@query(
-    "bpe_train_merges",
-    _BPE_TRAIN_ORACLE,
-    doc=f"the full BPE trainer loop (Sennrich et al. 2016 Alg. 1): "
-        f"{BPE_TRAIN_ROUNDS} rounds of pair-count → (freq DESC, pair) "
-        "argmax → greedy left-to-right merge applied to every vocab word, "
-        "each round feeding the next; corpus collapsed to the distinct-word "
-        "frequency table once (the only corpus-sized shuffle), rounds run "
-        "on the vocab only; the merge fold is the identical lambda in both "
-        "engines (F.aggregate / list_reduce) and the oracle unrolls the "
-        "rounds as chained CTEs",
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the trainer loop; return (per-round best rows, final vocab).
+
+    The final vocab keeps the ORIGINAL word ``w0`` next to its merged
+    symbol string ``w_s`` so downstream consumers (fertility stats) can
+    join the trained segmentation back onto corpus tokens."""
     docs = _spread(load(spark, sf_dir, "documents")).select("text")
     vocab = (
         docs.select(F.explode(X.tokens_expr(F.col("text"))).alias("t"))
+        .select(F.concat(F.col("t"), F.lit(BPE_EOW)).alias("w0"))
         .select(
-            F.array_join(
-                F.split(F.concat(F.col("t"), F.lit(BPE_EOW)), ""), BPE_SEP
-            ).alias("w_s")
+            "w0",
+            F.array_join(F.split(F.col("w0"), ""), BPE_SEP).alias("w_s"),
         )
-        .groupBy("w_s")
+        .groupBy("w0", "w_s")
         .agg(F.count("*").cast("long").alias("wf"))
         .localCheckpoint(eager=False)
     )
@@ -443,10 +445,92 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(merged_ws.alias("w_s"), "wf")
+            .select("w0", merged_ws.alias("w_s"), "wf")
             .localCheckpoint(eager=False)
         )
+    return bests, vocab
+
+
+@query(
+    "bpe_train_merges",
+    _BPE_TRAIN_ORACLE,
+    doc=f"the full BPE trainer loop (Sennrich et al. 2016 Alg. 1): "
+        f"{BPE_TRAIN_ROUNDS} rounds of pair-count → (freq DESC, pair) "
+        "argmax → greedy left-to-right merge applied to every vocab word, "
+        "each round feeding the next; corpus collapsed to the distinct-word "
+        "frequency table once (the only corpus-sized shuffle), rounds run "
+        "on the vocab only; the merge fold is the identical lambda in both "
+        "engines (F.aggregate / list_reduce) and the oracle unrolls the "
+        "rounds as chained CTEs",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bests, _ = _bpe_train(spark, sf_dir)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer QA: apply the trained merges back to the corpus
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = (
+    _BPE_CHAIN_SQL
+    + f""",
+mapping AS (
+  SELECT w0, len(string_split(w_s, {_SEP_SQL}))::BIGINT AS n_sym
+  FROM v{BPE_TRAIN_ROUNDS}
+),
+langtok AS (
+  SELECT lang, t || '{BPE_EOW}' AS w0, count(*)::BIGINT AS wf
+  FROM documents, unnest({X.tokens_sql("text")}) AS u(t)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       sum(wf)::BIGINT AS n_words,
+       sum(wf * n_sym)::BIGINT AS n_subwords,
+       {X.r6_sql("sum(wf * n_sym) / sum(wf)::DOUBLE")} AS fertility
+FROM langtok JOIN mapping USING (w0)
+GROUP BY lang ORDER BY lang
+"""
+)
+
+
+@query(
+    "bpe_tokenize_fertility",
+    _FERTILITY_ORACLE,
+    doc="tokenizer QA closing the training loop: the segmentation learned "
+        f"by the {BPE_TRAIN_ROUNDS}-round trainer is applied back to the "
+        "corpus and summarized as per-lang fertility (subword symbols per "
+        "word — the metric tokenizer teams track per language to catch "
+        "under-served scripts); the merge chain runs over the vocab only "
+        "and the corpus-side work is one (lang, word) count plus an "
+        "equi-join onto the trained mapping, so the whole query adds ONE "
+        "corpus-sized shuffle to the trainer",
+)
+def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vocab = _bpe_train(spark, sf_dir)
+    mapping = vocab.select(
+        "w0", F.size(F.split(F.col("w_s"), BPE_SEP)).cast("long").alias("n_sym")
+    )
+    docs = _spread(load(spark, sf_dir, "documents")).select("lang", "text")
+    langtok = (
+        docs.select("lang", F.explode(X.tokens_expr(F.col("text"))).alias("t"))
+        .select("lang", F.concat(F.col("t"), F.lit(BPE_EOW)).alias("w0"))
+        .groupBy("lang", "w0")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    return (
+        langtok.join(mapping, "w0")
+        .groupBy("lang")
+        .agg(
+            F.sum("wf").cast("long").alias("n_words"),
+            F.sum(F.col("wf") * F.col("n_sym")).cast("long").alias("n_subwords"),
+            X.r6(
+                F.sum(F.col("wf") * F.col("n_sym"))
+                / F.sum("wf").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
