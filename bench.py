@@ -333,6 +333,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "url_host_blocklist",
         "heavy_hitters_cms",
         "tdigest_quantiles",
+        "fk_orphan_check",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

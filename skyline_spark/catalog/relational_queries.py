@@ -320,3 +320,89 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity (FK orphan check)
+# ---------------------------------------------------------------------------
+
+#: deterministic orphan fixture: rows whose h32(event_id ‖ SALT) % MOD == 0
+#: get their FK pointed at a key guaranteed absent from the parent (negative
+#: ids never occur in customer) — the FIXTURES-style planted defect, since
+#: the synthetic tables keep every natural FK intact
+FK_ORPHAN_MOD = 41
+FK_ORPHAN_SALT = ":fk"
+
+_FK_ORACLE = f"""
+WITH child AS (
+  SELECT ts::DATE AS partition_date,
+         CASE WHEN {{h}} % {FK_ORPHAN_MOD} = 0 THEN -user_id - 1
+              ELSE user_id END AS fk
+  FROM events
+),
+joined AS (
+  SELECT c.partition_date, (p.c_custkey IS NULL) AS orphan
+  FROM child c LEFT JOIN customer p ON c.fk = p.c_custkey
+)
+SELECT partition_date,
+       count(*)::BIGINT AS n_checked,
+       sum(orphan::INT)::BIGINT AS n_orphans,
+       {{rate}} AS orphan_rate,
+       CASE WHEN sum(orphan::INT) = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+FROM joined
+GROUP BY partition_date ORDER BY partition_date
+"""
+
+
+def _fk_oracle() -> str:
+    return _FK_ORACLE.format(
+        h=X.h32_sql(f"event_id::VARCHAR || '{FK_ORPHAN_SALT}'"),
+        rate=X.r6_sql("sum(orphan::INT) / count(*)::DOUBLE"),
+    )
+
+
+@query(
+    "fk_orphan_check",
+    _fk_oracle(),
+    doc="cross-TABLE referential integrity at scale — the FK form the "
+        "validate pipeline's allowlist rule does not cover: every child row "
+        "is verified against the parent key set via ONE left join (parent "
+        "side broadcast when small, shuffle hash join otherwise — Catalyst "
+        "picks; the per-partition verdict agg rides the same pass, so the "
+        "child table is scanned once); a deterministic h32 fixture plants "
+        f"~1/{FK_ORPHAN_MOD} orphans since the synthetic tables keep every "
+        "natural FK intact; output is the per-partition "
+        "checked/orphans/rate/status row a daily 10^12-row audit would "
+        "persist next to the validate verdicts",
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parent = load(spark, sf_dir, "customer").select("c_custkey")
+    h = X.h32(
+        F.concat(F.col("event_id").cast("string"), F.lit(FK_ORPHAN_SALT))
+    )
+    child = ev.select(
+        F.to_date("ts").alias("partition_date"),
+        F.when(
+            F.pmod(h, F.lit(FK_ORPHAN_MOD)) == 0, -F.col("user_id") - 1
+        )
+        .otherwise(F.col("user_id"))
+        .alias("fk"),
+    )
+    joined = child.join(
+        F.broadcast(parent), child["fk"] == parent["c_custkey"], "left"
+    ).select("partition_date", F.col("c_custkey").isNull().alias("orphan"))
+    return (
+        joined.groupBy("partition_date")
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.col("orphan").cast("int")).cast("long").alias("n_orphans"),
+            X.r6(
+                F.sum(F.col("orphan").cast("int")) / F.count("*").cast("double")
+            ).alias("orphan_rate"),
+            F.when(F.sum(F.col("orphan").cast("int")) == 0, F.lit("PASS"))
+            .otherwise(F.lit("FAIL"))
+            .alias("status"),
+        )
+        .orderBy("partition_date")
+    )

@@ -457,3 +457,13 @@ def test_tdigest_round_trip_is_two_grouped_maps_plus_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_fk_check_is_one_broadcast_join_pass(spark):
+    # the child table must be scanned once: broadcast left join against the
+    # parent keys with the per-partition verdict agg riding the same pass —
+    # no sort-merge shuffle of the child, no per-row Python
+    p = plan_of(build(spark, "fk_orphan_check"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
