@@ -326,6 +326,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "range_join_incidents",
         "sessionize_events",
         "link_graph_pagerank",
+        "link_graph_hits",
         "bpe_merge_candidates",
         "bpe_train_merges",
         "bpe_tokenize_fertility",

@@ -127,3 +127,109 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — the second link-graph prior
+# ---------------------------------------------------------------------------
+
+from ..operators.graph import HITS_SCALE, hits  # noqa: E402
+
+#: alternating auth/hub rounds (unrolled in the oracle)
+HITS_ROUNDS = 3
+
+
+def _hits_auth_cte(k: int) -> str:
+    return f"""a{k} AS (
+  SELECT d.doc_id AS id, COALESCE(sum(h.hub), 0)::BIGINT AS auth
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN h{k - 1} h ON h.id = e.src
+  GROUP BY 1
+),
+h{k} AS (
+  SELECT d.doc_id AS id, COALESCE(sum(a.auth), 0)::BIGINT AS hub
+  FROM documents d
+  LEFT JOIN e ON e.src = d.doc_id
+  LEFT JOIN a{k} a ON a.id = e.dst
+  GROUP BY 1
+)"""
+
+
+_HITS_ORACLE = (
+    f"""WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst
+  FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
+),
+h0 AS (SELECT doc_id AS id, {HITS_SCALE}::BIGINT AS hub FROM documents),
+"""
+    + ",\n".join(_hits_auth_cte(k) for k in range(1, HITS_ROUNDS + 1))
+    + f""",
+tot AS (
+  SELECT sum(a.auth)::BIGINT AS sa, sum(h.hub)::BIGINT AS sh
+  FROM a{HITS_ROUNDS} a JOIN h{HITS_ROUNDS} h USING (id)
+)
+SELECT a.id AS doc_id,
+       a.auth AS auth_int,
+       h.hub AS hub_int,
+       {X.r6_sql(f"a.auth / tot.sa::DOUBLE * n.n_nodes")} AS auth_norm,
+       {X.r6_sql(f"h.hub / tot.sh::DOUBLE * n.n_nodes")} AS hub_norm
+FROM a{HITS_ROUNDS} a JOIN h{HITS_ROUNDS} h USING (id), tot, n
+ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "link_graph_hits",
+    _HITS_ORACLE,
+    doc="HITS hubs & authorities (Kleinberg 1999) over the same hash-"
+        f"derived link graph as PageRank: {HITS_ROUNDS} alternating exact-"
+        "int64 rounds with NO per-round normalization (rankings are "
+        "normalization-invariant; the fixed round count bounds magnitude), "
+        "so partition-parallel sums are bit-identical to the oracle's "
+        "unrolled CTEs; per half-step the plan is the same slim id+long "
+        "(scores ⋈ edges → groupBy other endpoint) shuffle pair as "
+        "pagerank; mean-1 normalized doubles derived once at the end",
+)
+def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load(spark, sf_dir, "documents")).select("doc_id")
+    n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
+    nodes = (
+        d.crossJoin(F.broadcast(n1))
+        .select(F.col("doc_id").alias("id"), "n_nodes")
+        .localCheckpoint(eager=False)
+    )
+    dsts = [
+        (
+            X.h32(F.concat(F.col("id").cast("string"), F.lit(f":{j}")))
+            % F.col("n_nodes")
+        ).cast("long")
+        for j in range(1, OUT_DEG + 1)
+    ]
+    edges = nodes.select(
+        F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    scores = hits(nodes, edges, rounds=HITS_ROUNDS)
+    tot = scores.agg(
+        F.sum("auth").cast("long").alias("sa"),
+        F.sum("hub").cast("long").alias("sh"),
+    )
+    return (
+        scores.join(nodes, "id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("auth").alias("auth_int"),
+            F.col("hub").alias("hub_int"),
+            X.r6(
+                F.col("auth") / F.col("sa").cast("double") * F.col("n_nodes")
+            ).alias("auth_norm"),
+            X.r6(
+                F.col("hub") / F.col("sh").cast("double") * F.col("n_nodes")
+            ).alias("hub_norm"),
+        )
+        .orderBy("doc_id")
+    )

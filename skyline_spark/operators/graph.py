@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["RANK_SCALE", "pagerank"]
+__all__ = ["RANK_SCALE", "HITS_SCALE", "pagerank", "hits"]
 
 #: total rank mass in integer micro-units (1e12 ≪ 2^63 even after the
 #: 85× damping multiply on a node that collects the whole graph's mass)
@@ -93,3 +93,54 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, iterations: int = 5) -> Data
             ).cast("long").alias("pr"),
         )
     return ranks
+
+
+#: initial hub/authority mass per node for exact-integer HITS — small
+#: enough that 3 alternating rounds at bounded degree stay far from int64
+#: range (values grow ×(in_deg·out_deg) ≈ OUT_DEG² per round; 1e6 · 9³ ≈
+#: 7.3e8 per node), large enough that integer reads keep 6+ significant
+#: digits. A deployment running more rounds or fatter degrees lowers this
+#: the same way RANK_SCALE is sized for PageRank.
+HITS_SCALE = 1_000_000
+
+
+def hits(nodes: DataFrame, edges: DataFrame, *, rounds: int = 3) -> DataFrame:
+    """Exact-integer HITS (Kleinberg 1999, "Authoritative Sources in a
+    Hyperlinked Environment").
+
+    Alternating updates — ``auth_k(v) = Σ_{u→v} hub_{k-1}(u)`` then
+    ``hub_k(u) = Σ_{u→v} auth_k(v)`` — with NO per-round normalization:
+    every operation is an int64 sum, so the result is bit-identical under
+    any partitioning/engine (the reason float HITS can't be value-hashed),
+    and the fixed round count bounds the magnitude instead of a norm.
+    Rankings are invariant to the omitted normalization; callers derive
+    display-scale floats from the integer masses once at the end.
+
+    nodes: (id) one row per vertex; edges: (src, dst) multigraph rows.
+    Returns (id, auth, hub) in int64 mass units.
+
+    Plan shape per half-step: scores ⋈ edges on one endpoint (hash
+    shuffle) → groupBy the other endpoint (partial agg map-side) → left
+    join back to nodes — the same slim id+long shuffles as pagerank().
+    """
+    ids = nodes.select("id")
+    hub = ids.select("id", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(rounds):
+        contrib = (
+            edges.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").cast("long").alias("s"))
+        )
+        auth = ids.join(
+            contrib.withColumnRenamed("dst", "id"), "id", "left"
+        ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
+        back = (
+            edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").cast("long").alias("s"))
+        )
+        hub = ids.join(
+            back.withColumnRenamed("src", "id"), "id", "left"
+        ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+    return auth.join(hub, "id")

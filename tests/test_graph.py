@@ -108,3 +108,50 @@ def test_pagerank_plan_is_jvm_side(spark):
         pagerank(nodes, edges, iterations=2).explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from skyline_spark.operators.graph import HITS_SCALE, hits  # noqa: E402
+
+
+def _hits_py(edges, n, rounds):
+    hub = {v: HITS_SCALE for v in range(n)}
+    auth = {v: 0 for v in range(n)}
+    for _ in range(rounds):
+        auth = {v: 0 for v in range(n)}
+        for u, v in edges:
+            auth[v] += hub[u]
+        hub = {v: 0 for v in range(n)}
+        for u, v in edges:
+            hub[u] += auth[v]
+    return auth, hub
+
+
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_hits_matches_pure_python(spark, rounds):
+    nodes, edges = _frames(spark)
+    got = {
+        r.id: (r.auth, r.hub)
+        for r in hits(nodes, edges, rounds=rounds).collect()
+    }
+    auth, hub = _hits_py(EDGES, N, rounds)
+    assert got == {v: (auth[v], hub[v]) for v in range(N)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_hits_random_multigraph(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 12)
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randint(1, 4 * n))
+    ]
+    nodes = spark.createDataFrame([(v, n) for v in range(n)], "id long, n_nodes long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.auth, r.hub) for r in hits(nodes, edf, rounds=2).collect()}
+    auth, hub = _hits_py(edges, n, 2)
+    assert got == {v: (auth[v], hub[v]) for v in range(n)}

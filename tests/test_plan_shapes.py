@@ -78,6 +78,8 @@ NO_ROWWISE_PYTHON = [
     "range_join_incidents",
     "sessionize_events",
     "link_graph_pagerank",
+    "link_graph_hits",
+    "fk_orphan_check",
 ]
 
 
