@@ -341,6 +341,12 @@ best{k} AS (
   FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
 ),
 v{k} AS (
+  -- LEFT JOIN ON TRUE, not a cross join: when the pair supply exhausts
+  -- before the last round, best{k} is EMPTY and a cross join would
+  -- annihilate the vocab (fertility would read zero rows); with NULL
+  -- l/r the fold's merge condition is never satisfied, so the word
+  -- rebuilds unchanged — matching the published algorithm's "stop
+  -- merging, keep the vocabulary" (and the Spark side's identical join)
   SELECT w0,
          CASE WHEN strpos(w_s, {_SEP_SQL}) = 0 THEN w_s
          ELSE list_reduce(string_split(w_s, {_SEP_SQL}),
@@ -348,7 +354,7 @@ v{k} AS (
                                AND x = b.r
                           THEN acc || x ELSE acc || {_SEP_SQL} || x END) END AS w_s,
          wf
-  FROM v{k - 1}, best{k} b
+  FROM v{k - 1} LEFT JOIN best{k} b ON TRUE
 )"""
 
 
@@ -381,22 +387,31 @@ ORDER BY merge_round
 )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
+def _bpe_train(spark: SparkSession, sf_dir: str, word_freqs: DataFrame | None = None):
     """Run the trainer loop; return (per-round best rows, final vocab).
 
     The final vocab keeps the ORIGINAL word ``w0`` next to its merged
     symbol string ``w_s`` so downstream consumers (fertility stats) can
-    join the trained segmentation back onto corpus tokens."""
-    docs = _spread(load(spark, sf_dir, "documents")).select("text")
+    join the trained segmentation back onto corpus tokens.
+
+    ``word_freqs`` (optional): a precomputed (w0, wf) frequency frame —
+    callers that already paid a corpus-sized token aggregation (fertility's
+    per-lang counts) re-aggregate THAT instead of triggering a second
+    corpus scan here."""
+    if word_freqs is None:
+        docs = _spread(load(spark, sf_dir, "documents")).select("text")
+        word_freqs = (
+            docs.select(F.explode(X.tokens_expr(F.col("text"))).alias("t"))
+            .select(F.concat(F.col("t"), F.lit(BPE_EOW)).alias("w0"))
+            .groupBy("w0")
+            .agg(F.count("*").cast("long").alias("wf"))
+        )
     vocab = (
-        docs.select(F.explode(X.tokens_expr(F.col("text"))).alias("t"))
-        .select(F.concat(F.col("t"), F.lit(BPE_EOW)).alias("w0"))
-        .select(
+        word_freqs.select(
             "w0",
             F.array_join(F.split(F.col("w0"), ""), BPE_SEP).alias("w_s"),
+            "wf",
         )
-        .groupBy("w0", "w_s")
-        .agg(F.count("*").cast("long").alias("wf"))
         .localCheckpoint(eager=False)
     )
     bests = []
@@ -443,8 +458,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
             )
         )
+        # broadcast LEFT join on TRUE (not crossJoin): an EMPTY best —
+        # pair supply exhausted before the last round — must keep the
+        # vocab unchanged (NULL l/r never satisfies the merge condition),
+        # exactly like the oracle's LEFT JOIN ON TRUE; a cross join would
+        # annihilate every word and downstream consumers would see an
+        # empty corpus instead of fully-merged words
         vocab = (
-            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            vocab.join(F.broadcast(best.select("l", "r")), F.lit(True), "left")
             .select("w0", merged_ws.alias("w_s"), "wf")
             .localCheckpoint(eager=False)
         )
@@ -504,22 +525,29 @@ GROUP BY lang ORDER BY lang
         f"by the {BPE_TRAIN_ROUNDS}-round trainer is applied back to the "
         "corpus and summarized as per-lang fertility (subword symbols per "
         "word — the metric tokenizer teams track per language to catch "
-        "under-served scripts); the merge chain runs over the vocab only "
-        "and the corpus-side work is one (lang, word) count plus an "
-        "equi-join onto the trained mapping, so the whole query adds ONE "
-        "corpus-sized shuffle to the trainer",
+        "under-served scripts); ONE corpus-sized pass total — the "
+        "(lang, word) count is the only corpus aggregation, the trainer's "
+        "word frequencies re-aggregate it (vocab-sized input), the merge "
+        "chain runs over the vocab only, and the fertility join is "
+        "vocab-sized",
 )
 def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, vocab = _bpe_train(spark, sf_dir)
-    mapping = vocab.select(
-        "w0", F.size(F.split(F.col("w_s"), BPE_SEP)).cast("long").alias("n_sym")
-    )
+    # ONE corpus-sized pass total: the per-(lang, word) counts are the
+    # single corpus aggregation, cut once; the trainer's corpus-wide word
+    # frequencies re-aggregate langtok (vocab-sized input) instead of
+    # re-scanning and re-exploding the corpus
     docs = _spread(load(spark, sf_dir, "documents")).select("lang", "text")
     langtok = (
         docs.select("lang", F.explode(X.tokens_expr(F.col("text"))).alias("t"))
         .select("lang", F.concat(F.col("t"), F.lit(BPE_EOW)).alias("w0"))
         .groupBy("lang", "w0")
         .agg(F.count("*").cast("long").alias("wf"))
+        .localCheckpoint(eager=False)
+    )
+    word_freqs = langtok.groupBy("w0").agg(F.sum("wf").cast("long").alias("wf"))
+    _, vocab = _bpe_train(spark, sf_dir, word_freqs=word_freqs)
+    mapping = vocab.select(
+        "w0", F.size(F.split(F.col("w_s"), BPE_SEP)).cast("long").alias("n_sym")
     )
     return (
         langtok.join(mapping, "w0")

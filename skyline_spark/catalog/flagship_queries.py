@@ -596,9 +596,16 @@ def _digest_merge_fn(pdf):
     )
 
 
-_DIGEST_SQL = (
-    _PAGES_SQL
-    + f"""
+def exact_quantile_oracle_sql(qs, verdict_cols) -> str:
+    """The shared exact-quantile ground-truth block every sketch round-trip
+    oracle appends to ``_PAGES_SQL``: per-lang type-1 corpus quantiles of
+    text length (smallest length whose cumulative count reaches
+    ``ceil(q*total)``, clamped to rank 1) with the sketch-bound verdict
+    columns pinned ``true``. ONE definition so the GK/log-histogram oracle
+    and the t-digest oracle (catalog/sketch_queries.py) can never assert
+    different ground truths."""
+    verdicts = ",\n       ".join(f"true AS {c}" for c in verdict_cols)
+    return f"""
 , corpus AS (
   SELECT g, tl, count(*) AS cnt FROM slim WHERE tl IS NOT NULL GROUP BY g, tl
 ), ccum AS (
@@ -606,16 +613,19 @@ _DIGEST_SQL = (
          sum(cnt) OVER (PARTITION BY g ORDER BY tl) AS cum,
          sum(cnt) OVER (PARTITION BY g) AS total
   FROM corpus
-), qs AS (SELECT unnest({list(_DIGEST_QS)!r}) AS q)
+), qs AS (SELECT unnest({list(qs)!r}) AS q)
 SELECT g AS lang, q,
        min(CASE WHEN cum >= greatest(1, ceil(q * total)) THEN tl END)::DOUBLE
          AS exact_len,
        max(total)::BIGINT AS n,
-       true AS gk_rank_ok,
-       true AS digest_value_ok
+       {verdicts}
 FROM ccum CROSS JOIN qs
 GROUP BY g, q ORDER BY g, q
 """
+
+
+_DIGEST_SQL = _PAGES_SQL + exact_quantile_oracle_sql(
+    _DIGEST_QS, ["gk_rank_ok", "digest_value_ok"]
 )
 
 

@@ -86,20 +86,17 @@ ORDER BY doc_id
 )
 
 
-@query(
-    "link_graph_pagerank",
-    _PAGERANK_ORACLE,
-    doc="link-graph PageRank quality prior (Page et al. 1999; the Common-"
-        "Crawl host-ranking shape): hash-derived outlinks, 5 damped "
-        "iterations of the (ranks ⋈ edges on src → groupBy dst) slim-shuffle "
-        "pair, ranks in exact int64 fixed-point so partition-parallel sums "
-        "are bit-identical to the oracle's unrolled CTEs",
-)
-def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hash_graph(spark: SparkSession, sf_dir: str):
+    """The shared hash-derived link graph both ranking queries run on:
+    (nodes, edges) with nodes = (id, n_nodes) localCheckpoint-cut (it feeds
+    edge derivation, the iteration input, AND the final n_nodes re-join)
+    and edges = h32(id ‖ ':j') % n_nodes for j in 1..OUT_DEG, ALSO cut —
+    the iterative consumers reference edges 2×rounds times, and without
+    the cut every half-step re-plans the hash+explode subtree. One
+    definition so PageRank and HITS can never silently rank different
+    graphs."""
     d = _spread(load(spark, sf_dir, "documents")).select("doc_id")
     n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
-    # nodes feeds three consumers (edge derivation, pagerank input, the
-    # final n_nodes re-join) — cut once so the scan+count runs once
     nodes = (
         d.crossJoin(F.broadcast(n1))
         .select(F.col("doc_id").alias("id"), "n_nodes")
@@ -114,7 +111,21 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     edges = nodes.select(
         F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
+    return nodes, edges
+
+
+@query(
+    "link_graph_pagerank",
+    _PAGERANK_ORACLE,
+    doc="link-graph PageRank quality prior (Page et al. 1999; the Common-"
+        "Crawl host-ranking shape): hash-derived outlinks, 5 damped "
+        "iterations of the (ranks ⋈ edges on src → groupBy dst) slim-shuffle "
+        "pair, ranks in exact int64 fixed-point so partition-parallel sums "
+        "are bit-identical to the oracle's unrolled CTEs",
+)
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _hash_graph(spark, sf_dir)
     pr = pagerank(nodes, edges, iterations=PR_ITERS)
     return (
         pr.join(nodes, "id")
@@ -195,23 +206,7 @@ ORDER BY doc_id
         "pagerank; mean-1 normalized doubles derived once at the end",
 )
 def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(load(spark, sf_dir, "documents")).select("doc_id")
-    n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
-    nodes = (
-        d.crossJoin(F.broadcast(n1))
-        .select(F.col("doc_id").alias("id"), "n_nodes")
-        .localCheckpoint(eager=False)
-    )
-    dsts = [
-        (
-            X.h32(F.concat(F.col("id").cast("string"), F.lit(f":{j}")))
-            % F.col("n_nodes")
-        ).cast("long")
-        for j in range(1, OUT_DEG + 1)
-    ]
-    edges = nodes.select(
-        F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
-    )
+    nodes, edges = _hash_graph(spark, sf_dir)
     scores = hits(nodes, edges, rounds=HITS_ROUNDS)
     tot = scores.agg(
         F.sum("auth").cast("long").alias("sa"),

@@ -366,10 +366,12 @@ def _fk_oracle() -> str:
     _fk_oracle(),
     doc="cross-TABLE referential integrity at scale — the FK form the "
         "validate pipeline's allowlist rule does not cover: every child row "
-        "is verified against the parent key set via ONE left join (parent "
-        "side broadcast when small, shuffle hash join otherwise — Catalyst "
-        "picks; the per-partition verdict agg rides the same pass, so the "
-        "child table is scanned once); a deterministic h32 fixture plants "
+        "is verified against the parent key set via ONE left join with the "
+        "parent keys broadcast (a real customer-dimension key column is "
+        "small; for a parent above driver memory, drop the hint and "
+        "Catalyst/AQE picks a shuffle hash join instead — same verdicts); "
+        "the per-partition verdict agg rides the same pass, so the "
+        "child table is scanned once; a deterministic h32 fixture plants "
         f"~1/{FK_ORPHAN_MOD} orphans since the synthetic tables keep every "
         "natural FK intact; output is the per-partition "
         "checked/orphans/rate/status row a daily 10^12-row audit would "

@@ -266,28 +266,9 @@ def _td_judge_fn(pdf):
 
 
 def _td_oracle() -> str:
-    from .flagship_queries import _PAGES_SQL
+    from .flagship_queries import _PAGES_SQL, exact_quantile_oracle_sql
 
-    return (
-        _PAGES_SQL
-        + f"""
-, corpus AS (
-  SELECT g, tl, count(*) AS cnt FROM slim WHERE tl IS NOT NULL GROUP BY g, tl
-), ccum AS (
-  SELECT g, tl,
-         sum(cnt) OVER (PARTITION BY g ORDER BY tl) AS cum,
-         sum(cnt) OVER (PARTITION BY g) AS total
-  FROM corpus
-), qs AS (SELECT unnest({list(_TD_QS)!r}) AS q)
-SELECT g AS lang, q,
-       min(CASE WHEN cum >= greatest(1, ceil(q * total)) THEN tl END)::DOUBLE
-         AS exact_len,
-       max(total)::BIGINT AS n,
-       true AS td_rank_ok
-FROM ccum CROSS JOIN qs
-GROUP BY g, q ORDER BY g, q
-"""
-    )
+    return _PAGES_SQL + exact_quantile_oracle_sql(_TD_QS, ["td_rank_ok"])
 
 
 def _register_tdigest() -> None:

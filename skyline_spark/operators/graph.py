@@ -123,6 +123,8 @@ def hits(nodes: DataFrame, edges: DataFrame, *, rounds: int = 3) -> DataFrame:
     shuffle) → groupBy the other endpoint (partial agg map-side) → left
     join back to nodes — the same slim id+long shuffles as pagerank().
     """
+    if rounds < 1:
+        raise ValueError("hits() needs rounds >= 1 (auth is undefined before the first update)")
     ids = nodes.select("id")
     hub = ids.select("id", F.lit(HITS_SCALE).cast("long").alias("hub"))
     auth = None

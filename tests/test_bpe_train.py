@@ -83,3 +83,30 @@ def test_reference_greedy_overlap():
     merges = _reference_bpe(Counter({("a", "a", "a", "a"): 1}), 1)
     # freq counts every adjacent occurrence (3), the merge is greedy
     assert merges == [(1, "a", "a", "aa", 3)]
+
+
+def test_pair_exhaustion_keeps_vocab(spark, tmp_path):
+    # a corpus with ONE distinct token: round 1 merges (a, EOW) and every
+    # word is then a single symbol — rounds 2..6 have no pairs. The empty
+    # best frame must KEEP the vocab (left join on true), not annihilate
+    # it: the trainer emits exactly one merge row and fertility reads the
+    # fully-merged single-symbol words (fertility exactly 1.0)
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a a", "a a"],
+            "lang": ["eng", "eng"],
+            "source": ["s", "s"],
+            "n_chars": [5, 3],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+    merges = QUERIES["bpe_train_merges"].build(spark, sf_dir).collect()
+    assert [(m.merge_round, m.merged, m.freq) for m in merges] == [(1, "a▁", 5)]
+    fert = QUERIES["bpe_tokenize_fertility"].build(spark, sf_dir).collect()
+    assert [(r.lang, r.n_words, r.n_subwords, r.fertility) for r in fert] == [
+        ("eng", 5, 5, 1.0)
+    ]
