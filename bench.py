@@ -285,10 +285,12 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_winnowing",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "drift_ensemble_relational",
+        "drift_psi",
         "text_fingerprint",
         "text_quality",
         "text_pii_scrub",

@@ -666,3 +666,151 @@ def checkpoint_digest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = blobs.join(F.broadcast(corpus), "lang")
     return joined.groupBy("lang").applyInPandas(_digest_merge_fn, _DIGEST_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: the industry drift score, day over day
+# ---------------------------------------------------------------------------
+
+from ..functions import text as X  # noqa: E402
+#
+# PSI — Σ_i (p_i − q_i)·ln(p_i/q_i) over fixed buckets — is the drift
+# statistic ML-monitoring stacks standardize on (>0.2 = significant shift,
+# the conventional banking/scorecard threshold). It complements the
+# Skyline consensus: the ensemble votes on the partition STAT SERIES
+# (row_count, null_rate, length moments) while PSI scores the SHAPE of the
+# length distribution itself against the previous day, catching drifts
+# that leave the tracked moments unchanged.
+#
+# Cross-engine exactness, the ccnet/DSIR pattern: per-bucket Laplace-
+# smoothed probabilities live in 2^30 fixed point via exact integer
+# division (`div` / `//`); the single transcendental, ln(p/q), is floor-
+# quantized at 2^20 from an argument built of exact-int products (< 2^53,
+# so the double ratio is correctly rounded in both engines — the remaining
+# freedom is libm's final ulp, which the +0.5 floor absorbs except on
+# vanishing knife-edges); the PSI sum is then pure int64 addition,
+# associative under any partitioning. The planted F1 length-shift day
+# (text ×3 on 2024-01-24) must surface as `drifted = true`.
+
+PSI_BUCKETS = 16
+PSI_BUCKET_WIDTH = 32      # text_len // 32, capped — fixture lens ≤ 540
+PSI_P_SCALE = 1 << 30      # fixed-point probability scale
+PSI_LN_SCALE = 1 << 20     # fixed-point ln scale
+#: drifted ⇔ psi > 0.2 — compared exactly as psi_fp·5 > 2^50
+_PSI_FP_ONE = PSI_P_SCALE * PSI_LN_SCALE
+
+_PSI_SQL = (
+    _PAGES_SQL
+    + f"""
+, bk AS (
+  SELECT pd, g, least({PSI_BUCKETS - 1}, tl // {PSI_BUCKET_WIDTH}) AS b,
+         count(*)::BIGINT AS c
+  FROM slim WHERE tl IS NOT NULL GROUP BY 1, 2, 3
+), tt AS (
+  SELECT pd, g, sum(c)::BIGINT AS t FROM bk GROUP BY 1, 2
+), grid AS (
+  SELECT q.pd, q.g, q.t, q.b, COALESCE(bk.c, 0)::BIGINT AS c
+  FROM (SELECT tt.pd, tt.g, tt.t, r.b
+        FROM tt, unnest(range(0, {PSI_BUCKETS})) AS r(b)) q
+  LEFT JOIN bk ON bk.pd = q.pd AND bk.g = q.g AND bk.b = q.b
+), pair AS (
+  SELECT cur.pd, cur.g, cur.b,
+         cur.c AS a, cur.t AS ta, prev.c AS bb, prev.t AS tb
+  FROM grid cur JOIN grid prev
+    ON prev.g = cur.g AND prev.b = cur.b AND prev.pd = cur.pd - INTERVAL 1 DAY
+), terms AS (
+  SELECT pd, g,
+         ((a + 1) * {PSI_P_SCALE}::BIGINT) // (ta + {PSI_BUCKETS}) AS p_fp,
+         ((bb + 1) * {PSI_P_SCALE}::BIGINT) // (tb + {PSI_BUCKETS}) AS q_fp,
+         floor(ln(((a + 1.0) * (tb + {PSI_BUCKETS})) /
+                  ((bb + 1.0) * (ta + {PSI_BUCKETS}))) * {PSI_LN_SCALE} + 0.5)::BIGINT AS l_fp,
+         ta, tb
+  FROM pair
+)
+SELECT pd AS partition_date, g AS lang,
+       max(ta)::BIGINT AS n_cur, max(tb)::BIGINT AS n_prev,
+       {X.r6_sql(f"sum((p_fp - q_fp) * l_fp) / {float(_PSI_FP_ONE)}")} AS psi,
+       (sum((p_fp - q_fp) * l_fp) * 5 > {_PSI_FP_ONE}) AS drifted
+FROM terms GROUP BY 1, 2 ORDER BY partition_date, lang
+"""
+)
+
+
+@query(
+    "drift_psi",
+    _PSI_SQL,
+    doc="Population Stability Index per (lang, day) vs the previous day "
+        f"over {PSI_BUCKETS} fixed text-length buckets — the standard "
+        "ML-monitoring drift score (drifted ⇔ psi > 0.2), complementing "
+        "the consensus ensemble by scoring the DISTRIBUTION SHAPE rather "
+        "than tracked moments; Laplace-smoothed probabilities in 2^30 "
+        "fixed point via exact integer division, ln floor-quantized at "
+        "2^20 (the ccnet/DSIR transcendental pattern), PSI sum pure int64 "
+        "— bit-identical across engines; the planted ×3 length-shift day "
+        "must report drifted",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stats import slim_pages
+
+    slim = slim_pages(_derived_pages(spark, sf_dir))
+    bk = (
+        slim.where(F.col("text_len").isNotNull())
+        .groupBy(
+            "partition_date",
+            "lang",
+            F.least(
+                F.lit(PSI_BUCKETS - 1),
+                F.floor(F.col("text_len") / PSI_BUCKET_WIDTH).cast("long"),
+            ).alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tt = bk.groupBy("partition_date", "lang").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    grid = (
+        tt.select(
+            "partition_date", "lang", "t",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("b"),
+        )
+        .join(bk, ["partition_date", "lang", "b"], "left")
+        .select(
+            "partition_date", "lang", "t", "b",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    prev = grid.select(
+        F.date_add("partition_date", 1).alias("partition_date"),
+        "lang", "b",
+        F.col("c").alias("bb"), F.col("t").alias("tb"),
+    )
+    pair = grid.join(prev, ["partition_date", "lang", "b"])
+    a1 = F.col("c") + 1
+    b1 = F.col("bb") + 1
+    ta_s = F.col("t") + PSI_BUCKETS
+    tb_s = F.col("tb") + PSI_BUCKETS
+    terms = pair.select(
+        "partition_date", "lang", "t",
+        F.col("tb").alias("tprev"),
+        F.expr(f"((c + 1) * {PSI_P_SCALE}) div (t + {PSI_BUCKETS})").alias("p_fp"),
+        F.expr(f"((bb + 1) * {PSI_P_SCALE}) div (tb + {PSI_BUCKETS})").alias("q_fp"),
+        F.floor(
+            F.log(
+                (a1.cast("double") * tb_s.cast("double"))
+                / (b1.cast("double") * ta_s.cast("double"))
+            )
+            * PSI_LN_SCALE
+            + F.lit(0.5)
+        ).cast("long").alias("l_fp"),
+    )
+    psi_fp = F.sum((F.col("p_fp") - F.col("q_fp")) * F.col("l_fp"))
+    return (
+        terms.groupBy("partition_date", "lang")
+        .agg(
+            F.max("t").cast("long").alias("n_cur"),
+            F.max("tprev").cast("long").alias("n_prev"),
+            X.r6(psi_fp / F.lit(float(_PSI_FP_ONE))).alias("psi"),
+            ((psi_fp * 5) > F.lit(_PSI_FP_ONE)).alias("drifted"),
+        )
+        .orderBy("partition_date", "lang")
+    )

@@ -2214,3 +2214,144 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+#
+# The published fingerprint-selection standard behind MOSS: hash every
+# positional k-token gram, slide a window of W consecutive gram hashes, and
+# keep each window's MINIMUM hash — ties to the RIGHTMOST occurrence — then
+# dedup picks shared by overlapping windows. Guarantees any match of
+# length >= W+k-1 tokens shares at least one fingerprint, with density
+# ~2/(W+1) of the gram count.
+#
+# The whole selection is ONE window pass, no self-join: rightmost-min is an
+# integer packing trick — min over the frame of ``h·2^20 + (2^20−1−i)``
+# picks the smallest hash and, on ties, the LARGEST position (its packed
+# tail is smallest); h < 2^32 keeps the packed value < 2^52 (exact in both
+# engines' int64 and in float64), and gram positions are capped < 2^20 per
+# document (a ~1M-gram doc would need a wider pack — documented, not
+# silently wrong, via the deterministic decode). Fingerprint sharing is
+# then a hash equi-join over per-(doc, fp) distinct rows with a
+# frequency cap (fps in > WINNOW_FREQ_CAP docs are boilerplate, excluded —
+# the standard MOSS treatment), so the pair stage never explodes on a hot
+# phrase. All arithmetic is exact int64 on the portable h32.
+
+WINNOW_K = 3        # tokens per gram (matches the shingle family)
+WINNOW_W = 4        # grams per winnowing window
+WINNOW_FREQ_CAP = 16
+WINNOW_MIN_SHARED = 2
+_PACK = 1 << 20
+
+
+def _winnow_gram_sql() -> str:
+    gram = " || ' ' || ".join(f"q.t[r.i + {j}]" for j in range(WINNOW_K))
+    return X.h32_sql(gram)
+
+
+_WINNOW_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {X.tokens_sql("text")} AS t FROM documents
+),
+g AS (
+  SELECT q.doc_id, r.i AS i, {_winnow_gram_sql()} AS h
+  FROM (SELECT doc_id, t FROM tk WHERE len(t) >= {WINNOW_K}) q,
+       unnest(range(1, len(q.t) - {WINNOW_K - 2})) AS r(i)
+),
+w AS (
+  SELECT doc_id,
+         min(h * {_PACK} + ({_PACK - 1} - i)) OVER
+           (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS cmb,
+         count(*) OVER
+           (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn
+  FROM g
+),
+fps AS (
+  SELECT DISTINCT doc_id, cmb // {_PACK} AS fp, {_PACK - 1} - (cmb % {_PACK}) AS pick
+  FROM w WHERE wn = {WINNOW_W}
+),
+dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+freq AS (SELECT fp, count(*)::BIGINT AS nd FROM dfp GROUP BY fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_fps
+  FROM dfp a
+  JOIN dfp b ON b.fp = a.fp AND b.doc_id > a.doc_id
+  JOIN freq f ON f.fp = a.fp AND f.nd <= {WINNOW_FREQ_CAP}
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_a, doc_b, shared_fps
+FROM pairs ORDER BY shared_fps DESC, doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_winnowing",
+    _WINNOW_ORACLE,
+    doc="winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS "
+        f"standard): positional {WINNOW_K}-token gram hashes, window of "
+        f"{WINNOW_W} with rightmost-min selection done as ONE integer-"
+        "packed window pass (min of h·2^20+(2^20−1−i) — no self-join), "
+        "per-(doc, fp) dedup, then frequency-capped "
+        f"(≤{WINNOW_FREQ_CAP} docs) fingerprint equi-join for pair "
+        f"overlap ≥ {WINNOW_MIN_SHARED}; guarantees any shared run of "
+        f"≥ {WINNOW_W + WINNOW_K - 1} tokens is caught; exact int64 "
+        "arithmetic throughout",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    tk = d.select("doc_id", X.tokens_expr(F.col("text")).alias("t")).where(
+        F.size("t") >= WINNOW_K
+    )
+    grams = tk.select(
+        "doc_id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - (WINNOW_K - 1))
+        ).alias("i"),
+    ).select(
+        "doc_id", "i",
+        X.h32(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("t"), F.col("i") + F.lit(j))
+                    for j in range(WINNOW_K)
+                ],
+            )
+        ).alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    packed = (
+        F.col("h") * F.lit(_PACK) + (F.lit(_PACK - 1) - F.col("i"))
+    ).alias("p")
+    w = grams.select(
+        "doc_id",
+        F.min(packed).over(frame).alias("cmb"),
+        F.count(F.lit(1)).over(frame).alias("wn"),
+    ).where(F.col("wn") == WINNOW_W)
+    fps = w.select(
+        "doc_id",
+        F.expr(f"cmb div {_PACK}").alias("fp"),
+        (F.lit(_PACK - 1) - F.pmod(F.col("cmb"), F.lit(_PACK))).alias("pick"),
+    ).distinct()
+    dfp = fps.select("doc_id", "fp").distinct()
+    freq = dfp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    a = dfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = dfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .join(freq.where(F.col("nd") <= WINNOW_FREQ_CAP), "fp")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+    )

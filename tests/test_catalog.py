@@ -281,3 +281,51 @@ def test_driver_window_membership():
         f"oracled queries past the window with no committed green evidence "
         f"(driver row or parity-sweep row): {rotated_out}"
     )
+
+
+def test_psi_fires_on_planted_length_shift(spark):
+    # the F1 fixture multiplies text length x3 on 2024-01-24; PSI over the
+    # length buckets must flag that day (and the shift-back day after) as
+    # drifted for EVERY lang, with a score far above the 0.2 line.
+    # sf0.01, not the sweep's sf0.001: ~10 rows/day/lang there is too small
+    # a sample for a 16-bucket distribution statistic to be a stable pin
+    rows = QUERIES["drift_psi"].build(spark, "/root/testdata/sf0.01").collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(str(r.partition_date), []).append(r)
+    shift = by_day["2024-01-24"]
+    assert shift and all(r.drifted and r.psi > 0.4 for r in shift)
+    back = by_day["2024-01-25"]
+    assert back and all(r.drifted for r in back)
+
+
+def test_winnowing_guarantee_on_constructed_docs(spark, tmp_path):
+    # the Schleimer et al. guarantee: two documents sharing a run of at
+    # least W+K-1 = 6 tokens MUST share at least one fingerprint; docs with
+    # no common grams must share none. doc 0/1 share a 8-token run embedded
+    # in otherwise-disjoint text; doc 2 is disjoint from both
+    import pandas as pd
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = [
+        "one two three " + run + " four five six",
+        "seven eight nine ten " + run + " eleven twelve",
+        "moose otter badger ferret stoat weasel marten lynx",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": ["eng"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in QUERIES["dedup_winnowing"].build(spark, sf_dir).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
