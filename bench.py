@@ -291,6 +291,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ann_ivf_topk",
         "drift_ensemble_relational",
         "drift_psi",
+        "completeness_grid",
         "text_fingerprint",
         "text_quality",
         "text_pii_scrub",

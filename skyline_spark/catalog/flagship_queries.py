@@ -814,3 +814,114 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_date", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Completeness grid: expected vs observed partitions
+# ---------------------------------------------------------------------------
+#
+# The gates catch partitions that ARRIVE wrong (TooShort, Stale, Boring);
+# this is the complementary audit for partitions that DON'T ARRIVE: the
+# expected (day × lang) grid — calendar days spanning the observed range
+# crossed with the observed lang set — against actual row counts. MISSING =
+# no rows at all; SPARSE = under a quarter of that lang's median daily
+# count (exactly how the F1 'signup' drop-off manifests: ~10% of normal
+# from 2024-01-25); OK otherwise. The median is the type-1 inverted-CDF
+# pick over OBSERVED days (zeros excluded — missing days must not drag the
+# baseline they are judged against), computed with the same
+# smallest-value-reaching-ceil(n/2) trick as the exact length percentiles,
+# so every comparison is pure integer arithmetic. At 10^12 rows the grid
+# is calendar_days × langs (tiny) and the counts are one map-side-partial
+# aggregation of the slim frame.
+
+@query(
+    "completeness_grid",
+    _PAGES_SQL
+    + """
+, counts AS (
+  SELECT pd, g, count(*)::BIGINT AS c FROM slim GROUP BY 1, 2
+), grid AS (
+  SELECT d.pd, l.g
+  FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS pd
+        FROM (SELECT min(pd) AS mn, max(pd) AS mx FROM slim)) d,
+       (SELECT DISTINCT g FROM slim) l
+), dc AS (
+  SELECT g, c, count(*)::BIGINT AS k FROM counts GROUP BY 1, 2
+), dcum AS (
+  SELECT g, c,
+         sum(k) OVER (PARTITION BY g ORDER BY c) AS cum,
+         sum(k) OVER (PARTITION BY g) AS nd
+  FROM dc
+), med AS (
+  SELECT g, min(CASE WHEN cum >= ceil(nd / 2.0) THEN c END)::BIGINT AS m
+  FROM dcum GROUP BY g
+)
+SELECT grid.pd AS partition_date, grid.g AS lang,
+       COALESCE(counts.c, 0)::BIGINT AS row_count,
+       med.m AS lang_median,
+       CASE WHEN counts.c IS NULL THEN 'MISSING'
+            WHEN 4 * counts.c < med.m THEN 'SPARSE'
+            ELSE 'OK' END AS status
+FROM grid
+LEFT JOIN counts ON counts.pd = grid.pd AND counts.g = grid.g
+JOIN med ON med.g = grid.g
+ORDER BY partition_date, lang
+""",
+    doc="expected-vs-observed partition completeness: the calendar×lang "
+        "grid anti-audited against actual row counts — MISSING (no rows), "
+        "SPARSE (under a quarter of the lang's median daily count, the "
+        "type-1 integer median over observed days), OK; catches the "
+        "planted signup drop-off as SPARSE days; grid is tiny at any "
+        "scale, counts are one map-side-partial agg of the slim frame",
+)
+def completeness_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stats import slim_pages
+
+    slim = slim_pages(_derived_pages(spark, sf_dir))
+    counts = (
+        slim.groupBy("partition_date", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    span = counts.agg(
+        F.min("partition_date").alias("mn"), F.max("partition_date").alias("mx")
+    )
+    days = span.select(
+        F.explode(F.sequence("mn", "mx")).alias("partition_date")
+    )
+    langs = counts.select("lang").distinct()
+    grid = days.crossJoin(langs)
+    dc = counts.groupBy("lang", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("lang").orderBy("c")
+    wall = Window.partitionBy("lang")
+    med = (
+        dc.select(
+            "lang", "c",
+            F.sum("k").over(wcum).alias("cum"),
+            F.sum("k").over(wall).alias("nd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("nd") / 2.0), F.col("c")
+                )
+            ).cast("long").alias("lang_median")
+        )
+    )
+    return (
+        grid.join(counts, ["partition_date", "lang"], "left")
+        .join(F.broadcast(med), "lang")
+        .select(
+            "partition_date", "lang",
+            F.coalesce("c", F.lit(0)).cast("long").alias("row_count"),
+            "lang_median",
+            F.when(F.col("c").isNull(), F.lit("MISSING"))
+            .when(4 * F.col("c") < F.col("lang_median"), F.lit("SPARSE"))
+            .otherwise(F.lit("OK"))
+            .alias("status"),
+        )
+        .orderBy("partition_date", "lang")
+    )

@@ -329,3 +329,14 @@ def test_winnowing_guarantee_on_constructed_docs(spark, tmp_path):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert not any(2 in p for p in pairs)
+
+
+def test_completeness_grid_flags_planted_dropoff(spark):
+    # the F1 fixture drops ~90% of signup rows from 2024-01-25 on: every
+    # signup day from there must report SPARSE (well under a quarter of the
+    # lang's median daily count) and no OTHER lang may be flagged at sf0.01
+    rows = QUERIES["completeness_grid"].build(spark, "/root/testdata/sf0.01").collect()
+    flagged = [r for r in rows if r.status != "OK"]
+    assert flagged and all(r.lang == "signup" for r in flagged)
+    assert all(str(r.partition_date) >= "2024-01-25" for r in flagged)
+    assert all(r.status == "SPARSE" for r in flagged)
