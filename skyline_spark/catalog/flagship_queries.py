@@ -719,9 +719,14 @@ _PSI_SQL = (
   FROM grid cur JOIN grid prev
     ON prev.g = cur.g AND prev.b = cur.b AND prev.pd = cur.pd - INTERVAL 1 DAY
 ), terms AS (
+  -- least() clamp: (c+1)*2^30 stays inside int64 only for c+1 <= 2^33-1;
+  -- a single (day, lang, bucket) cell that large (~8.6e9 pages) is far
+  -- beyond any daily partition this engine targets, but the clamp makes
+  -- the out-of-envelope behavior IDENTICAL in both engines (bounded
+  -- distortion) instead of a silent Spark wraparound vs a DuckDB error
   SELECT pd, g,
-         ((a + 1) * {PSI_P_SCALE}::BIGINT) // (ta + {PSI_BUCKETS}) AS p_fp,
-         ((bb + 1) * {PSI_P_SCALE}::BIGINT) // (tb + {PSI_BUCKETS}) AS q_fp,
+         (least(a + 1, 8589934591) * {PSI_P_SCALE}::BIGINT) // (ta + {PSI_BUCKETS}) AS p_fp,
+         (least(bb + 1, 8589934591) * {PSI_P_SCALE}::BIGINT) // (tb + {PSI_BUCKETS}) AS q_fp,
          floor(ln(((a + 1.0) * (tb + {PSI_BUCKETS})) /
                   ((bb + 1.0) * (ta + {PSI_BUCKETS}))) * {PSI_LN_SCALE} + 0.5)::BIGINT AS l_fp,
          ta, tb
@@ -764,6 +769,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tt = bk.groupBy("partition_date", "lang").agg(
         F.sum("c").cast("long").alias("t")
@@ -792,8 +798,12 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = pair.select(
         "partition_date", "lang", "t",
         F.col("tb").alias("tprev"),
-        F.expr(f"((c + 1) * {PSI_P_SCALE}) div (t + {PSI_BUCKETS})").alias("p_fp"),
-        F.expr(f"((bb + 1) * {PSI_P_SCALE}) div (tb + {PSI_BUCKETS})").alias("q_fp"),
+        F.expr(
+            f"(least(c + 1, 8589934591) * {PSI_P_SCALE}) div (t + {PSI_BUCKETS})"
+        ).alias("p_fp"),
+        F.expr(
+            f"(least(bb + 1, 8589934591) * {PSI_P_SCALE}) div (tb + {PSI_BUCKETS})"
+        ).alias("q_fp"),
         F.floor(
             F.log(
                 (a1.cast("double") * tb_s.cast("double"))

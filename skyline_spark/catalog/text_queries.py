@@ -2231,9 +2231,10 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer packing trick — min over the frame of ``h·2^20 + (2^20−1−i)``
 # picks the smallest hash and, on ties, the LARGEST position (its packed
 # tail is smallest); h < 2^32 keeps the packed value < 2^52 (exact in both
-# engines' int64 and in float64), and gram positions are capped < 2^20 per
-# document (a ~1M-gram doc would need a wider pack — documented, not
-# silently wrong, via the deterministic decode). Fingerprint sharing is
+# engines' int64 and in float64), and gram positions are ENFORCED < 2^20
+# per document by the gram generator in both engines (a doc longer than
+# ~1M grams fingerprints its first 2^20 grams — an explicit, identical
+# truncation, never a silent pack underflow). Fingerprint sharing is
 # then a hash equi-join over per-(doc, fp) distinct rows with a
 # frequency cap (fps in > WINNOW_FREQ_CAP docs are boilerplate, excluded —
 # the standard MOSS treatment), so the pair stage never explodes on a hot
@@ -2242,7 +2243,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 3        # tokens per gram (matches the shingle family)
 WINNOW_W = 4        # grams per winnowing window
 WINNOW_FREQ_CAP = 16
-WINNOW_MIN_SHARED = 2
+WINNOW_MIN_SHARED = 1
 _PACK = 1 << 20
 
 
@@ -2256,9 +2257,13 @@ WITH tk AS (
   SELECT doc_id, {X.tokens_sql("text")} AS t FROM documents
 ),
 g AS (
+  -- position cap i < 2^20: grams beyond ~1M per doc are EXCLUDED in both
+  -- engines identically (a doc that long fingerprints its first 2^20
+  -- grams) — without the cap the packed tail underflows into hash h-1's
+  -- range and the window min silently selects a wrong fingerprint
   SELECT q.doc_id, r.i AS i, {_winnow_gram_sql()} AS h
   FROM (SELECT doc_id, t FROM tk WHERE len(t) >= {WINNOW_K}) q,
-       unnest(range(1, len(q.t) - {WINNOW_K - 2})) AS r(i)
+       unnest(range(1, least(len(q.t) - {WINNOW_K - 2}, {_PACK}))) AS r(i)
 ),
 w AS (
   SELECT doc_id,
@@ -2270,11 +2275,10 @@ w AS (
             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn
   FROM g
 ),
-fps AS (
-  SELECT DISTINCT doc_id, cmb // {_PACK} AS fp, {_PACK - 1} - (cmb % {_PACK}) AS pick
+dfp AS (
+  SELECT DISTINCT doc_id, cmb // {_PACK} AS fp
   FROM w WHERE wn = {WINNOW_W}
 ),
-dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
 freq AS (SELECT fp, count(*)::BIGINT AS nd FROM dfp GROUP BY fp),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_fps
@@ -2312,7 +2316,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = tk.select(
         "doc_id", "t",
         F.explode(
-            F.sequence(F.lit(1), F.size("t") - (WINNOW_K - 1))
+            F.sequence(
+                F.lit(1),
+                F.least(F.size("t") - (WINNOW_K - 1), F.lit(_PACK - 1)),
+            )
         ).alias("i"),
     ).select(
         "doc_id", "i",
@@ -2337,12 +2344,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(packed).over(frame).alias("cmb"),
         F.count(F.lit(1)).over(frame).alias("wn"),
     ).where(F.col("wn") == WINNOW_W)
-    fps = w.select(
-        "doc_id",
-        F.expr(f"cmb div {_PACK}").alias("fp"),
-        (F.lit(_PACK - 1) - F.pmod(F.col("cmb"), F.lit(_PACK))).alias("pick"),
-    ).distinct()
-    dfp = fps.select("doc_id", "fp").distinct()
+    # one distinct over (doc_id, fp); cut once — dfp feeds freq AND both
+    # sides of the pair self-join (the sibling dedup queries' house
+    # pattern), so without the checkpoint the tokenize→gram→window
+    # pipeline would run three times
+    dfp = (
+        w.select("doc_id", F.expr(f"cmb div {_PACK}").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     freq = dfp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     a = dfp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = dfp.select(F.col("doc_id").alias("doc_b"), "fp")

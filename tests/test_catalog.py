@@ -306,7 +306,11 @@ def test_winnowing_guarantee_on_constructed_docs(spark, tmp_path):
     # in otherwise-disjoint text; doc 2 is disjoint from both
     import pandas as pd
 
-    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    # docs 0/1 share the MINIMAL guaranteed run: exactly W+K-1 = 6 tokens
+    # (one full window of grams → exactly one guaranteed shared
+    # fingerprint — pins that WINNOW_MIN_SHARED does not exceed the
+    # guarantee); doc 2 is disjoint from both
+    run = "alpha bravo charlie delta echo foxtrot"
     texts = [
         "one two three " + run + " four five six",
         "seven eight nine ten " + run + " eleven twelve",
