@@ -336,6 +336,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "crawl_snapshot_delta",
         "url_host_blocklist",
         "heavy_hitters_cms",
+        "theta_sketch_urls",
         "tdigest_quantiles",
         "fk_orphan_check",
         "events_daily_stats",

@@ -309,3 +309,180 @@ def _register_tdigest() -> None:
 
 
 _register_tdigest()
+
+
+# ---------------------------------------------------------------------------
+# KMV theta sketch: mergeable distinct counts with SET OPERATIONS
+# ---------------------------------------------------------------------------
+#
+# The fourth mergeable-sketch member, and the one with set algebra: a
+# K-minimum-values theta sketch (Bar-Yossef et al. 2002; the Apache
+# DataSketches theta family) keeps the K smallest normalized hashes of a
+# set; distinct-count estimate = (K−1)/θ where θ is the K-th smallest
+# hash / 2^32. Union of sketches = K smallest of the pooled mins (exactly
+# a re-sketch of the union), intersection via inclusion–exclusion — the
+# algebra HyperLogLog lacks, and the question a crawl planner actually
+# asks: "how many NEW urls does snapshot B add to A?".
+#
+# Cross-engine exactness: the sketch is a deterministic function of the
+# h32 values (K smallest distinct integers — no randomness, no float), so
+# both engines build bit-identical sketches; the estimate divides the same
+# exact integers in IEEE double and the ±3σ verdicts compare the same
+# doubles. When a scope has fewer than K distinct hashes the sketch IS the
+# exact set (est = n, bound 0) — the standard KMV exact regime, branch
+# identical in both engines.
+#
+# Scale shape: ONE distinct-hash shuffle per snapshot (bounded rows out),
+# then a K-row-per-scope rank — at 10^12 urls the per-partition K-min sets
+# merge by pooling, the same map-side-partial story as the CMS grid.
+
+THETA_K = 1024            # ±3/√K ≈ 9.4% at 3σ
+_THETA_BOUND_NUM = 3      # 3σ envelope
+_SQRT_K = 32              # √1024, exact
+
+
+def _theta_scopes_sql() -> str:
+    from .crawl_queries import _canon_url_sql
+
+    return f"""
+WITH caps AS (
+  SELECT {_canon_url_sql()} AS url,
+         CASE WHEN (event_id // 200) % 2 = 0 THEN 'snap_a' ELSE 'snap_b' END AS snap
+  FROM events
+),
+dh AS (SELECT DISTINCT snap, {X.h32_sql("url")} AS hu FROM caps),
+du AS (SELECT DISTINCT hu FROM dh),
+sc AS (
+  SELECT snap AS scope, hu FROM dh
+  UNION ALL
+  SELECT 'union' AS scope, hu FROM du
+),
+rk AS (
+  SELECT scope, hu,
+         row_number() OVER (PARTITION BY scope ORDER BY hu) AS r
+  FROM sc
+),
+agg AS (
+  SELECT scope, count(*)::BIGINT AS n,
+         max(CASE WHEN r = {THETA_K} THEN hu END) AS theta
+  FROM rk GROUP BY scope
+),
+e AS (
+  SELECT scope, n,
+         CASE WHEN n < {THETA_K} THEN n * 1.0
+              ELSE ({THETA_K - 1}) * 4294967296.0 / theta END AS est,
+         CASE WHEN n < {THETA_K} THEN 0.0
+              ELSE {_THETA_BOUND_NUM} * n * 1.0 / {_SQRT_K} END AS bound
+  FROM agg
+),
+piv AS (
+  SELECT
+    max(CASE WHEN scope = 'snap_a' THEN n END) AS na,
+    max(CASE WHEN scope = 'snap_b' THEN n END) AS nb,
+    max(CASE WHEN scope = 'union' THEN n END) AS nu,
+    max(CASE WHEN scope = 'snap_a' THEN est END) AS ea,
+    max(CASE WHEN scope = 'snap_b' THEN est END) AS eb,
+    max(CASE WHEN scope = 'union' THEN est END) AS eu,
+    max(CASE WHEN scope = 'snap_a' THEN bound END) AS ba,
+    max(CASE WHEN scope = 'snap_b' THEN bound END) AS bb,
+    max(CASE WHEN scope = 'union' THEN bound END) AS bu
+  FROM e
+)
+SELECT scope, {X.r6_sql("est")} AS est_distinct, n AS exact_distinct,
+       (abs(est - n) <= bound) AS within_bound
+FROM e
+UNION ALL
+SELECT 'intersect' AS scope,
+       {X.r6_sql("ea + eb - eu")} AS est_distinct,
+       (na + nb - nu)::BIGINT AS exact_distinct,
+       (abs((ea + eb - eu) - (na + nb - nu)) <= ba + bb + bu) AS within_bound
+FROM piv
+ORDER BY scope
+"""
+
+
+@query(
+    "theta_sketch_urls",
+    _theta_scopes_sql(),
+    doc="KMV theta sketch distinct-count algebra over canonical urls "
+        f"(Bar-Yossef et al. 2002 / the DataSketches theta family, K={THETA_K}): "
+        "per-snapshot sketches, their UNION (K smallest of the pooled "
+        "mins — exactly a re-sketch of the union set), and the "
+        "inclusion–exclusion INTERSECTION — 'how many new urls does crawl "
+        "B add?'; sketches are deterministic K-min sets of h32 values so "
+        "both engines build them bit-identically, estimates divide the "
+        "same exact integers, and every scope is audited against the "
+        "exact distinct count inside the ±3/√K envelope (exact regime "
+        "n<K: est ≡ n)",
+)
+def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text_queries import _url_raw_expr, url_canonical_expr
+
+    ev = load(spark, sf_dir, "events")
+    caps = ev.select(
+        url_canonical_expr(_url_raw_expr()).alias("url"),
+        F.when(
+            F.pmod(F.floor(F.col("event_id") / 200), F.lit(2)) == 0,
+            F.lit("snap_a"),
+        )
+        .otherwise(F.lit("snap_b"))
+        .alias("snap"),
+    )
+    dh = caps.select("snap", X.h32(F.col("url")).alias("hu")).distinct()
+    du = dh.select("hu").distinct()
+    sc = dh.select(F.col("snap").alias("scope"), "hu").unionByName(
+        du.select(F.lit("union").alias("scope"), "hu")
+    )
+    rk = sc.select(
+        "scope", "hu",
+        F.row_number()
+        .over(Window.partitionBy("scope").orderBy("hu"))
+        .alias("r"),
+    )
+    agg = rk.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.when(F.col("r") == THETA_K, F.col("hu"))).alias("theta"),
+    )
+    e = agg.select(
+        "scope", "n",
+        F.when(F.col("n") < THETA_K, F.col("n") * 1.0)
+        .otherwise(F.lit(float(THETA_K - 1)) * 4294967296.0 / F.col("theta"))
+        .alias("est"),
+        F.when(F.col("n") < THETA_K, F.lit(0.0))
+        .otherwise(F.lit(_THETA_BOUND_NUM) * F.col("n") * 1.0 / _SQRT_K)
+        .alias("bound"),
+    ).localCheckpoint(eager=False)
+    scopes = e.select(
+        "scope",
+        X.r6(F.col("est")).alias("est_distinct"),
+        F.col("n").alias("exact_distinct"),
+        (F.abs(F.col("est") - F.col("n")) <= F.col("bound")).alias(
+            "within_bound"
+        ),
+    )
+    piv = e.groupBy().agg(
+        *[
+            F.max(F.when(F.col("scope") == sname, F.col(col))).alias(
+                f"{col[0]}{suffix}"
+            )
+            for sname, suffix in (("snap_a", "a"), ("snap_b", "b"), ("union", "u"))
+            for col in ("n", "est", "bound")
+        ]
+    )
+    inter = piv.select(
+        F.lit("intersect").alias("scope"),
+        X.r6(F.col("ea") + F.col("eb") - F.col("eu")).alias("est_distinct"),
+        (F.col("na") + F.col("nb") - F.col("nu"))
+        .cast("long")
+        .alias("exact_distinct"),
+        (
+            F.abs(
+                (F.col("ea") + F.col("eb") - F.col("eu"))
+                - (F.col("na") + F.col("nb") - F.col("nu"))
+            )
+            <= F.col("ba") + F.col("bb") + F.col("bu")
+        ).alias("within_bound"),
+    )
+    return scopes.unionByName(inter).orderBy("scope")
