@@ -336,9 +336,11 @@ _register_tdigest()
 # then a K-row-per-scope rank — at 10^12 urls the per-partition K-min sets
 # merge by pooling, the same map-side-partial story as the CMS grid.
 
-THETA_K = 1024            # ±3/√K ≈ 9.4% at 3σ
+THETA_K = 256             # ±3/√K = 18.75% at 3σ — K kept under
+                          # spark.sql.optimizer.windowGroupLimitThreshold
+                          # (1000) so the rank prune actually plans
 _THETA_BOUND_NUM = 3      # 3σ envelope
-_SQRT_K = 32              # √1024, exact
+_SQRT_K = 16              # √256, exact
 
 
 def _theta_scopes_sql() -> str:
@@ -401,21 +403,10 @@ ORDER BY scope
 """
 
 
-@query(
-    "theta_sketch_urls",
-    _theta_scopes_sql(),
-    doc="KMV theta sketch distinct-count algebra over canonical urls "
-        f"(Bar-Yossef et al. 2002 / the DataSketches theta family, K={THETA_K}): "
-        "per-snapshot sketches, their UNION (K smallest of the pooled "
-        "mins — exactly a re-sketch of the union set), and the "
-        "inclusion–exclusion INTERSECTION — 'how many new urls does crawl "
-        "B add?'; sketches are deterministic K-min sets of h32 values so "
-        "both engines build them bit-identically, estimates divide the "
-        "same exact integers, and every scope is audited against the "
-        "exact distinct count inside the ±3/√K envelope (exact regime "
-        "n<K: est ≡ n)",
-)
-def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _theta_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-scope (n, est, bound) frame BEFORE the lineage cut — kept
+    separate so the plan-shape test can pin WindowGroupLimit on the rank
+    subtree (a localCheckpoint hides it from the final query's explain)."""
     from pyspark.sql import Window
 
     from .text_queries import _url_raw_expr, url_canonical_expr
@@ -435,17 +426,27 @@ def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = dh.select(F.col("snap").alias("scope"), "hu").unionByName(
         du.select(F.lit("union").alias("scope"), "hu")
     )
-    rk = sc.select(
-        "scope", "hu",
-        F.row_number()
-        .over(Window.partitionBy("scope").orderBy("hu"))
-        .alias("r"),
+    # n and theta split on purpose: the exact count is a plain hash agg,
+    # while the K-th-smallest rank carries an early `r <= K` filter so
+    # Spark plans WindowGroupLimit — every partition forwards at most K
+    # rows into the per-scope sort instead of the full distinct-hash set
+    # (the plan-shape difference between "sort 10^12 hashes" and "sort
+    # K per partition"); tests/test_plan_shapes.py pins it
+    n_by = sc.groupBy("scope").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = (
+        sc.select(
+            "scope", "hu",
+            F.row_number()
+            .over(Window.partitionBy("scope").orderBy("hu"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= THETA_K)
     )
-    agg = rk.groupBy("scope").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.max(F.when(F.col("r") == THETA_K, F.col("hu"))).alias("theta"),
+    theta_by = rk.groupBy("scope").agg(
+        F.max(F.when(F.col("r") == THETA_K, F.col("hu"))).alias("theta")
     )
-    e = agg.select(
+    agg = n_by.join(theta_by, "scope")
+    return agg.select(
         "scope", "n",
         F.when(F.col("n") < THETA_K, F.col("n") * 1.0)
         .otherwise(F.lit(float(THETA_K - 1)) * 4294967296.0 / F.col("theta"))
@@ -453,7 +454,26 @@ def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") < THETA_K, F.lit(0.0))
         .otherwise(F.lit(_THETA_BOUND_NUM) * F.col("n") * 1.0 / _SQRT_K)
         .alias("bound"),
-    ).localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "theta_sketch_urls",
+    _theta_scopes_sql(),
+    doc="KMV theta sketch distinct-count algebra over canonical urls "
+        f"(Bar-Yossef et al. 2002 / the DataSketches theta family, K={THETA_K}): "
+        "per-snapshot sketches, their UNION (K smallest of the pooled "
+        "mins — exactly a re-sketch of the union set), and the "
+        "inclusion–exclusion INTERSECTION — 'how many new urls does crawl "
+        "B add?'; sketches are deterministic K-min sets of h32 values so "
+        "both engines build them bit-identically, estimates divide the "
+        "same exact integers, and every scope is audited against the "
+        "exact distinct count inside the ±3/√K envelope (exact regime "
+        "n<K: est ≡ n)",
+)
+def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cut once: e feeds the per-scope rows AND the intersection pivot
+    e = _theta_estimates(spark, sf_dir).localCheckpoint(eager=False)
     scopes = e.select(
         "scope",
         X.r6(F.col("est")).alias("est_distinct"),

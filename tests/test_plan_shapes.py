@@ -469,3 +469,16 @@ def test_fk_check_is_one_broadcast_join_pass(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_theta_sketch_rank_is_window_group_limited(spark):
+    # the K-th-smallest rank must carry the r <= K filter into a
+    # WindowGroupLimit (each partition forwards at most K rows into the
+    # per-scope sort) — without it the sketch sorts every distinct hash.
+    # Pin on the pre-checkpoint frame: the query's own explain hides the
+    # rank subtree behind the lineage cut.
+    from skyline_spark.catalog.sketch_queries import _theta_estimates
+
+    p = plan_of(_theta_estimates(spark, SF_DIR))
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
