@@ -339,6 +339,12 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "theta_sketch_urls",
         "tdigest_quantiles",
         "fk_orphan_check",
+        "column_profile",
+        "constraint_suggestion",
+        "fd_check",
+        "corpus_divergence_js",
+        "ngram_dup_rate",
+        "crawl_fetch_plan",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

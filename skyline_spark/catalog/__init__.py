@@ -22,6 +22,7 @@ from . import selection_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
 from . import crawl_queries  # noqa: F401,E402
 from . import sketch_queries  # noqa: F401,E402
+from . import audit_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Curated registration order.

@@ -1,0 +1,133 @@
+"""Semantic invariants for the audit-family operators (audit_queries.py).
+
+Cross-engine parity is already swept by tests/test_catalog.py; these tests
+pin the *meaning*: the planted defects surface where (and only where) the
+fixture plants them, and the plan-shape/determinism claims hold.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from skyline_spark.catalog import QUERIES
+
+# sf0.01, not the sweep's sf0.001: the planted dup-day length collisions
+# and the 'de' vocabulary shift need enough rows to materialize (the same
+# reasoning as test_psi_fires_on_planted_length_shift)
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def by_name(spark):
+    def run(name):
+        return {  # keyed rows for order-free assertions
+            tuple(r[: _KEYS[name]]): r.asDict()
+            for r in QUERIES[name].build(spark, SF_DIR).collect()
+        }
+
+    return run
+
+
+_KEYS = {
+    "column_profile": 2,
+    "constraint_suggestion": 2,
+    "fd_check": 1,
+    "corpus_divergence_js": 1,
+    "ngram_dup_rate": 1,
+    "crawl_fetch_plan": 2,
+}
+
+
+def test_fd_planted_violation_localized(spark):
+    """url->lang must hold; url->text_len must break, and ONLY via the
+    planted dup-day urls (every violating key is a dup.example.org url)."""
+    rows = {r["fd"]: r for r in QUERIES["fd_check"].build(spark, SF_DIR).collect()}
+    assert rows["url->lang"]["holds"] is True
+    assert rows["url->lang"]["violating_rows"] == 0
+    assert rows["url->text_len"]["holds"] is False
+    assert rows["url->text_len"]["violating_keys"] > 0
+    # violating keys are exactly the planted shared urls
+    from skyline_spark.catalog.flagship_queries import _derived_pages
+    from pyspark.sql import functions as F
+
+    pages = _derived_pages(spark, SF_DIR)
+    bad = (
+        pages.groupBy("url")
+        .agg(
+            F.countDistinct(F.coalesce(F.length("text"), F.lit(-1))).alias("nd")
+        )
+        .where(F.col("nd") > 1)
+        .select("url")
+        .collect()
+    )
+    assert len(bad) == rows["url->text_len"]["violating_keys"]
+    assert all(r.url.startswith("https://dup.example.org/") for r in bad)
+
+
+def test_js_drift_fires_only_on_shifted_lang(by_name):
+    rows = by_name("corpus_divergence_js")
+    langs = {k[0] for k in rows}
+    assert ("de",) in rows or "de" in langs
+    for (lang,), r in rows.items():
+        if lang == "de":
+            assert r["drifted"] is True
+            assert r["js"] > 0.005
+            # snapshot B lost tokens (the removed vocabulary item)
+            assert r["tokens_b"] < r["tokens_a"]
+        else:
+            # byte-identical snapshots → JS exactly 0 (ln(1) quantizes to 0)
+            assert r["js"] == 0.0
+            assert r["drifted"] is False
+            assert r["tokens_a"] == r["tokens_b"]
+
+
+def test_profile_and_suggestions_reflect_planted_defects(by_name):
+    prof = by_name("column_profile")
+    # planted NULL text (purchase rows + user_id%17) → incomplete text col
+    assert prof[("text", "completeness")]["value"] < 1.0
+    assert prof[("url", "completeness")]["value"] == 1.0
+    # dup-day urls → url distinctness below 1
+    assert prof[("url", "distinctness")]["value"] < 1.0
+    sugg = by_name("constraint_suggestion")
+    assert ("url", "not_null") in sugg
+    assert ("text", "completeness_ge") in sugg
+    assert ("url", "distinctness_ge") in sugg  # NOT unique — dup day
+    # the observed-domain suggestion includes the planted bad value: the
+    # engine proposes from data, promotion to a rule is the human step
+    assert "error" in sugg[("lang", "is_in")]["params"].split(",")
+    # params floor-2dp string matches the r6 support it was derived from
+    for (col, kind), r in sugg.items():
+        if kind in ("completeness_ge", "distinctness_ge"):
+            assert abs(float(r["params"]) - r["support"]) < 0.01 + 1e-9
+
+
+def test_fetch_plan_slots_capped_and_deterministic(spark):
+    df = QUERIES["crawl_fetch_plan"].build(spark, SF_DIR)
+    rows = df.collect()
+    from skyline_spark.catalog.audit_queries import _FETCH_CAP
+
+    per_host = {}
+    for r in rows:
+        assert 1 <= r.n_urls <= _FETCH_CAP
+        per_host.setdefault(r.host, []).append(r)
+    for host, slots in per_host.items():
+        nums = sorted(s.slot for s in slots)
+        assert nums == list(range(len(nums))), f"slot gap for {host}"
+        # only the LAST slot may be under-full
+        for s in slots:
+            if s.slot != nums[-1]:
+                assert s.n_urls == _FETCH_CAP
+    # deterministic: a second build yields the identical plan
+    again = QUERIES["crawl_fetch_plan"].build(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ngram_dup_rate_consistency(by_name):
+    rows = by_name("ngram_dup_rate")
+    for _, r in rows.items():
+        assert r["distinct_grams"] <= r["total_grams"]
+        assert 0 <= r["dup_occurrences"] <= r["total_grams"]
+        # the top gram's count must be consistent with the dup mass
+        if r["top_gram_count"] > 1:
+            assert r["dup_occurrences"] >= r["top_gram_count"]
+        assert r["top_gram"].count(" ") == 2  # a genuine trigram
