@@ -497,21 +497,10 @@ FROM summed ORDER BY lang
 """
 
 
-@query(
-    "corpus_divergence_js",
-    _JS_ORACLE,
-    doc="corpus-level distribution drift between two crawl snapshots: "
-        "per-lang Jensen-Shannon divergence of the unigram token "
-        "distributions (symmetric, bounded by ln 2 — the cross-crawl twin "
-        "of drift_psi's one-column day-over-day shape score); snapshot B "
-        f"plants a vocabulary shift (lang '{_JS_SHIFT_LANG}' loses the "
-        f"token '{_JS_SHIFT_TOKEN}'), so exactly that lang must report "
-        "drifted and every other lang's JS is exactly 0; ln floor-"
-        "quantized at 2^20 from exact-int products, per-lang sums pure "
-        "int64 (order-free), two corpus scans (two snapshots), ONE token "
-        "shuffle",
-)
-def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _js_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, token, ca, cb) counts across the two snapshots — the one
+    corpus-sized shuffle (exactly two corpus scans, one per snapshot;
+    plan-shape-pinned on this pre-checkpoint frame)."""
     docs = load(spark, sf_dir, "documents")
     text_b = F.when(
         F.col("lang") == _JS_SHIFT_LANG,
@@ -529,11 +518,31 @@ def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("ca"),
         F.lit(1).cast("long").alias("cb"),
     )
-    cnt = (
+    return (
         a.unionAll(b)
         .groupBy("lang", "t")
         .agg(F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb"))
     )
+
+
+@query(
+    "corpus_divergence_js",
+    _JS_ORACLE,
+    doc="corpus-level distribution drift between two crawl snapshots: "
+        "per-lang Jensen-Shannon divergence of the unigram token "
+        "distributions (symmetric, bounded by ln 2 — the cross-crawl twin "
+        "of drift_psi's one-column day-over-day shape score); snapshot B "
+        f"plants a vocabulary shift (lang '{_JS_SHIFT_LANG}' loses the "
+        f"token '{_JS_SHIFT_TOKEN}'), so exactly that lang must report "
+        "drifted and every other lang's JS is exactly 0; ln floor-"
+        "quantized at 2^20 from exact-int products, per-lang sums pure "
+        "int64 (order-free), two corpus scans (two snapshots), ONE token "
+        "shuffle",
+)
+def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lineage cut (the drift_psi pattern): without it the lang-totals side
+    # re-plans the whole corpus subtree — 4 corpus scans, not 2
+    cnt = _js_token_counts(spark, sf_dir).localCheckpoint(eager=False)
     tot = cnt.groupBy("lang").agg(
         F.sum("ca").cast("long").alias("ta"),
         F.sum("cb").cast("long").alias("tb"),

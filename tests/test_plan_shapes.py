@@ -482,3 +482,65 @@ def test_theta_sketch_rank_is_window_group_limited(spark):
     p = plan_of(_theta_estimates(spark, SF_DIR))
     assert "WindowGroupLimit" in p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+AUDIT_FAMILY = [
+    "column_profile",
+    "constraint_suggestion",
+    "fd_check",
+    "corpus_divergence_js",
+    "ngram_dup_rate",
+    "crawl_fetch_plan",
+]
+
+
+@pytest.mark.parametrize("name", AUDIT_FAMILY)
+def test_audit_family_no_rowwise_python_or_nlj(spark, name):
+    p = plan_of(build(spark, name))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_js_divergence_totals_broadcast(spark):
+    # the per-lang totals join back onto the (lang, token) counts as a
+    # BroadcastHashJoin (tot is lang-sized); candidate volume never
+    # all-pairs, the one corpus-sized shuffle is the token aggregate
+    # the corpus-sized work happens once, behind the lineage cut: pin the
+    # pre-checkpoint frame at exactly two corpus explodes (one per
+    # snapshot, never four) and one token shuffle
+    from skyline_spark.catalog.audit_queries import _js_token_counts
+
+    pre = plan_of(_js_token_counts(spark, SF_DIR))
+    pre_tree = pre.split("\n\n", 1)[0]
+    assert pre_tree.count("Generate") == 2
+    assert pre_tree.count("Scan parquet") == 2
+    assert pre_tree.count("Exchange") == 1
+    # the final plan reuses that checkpointed frame on BOTH join sides
+    # (two ExistingRDD scans), with the lang-sized totals broadcast
+    p = plan_of(build(spark, "corpus_divergence_js"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan ExistingRDD") == 2
+    assert tree.count("Scan parquet") == 0
+
+
+def test_fetch_plan_rollup_reuses_window_partitioning(spark):
+    # the (host, slot) rollup must NOT add an Exchange after the host
+    # window's: slot grouping is a prefix-extension of the window
+    # partitioning, so rows are already co-located. 3 exchanges total:
+    # distinct urls, host window, final presentation sort.
+    p = plan_of(build(spark, "crawl_fetch_plan"))
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Exchange") == 3
+
+
+def test_fd_check_is_multi_distinct_expand_plus_tiny_rollup(spark):
+    # both RHS distinct counts ride ONE Expand-based url aggregation (no
+    # self-join, no second scan), then a 1-row rollup explodes back to the
+    # two FD verdict rows
+    p = plan_of(build(spark, "fd_check"))
+    assert "Expand" in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
