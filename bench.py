@@ -345,6 +345,9 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "corpus_divergence_js",
         "ngram_dup_rate",
         "crawl_fetch_plan",
+        "robots_policy_eval",
+        "anchor_text_topk",
+        "lang_confusion_matrix",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

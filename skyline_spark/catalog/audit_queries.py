@@ -38,6 +38,7 @@ __all__ = [
     "corpus_divergence_js",
     "ngram_dup_rate",
     "crawl_fetch_plan",
+    "lang_confusion_matrix",
 ]
 
 
@@ -774,3 +775,64 @@ FROM planned GROUP BY host, slot ORDER BY host, slot
 
 
 _register_fetch_plan_oracle()
+
+
+# ---------------------------------------------------------------------------
+# classifier-vs-label agreement audit: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+#
+# The validation check for any model-scored column: cross-tabulate the
+# STORED label (documents.lang, what upstream claims) against the engine's
+# own cheap predictor (the stopword-gate lang_id the filter pipeline uses).
+# Disagreement rates per label are the canary for label rot or a predictor
+# regression — the same audit shape as fd_check, but between a column and a
+# derived signal instead of two columns. One aggregate pass (the label×
+# prediction grid is tiny), rates are label-conditioned (rows of the
+# confusion matrix sum to 1).
+
+_CONFUSION_ORACLE = f"""
+WITH scored AS (
+  SELECT lang, {X.lang_id_sql("text")} AS predicted FROM documents
+), cells AS (
+  SELECT lang, predicted, count(*)::BIGINT AS n
+  FROM scored GROUP BY lang, predicted
+), totals AS (
+  SELECT lang, sum(n)::BIGINT AS label_total FROM cells GROUP BY lang
+)
+SELECT c.lang, c.predicted, c.n,
+       {X.r6_sql("c.n::DOUBLE / t.label_total::DOUBLE")} AS rate
+FROM cells c JOIN totals t ON t.lang = c.lang
+ORDER BY c.lang, c.predicted
+"""
+
+
+@query(
+    "lang_confusion_matrix",
+    _CONFUSION_ORACLE,
+    doc="classifier-vs-label agreement audit: confusion matrix of the "
+        "stored lang label against the engine's stopword-gate lang_id "
+        "prediction, with label-conditioned rates (matrix rows sum to 1) "
+        "— the canary for label rot or predictor regressions, the same "
+        "audit shape as fd_check but between a column and a derived "
+        "signal; one scan + one tiny-grid aggregate",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", X.lang_id_expr(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("label_total", F.sum("n").over(w))
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            X.r6(F.col("n").cast("double") / F.col("label_total").cast("double")).alias(
+                "rate"
+            ),
+        )
+        .orderBy("lang", "predicted")
+    )

@@ -562,3 +562,152 @@ def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt policy evaluation (RFC 9309 longest-match)
+# ---------------------------------------------------------------------------
+#
+# The gate every polite crawler runs before a fetch: match the url path
+# against the host's allow/disallow prefix rules, pick the LONGEST matching
+# prefix, and on an exact length tie let allow win (RFC 9309 §2.2.2 "most
+# specific match ... least restrictive rule"). No rule → allowed.
+#
+# Rules are synthesized deterministically per host so both engines build the
+# identical policy table: every host carries disallow /p/1 (a broad prefix
+# ban), allow /p/12 (a longer override re-opening part of it), and the
+# allow-vs-disallow /p/15 pair at EQUAL length (pins the tie rule); even-
+# numbered hosts add disallow /p/3 (per-host variation). At production scale
+# the rules table is parsed robots.txt files — a few MB for millions of
+# hosts — and broadcasts exactly like this synthesized one.
+
+_ROBOTS_COMMON = [
+    ("disallow", "/p/1"),
+    ("allow", "/p/12"),
+    ("allow", "/p/15"),
+    ("disallow", "/p/15"),
+]
+_ROBOTS_EVEN_HOST = ("disallow", "/p/3")
+
+
+def _robots_oracle() -> str:
+    common = ", ".join(f"('{k}', '{p}')" for k, p in _ROBOTS_COMMON)
+    ek, ep = _ROBOTS_EVEN_HOST
+    return f"""
+WITH urls AS (
+  SELECT DISTINCT {_canon_url_sql()} AS url FROM events
+), parsed AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/:]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path
+  FROM urls
+), hosts AS (
+  SELECT DISTINCT host,
+         regexp_extract(host, '^h([0-9]+)', 1)::BIGINT AS hd
+  FROM parsed
+), rules AS (
+  SELECT host, kind, prefix
+  FROM hosts CROSS JOIN (VALUES {common}) r(kind, prefix)
+  UNION ALL
+  SELECT host, '{ek}', '{ep}' FROM hosts WHERE hd % 2 = 0
+), matched AS (
+  -- LEFT join: a url with no matching rule keeps one NULL-rule row, so the
+  -- per-url argmax window also resolves the default-allow case — no second
+  -- pass over the url table
+  SELECT p.url, p.host, r.kind, r.prefix,
+         row_number() OVER (
+           PARTITION BY p.url
+           ORDER BY length(r.prefix) DESC NULLS LAST, (r.kind = 'allow') DESC
+         ) AS rk
+  FROM parsed p LEFT JOIN rules r
+    ON r.host = p.host AND starts_with(p.path, r.prefix)
+)
+SELECT host,
+       CASE WHEN kind IS NULL OR kind = 'allow'
+            THEN 'allowed' ELSE 'blocked' END AS verdict,
+       COALESCE(prefix, '') AS matched_rule,
+       count(*)::BIGINT AS n_urls
+FROM matched WHERE rk = 1
+GROUP BY 1, 2, 3
+ORDER BY host, verdict, matched_rule
+"""
+
+
+@query(
+    "robots_policy_eval",
+    _robots_oracle(),
+    doc="robots.txt policy evaluation (RFC 9309 longest-match; allow wins "
+        "exact-length ties — pinned by the planted equal-length allow/"
+        "disallow pair): per-url verdict from the host's prefix rules, "
+        "rolled up per (host, verdict, winning rule); rules table is "
+        "host-count-sized and BROADCAST (a real corpus' parsed robots "
+        "files are a few MB for millions of hosts), urls make one pass — "
+        "broadcast-hash prefix join + per-url argmax window, no corpus "
+        "self-join",
+)
+def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text_queries import _url_raw_expr, url_canonical_expr
+
+    ev = load(spark, sf_dir, "events")
+    urls = ev.select(url_canonical_expr(_url_raw_expr()).alias("url")).distinct()
+    parsed = urls.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/:]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1).alias("path"),
+    ).localCheckpoint(eager=False)  # reused by hosts, the join, and the rollup
+    hosts = parsed.select(
+        "host",
+        F.regexp_extract("host", r"^h([0-9]+)", 1).cast("long").alias("hd"),
+    ).distinct()
+    common = F.array(
+        *[
+            F.struct(F.lit(k).alias("kind"), F.lit(p).alias("prefix"))
+            for k, p in _ROBOTS_COMMON
+        ]
+    )
+    ek, ep = _ROBOTS_EVEN_HOST
+    even = F.array(F.struct(F.lit(ek).alias("kind"), F.lit(ep).alias("prefix")))
+    empty = F.array().cast("array<struct<kind:string,prefix:string>>")
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.concat(common, F.when(F.col("hd") % 2 == 0, even).otherwise(empty))
+        ).alias("r"),
+    ).select("host", "r.kind", "r.prefix")
+    # LEFT broadcast join (equi on host + the prefix predicate riding the
+    # join): a url with no matching rule keeps one NULL-rule row, so the
+    # per-url argmax window also resolves the default-allow case — one url
+    # pass, no second join back
+    p_, r_ = parsed.alias("p"), rules.alias("r")
+    matched = p_.join(
+        F.broadcast(r_),
+        (F.col("p.host") == F.col("r.host"))
+        & F.col("p.path").startswith(F.col("r.prefix")),
+        "left",
+    ).select(
+        F.col("p.url").alias("url"),
+        F.col("p.host").alias("host"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.prefix").alias("prefix"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc_nulls_last(), (F.col("kind") == "allow").desc()
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "host",
+            F.when(
+                F.col("kind").isNull() | (F.col("kind") == "allow"), F.lit("allowed")
+            )
+            .otherwise(F.lit("blocked"))
+            .alias("verdict"),
+            F.coalesce("prefix", F.lit("")).alias("matched_rule"),
+        )
+        .groupBy("host", "verdict", "matched_rule")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .orderBy("host", "verdict", "matched_rule")
+    )

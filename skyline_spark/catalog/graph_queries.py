@@ -228,3 +228,97 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation per link target
+# ---------------------------------------------------------------------------
+#
+# The web-corpus signal search/quality stacks aggregate alongside PageRank:
+# what do OTHER pages call this page? Anchor text per inbound link, rolled
+# up per target — top anchor by (count desc, anchor asc), inlink mass,
+# anchor diversity. Runs on the SAME hash-derived multigraph as PageRank/
+# HITS (one definition, _hash_graph's edge rule), with each link's anchor
+# = the source doc's first token (deterministic, SQL-expressible in both
+# engines). Self-links count like any other edge (multigraph semantics).
+#
+# Scale shape: the anchor is computed IN the edge-derivation projection —
+# one corpus scan, no docs⋈docs join; (dst, anchor) counts are the one
+# shuffle (map-side partials), the per-dst argmax is the ngram_dup_rate
+# window-then-rollup pattern. Targets with zero inbound links don't appear
+# (hash multigraph leaves ~ (1-1/n)^(3n) ≈ 5% of ids unhit) — the consumer
+# left-joins this as a feature table, absent = no anchors.
+
+_ANCHOR_ORACLE = f"""
+WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
+links AS (
+  SELECT {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst,
+         regexp_extract(lower(d.text), '^\\s*(\\S+)', 1) AS anchor
+  FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
+), cnt AS (
+  SELECT dst, anchor, count(*)::BIGINT AS c FROM links GROUP BY dst, anchor
+), ranked AS (
+  SELECT dst, anchor, c,
+         row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rk
+  FROM cnt
+)
+SELECT dst AS doc_id,
+       sum(c)::BIGINT AS n_inlinks,
+       count(*)::BIGINT AS distinct_anchors,
+       min(CASE WHEN rk = 1 THEN anchor END) AS top_anchor,
+       max(CASE WHEN rk = 1 THEN c END)::BIGINT AS top_anchor_count
+FROM ranked GROUP BY dst ORDER BY doc_id
+"""
+
+
+@query(
+    "anchor_text_topk",
+    _ANCHOR_ORACLE,
+    doc="anchor-text aggregation per link target (the search/quality "
+        "signal aggregated alongside PageRank): on the SAME hash-derived "
+        "multigraph as link_graph_pagerank/hits, each inbound link carries "
+        "the source doc's first token as its anchor; per target — inlink "
+        "mass, anchor diversity, top anchor (count desc, anchor asc). "
+        "Anchor computed in the edge-derivation projection: one corpus "
+        "scan, NO docs-to-docs join, one (dst, anchor) shuffle with "
+        "map-side partials, then the window-then-rollup argmax",
+)
+def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
+    anchor = F.regexp_extract(F.lower("text"), r"^\s*(\S+)", 1)
+    dsts = [
+        (
+            X.h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}")))
+            % F.col("n_nodes")
+        ).cast("long")
+        for j in range(1, OUT_DEG + 1)
+    ]
+    links = (
+        d.crossJoin(F.broadcast(n1))
+        .select(anchor.alias("anchor"), F.explode(F.array(*dsts)).alias("dst"))
+    )
+    cnt = links.groupBy("dst", "anchor").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("anchor"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .groupBy("dst")
+        .agg(
+            F.sum("c").cast("long").alias("n_inlinks"),
+            F.count("*").cast("long").alias("distinct_anchors"),
+            F.min(F.when(F.col("rk") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rk") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_anchor_count"),
+        )
+        .select(
+            F.col("dst").alias("doc_id"),
+            "n_inlinks",
+            "distinct_anchors",
+            "top_anchor",
+            "top_anchor_count",
+        )
+        .orderBy("doc_id")
+    )

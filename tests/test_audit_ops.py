@@ -131,3 +131,47 @@ def test_ngram_dup_rate_consistency(by_name):
         if r["top_gram_count"] > 1:
             assert r["dup_occurrences"] >= r["top_gram_count"]
         assert r["top_gram"].count(" ") == 2  # a genuine trigram
+
+
+def test_robots_tie_and_longest_match(spark):
+    """RFC 9309 semantics pinned: the equal-length allow/disallow pair on
+    /p/15 resolves to ALLOW (tie rule), /p/12* re-opens inside the /p/1
+    ban (longest match), and /p/1* outside those stays blocked."""
+    rows = QUERIES["robots_policy_eval"].build(spark, SF_DIR).collect()
+    by_rule = {}
+    for r in rows:
+        by_rule.setdefault(r.matched_rule, set()).add(r.verdict)
+    # the tie pair and the longer override are allow-only everywhere
+    assert by_rule.get("/p/15") == {"allowed"}
+    assert by_rule.get("/p/12") == {"allowed"}
+    # the broad ban actually blocks (it is the winning rule somewhere)
+    assert "blocked" in by_rule.get("/p/1", set())
+    # no-match urls default to allowed with an empty rule
+    assert by_rule.get("") == {"allowed"}
+
+
+def test_anchor_text_consistency(spark):
+    from skyline_spark.catalog.graph_queries import OUT_DEG
+
+    rows = QUERIES["anchor_text_topk"].build(spark, SF_DIR).collect()
+    import duckdb
+
+    n_docs, total_edges = duckdb.sql(
+        f"SELECT count(*), count(*)*{OUT_DEG} FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
+    # conservation: every edge lands on exactly one target
+    assert sum(r.n_inlinks for r in rows) == total_edges
+    for r in rows:
+        assert 1 <= r.distinct_anchors <= r.n_inlinks
+        assert r.top_anchor_count >= 1
+        assert 0 <= r.doc_id < n_docs
+
+
+def test_confusion_matrix_rows_sum_to_one(spark):
+    rows = QUERIES["lang_confusion_matrix"].build(spark, SF_DIR).collect()
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.lang, []).append(r)
+    for lang, cells in per_label.items():
+        assert abs(sum(c.rate for c in cells) - 1.0) < 1e-5
+        assert {c.predicted for c in cells} <= {"en", "other"}

@@ -544,3 +544,32 @@ def test_fd_check_is_multi_distinct_expand_plus_tiny_rollup(spark):
     tree = p.split("\n\n", 1)[0]
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
+
+
+def test_robots_rules_broadcast_no_corpus_self_join(spark):
+    # the rules side is host-count-sized and must broadcast; the url side
+    # makes one pass (prefix match inside the broadcast join + per-url
+    # argmax window) — no SortMergeJoin, no nested loop
+    p = plan_of(build(spark, "robots_policy_eval"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_anchor_text_single_scan_no_docs_join(spark):
+    # anchor is computed in the edge-derivation projection: NO docs-to-docs
+    # join — exactly two scans (the n_nodes count + the edge/anchor pass;
+    # at scale the count comes from table metadata), count side broadcast
+    p = plan_of(build(spark, "anchor_text_topk"))
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin Cross" in tree  # 1-row count broadcast
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_confusion_matrix_tiny_grid(spark):
+    p = plan_of(build(spark, "lang_confusion_matrix"))
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p.split("\n\n", 1)[0]  # window reuses the grid
