@@ -348,6 +348,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "robots_policy_eval",
         "anchor_text_topk",
         "lang_confusion_matrix",
+        "source_scorecard",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

@@ -836,3 +836,141 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source league table (the "source scorecard")
+# ---------------------------------------------------------------------------
+#
+# The rollup a data-acquisition team negotiates with: for each upstream
+# source — volume (docs, token mass), quality (mean heuristic score), how
+# much survives the standard filter gates (and the surviving token mass,
+# which is what the mixture planner actually budgets), and language spread.
+# Composes existing per-doc signals (filter_pipeline's gates sans the lang
+# gate — the scorecard keeps multilingual sources comparable, the
+# curation_verdicts precedent) into ONE map stage + one tiny per-source
+# aggregate: no shuffle beyond the source rollup, because every signal is a
+# Catalyst expression over the row's own text.
+#
+# Float discipline: the quality score is r6-rounded per doc (an exact
+# multiple of 1e-6), so it sums as int64 micro-units — order-free, unlike a
+# double sum; the mean divides once at the end.
+
+#: placeholder token replaced with filter_pipeline's dup-3-gram SQL at
+#: registration time (import-order: text_queries defines it)
+_DUP3_SQL_REF = "__DUP3_SQL__"
+
+_SCORECARD_ORACLE = f"""
+WITH tok AS (
+  SELECT source, lang, {X.tokens_sql("text")} AS t,
+         {X.quality_score_sql("text")} AS q
+  FROM documents
+), sig AS (
+  -- the quality gate compares in exact micro-units (q is r6-rounded, an
+  -- exact multiple of 1e-6): q_fp >= min_q·1e6 — integer, knife-edge-free
+  SELECT source, lang,
+         len(t)::BIGINT AS ntok,
+         floor(q * 1000000 + 0.5)::BIGINT AS q_fp,
+         (len(t) >= {{min_tok}} AND floor(q * 1000000 + 0.5) >= {{min_q_fp}}
+          AND ({_DUP3_SQL_REF}) <= {{dup_cap}}) AS kept
+  FROM tok
+)
+SELECT source,
+       count(*)::BIGINT AS docs,
+       sum(ntok)::BIGINT AS tokens,
+       {X.r6_sql("sum(q_fp)::DOUBLE / (count(*)::DOUBLE * 1000000.0)")} AS mean_quality,
+       sum(kept::INT)::BIGINT AS kept_docs,
+       {X.r6_sql("sum(kept::INT)::DOUBLE / count(*)::DOUBLE")} AS kept_rate,
+       sum(CASE WHEN kept THEN ntok ELSE 0 END)::BIGINT AS kept_tokens,
+       count(DISTINCT lang)::BIGINT AS langs
+FROM sig GROUP BY source ORDER BY source
+"""
+
+
+def _register_source_scorecard() -> None:
+    from .registry import QUERIES, QuerySpec
+    from .text_queries import (
+        DUP_3GRAM_FRAC_T,
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+        _DUP3_SQL,
+        _dupf_expr,
+        _tgs_expr,
+    )
+
+    min_q_fp = round(FILTER_MIN_QUALITY * 1_000_000)
+    oracle = _SCORECARD_ORACLE.replace("{min_tok}", str(FILTER_MIN_TOKENS)).replace(
+        "{min_q_fp}", str(min_q_fp)
+    ).replace("{dup_cap}", str(DUP_3GRAM_FRAC_T)).replace(
+        _DUP3_SQL_REF, _DUP3_SQL
+    )
+
+    def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        tok = docs.select(
+            "source", "lang", X.tokens_expr(F.col("text")).alias("toks")
+        )
+        tg = tok.select(
+            "source", "lang", "toks", _tgs_expr(F.col("toks")).alias("tgs")
+        )
+        # q_fp bound once; the quality gate compares in exact micro-units
+        sig = tg.select(
+            "source",
+            "lang",
+            F.size("toks").cast("long").alias("ntok"),
+            F.floor(
+                X.quality_score_from_tokens_expr(F.col("toks")) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q_fp"),
+            (_dupf_expr(F.col("tgs")) <= DUP_3GRAM_FRAC_T).alias("dup_ok"),
+        ).select(
+            "source",
+            "lang",
+            "ntok",
+            "q_fp",
+            (
+                (F.col("ntok") >= FILTER_MIN_TOKENS)
+                & (F.col("q_fp") >= min_q_fp)
+                & F.col("dup_ok")
+            ).alias("kept"),
+        )
+        return (
+            sig.groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("docs"),
+                F.sum("ntok").cast("long").alias("tokens"),
+                X.r6(
+                    F.sum("q_fp").cast("double")
+                    / (F.count("*").cast("double") * F.lit(1_000_000.0))
+                ).alias("mean_quality"),
+                F.sum(F.col("kept").cast("int")).cast("long").alias("kept_docs"),
+                X.r6(
+                    F.sum(F.col("kept").cast("int")).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("kept_rate"),
+                F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0))
+                .cast("long")
+                .alias("kept_tokens"),
+                F.countDistinct("lang").cast("long").alias("langs"),
+            )
+            .orderBy("source")
+        )
+
+    QUERIES["source_scorecard"] = QuerySpec(
+        name="source_scorecard",
+        build=source_scorecard,
+        oracle=oracle,
+        doc="per-source league table for mix negotiation: volume (docs, "
+            "token mass), mean quality (r6 scores summed as int64 "
+            "micro-units — order-free), survival through the standard "
+            "filter gates (sans the lang gate, keeping multilingual "
+            "sources comparable) with the SURVIVING token mass the "
+            "mixture planner budgets, and language spread; one pure map "
+            "stage + one tiny per-source aggregate — at 10^12 docs the "
+            "only shuffle is source-cardinality-sized",
+    )
+
+
+_register_source_scorecard()

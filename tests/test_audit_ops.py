@@ -175,3 +175,23 @@ def test_confusion_matrix_rows_sum_to_one(spark):
     for lang, cells in per_label.items():
         assert abs(sum(c.rate for c in cells) - 1.0) < 1e-5
         assert {c.predicted for c in cells} <= {"en", "other"}
+
+
+def test_source_scorecard_consistency(spark):
+    import duckdb
+
+    rows = QUERIES["source_scorecard"].build(spark, SF_DIR).collect()
+    n_docs, n_sources = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT source) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
+    assert len(rows) == n_sources
+    assert sum(r.docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.docs
+        assert 0 <= r.kept_tokens <= r.tokens
+        assert 0.0 <= r.mean_quality <= 1.0
+        assert abs(r.kept_rate - r.kept_docs / r.docs) < 1e-6
+    # the gates must actually discriminate at this scale: some docs kept,
+    # some dropped, across the corpus
+    assert 0 < sum(r.kept_docs for r in rows) < n_docs
