@@ -349,6 +349,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "anchor_text_topk",
         "lang_confusion_matrix",
         "source_scorecard",
+        "expectations_enforce",
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",

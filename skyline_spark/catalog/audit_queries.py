@@ -981,3 +981,158 @@ def _register_source_scorecard() -> None:
 
 
 _register_source_scorecard()
+
+
+# ---------------------------------------------------------------------------
+# declarative expectation enforcement (warn/drop actions + ledger)
+# ---------------------------------------------------------------------------
+#
+# The enforcement half of the validation engine: expectations with ACTIONS,
+# the Delta-Live-Tables/Great-Expectations shape — `expect_or_drop` removes
+# failing rows, `expect` (warn) only counts them. Expectations apply in
+# declared order with SEQUENTIAL semantics (a row dropped by an earlier
+# expectation never reaches a later one — so a duplicate whose keeper was
+# already dropped is NOT a duplicate among survivors), and the output is the
+# ledger: per expectation, rows flagged among those that reached it, rows
+# dropped, and rows remaining after it.
+#
+# Declared suite over the pages fixture:
+#   1. text_not_null        drop   (planted NULL text)
+#   2. lang_in_allowlist    drop   (planted 'error' lang)
+#   3. len_within_bound     warn   (planted ×3 length-shift day — flagged,
+#                                   kept: warn = monitor without mutating)
+#   4. url_unique           drop   (planted dup-day urls; keeper = first by
+#                                   (warc_ts, len) among SURVIVORS)
+#
+# One corpus pass: every flag is a projection expression; the uniqueness
+# rank is one window keyed (url, survived-so-far); the ledger is a single
+# aggregate exploded to 4 rows. Which row of an exactly-identical tie group
+# is kept is engine-arbitrary, but every LEDGER number is tie-invariant.
+
+#: above the un-shifted max (180) and below the planted ×3-day max (540),
+#: so the warn expectation flags exactly the length-shift day's long rows
+_EXP_LEN_BOUND = 360
+
+_EXPECT_ORACLE = (
+    _PAGES_SQL
+    + f"""
+, flagged AS (
+  SELECT lang, url, warc_ts,
+         (text IS NULL) AS f1,
+         (text IS NOT NULL AND lang NOT IN ('click','view','purchase','signup')) AS f2,
+         length(text) AS tl
+  FROM pages
+), reach AS (
+  SELECT *,
+         (NOT f1 AND NOT f2) AS survives12,
+         (NOT f1 AND NOT f2 AND tl > {_EXP_LEN_BOUND}) AS f3
+  FROM flagged
+), ranked AS (
+  SELECT *,
+         CASE WHEN survives12 THEN
+           row_number() OVER (
+             PARTITION BY url, survives12
+             ORDER BY warc_ts, coalesce(tl, -1)
+           ) END AS rn
+  FROM reach
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(f1::INT)::BIGINT AS d1,
+         sum(f2::INT)::BIGINT AS d2,
+         sum(f3::INT)::BIGINT AS w3,
+         sum((survives12 AND rn > 1)::INT)::BIGINT AS d4
+  FROM ranked
+)
+SELECT * FROM (
+  SELECT 1 AS ord, 'text_not_null' AS expectation, 'drop' AS action,
+         d1 AS flagged, d1 AS dropped, (n - d1)::BIGINT AS rows_after FROM agg
+  UNION ALL
+  SELECT 2, 'lang_in_allowlist', 'drop', d2, d2, (n - d1 - d2)::BIGINT FROM agg
+  UNION ALL
+  SELECT 3, 'len_within_bound', 'warn', w3, 0::BIGINT, (n - d1 - d2)::BIGINT FROM agg
+  UNION ALL
+  SELECT 4, 'url_unique', 'drop', d4, d4, (n - d1 - d2 - d4)::BIGINT FROM agg
+) ORDER BY ord
+"""
+)
+
+
+@query(
+    "expectations_enforce",
+    _EXPECT_ORACLE,
+    doc="declarative expectation ENFORCEMENT (the Delta-Live-Tables / "
+        "Great-Expectations action model): expectations with warn/drop "
+        "actions applied in declared order under sequential semantics — a "
+        "row dropped earlier never reaches later expectations, so "
+        "survivor-uniqueness is ranked only among rows that survived the "
+        "null/allowlist drops; output is the per-expectation ledger "
+        "(flagged among reached, dropped, rows remaining). One corpus "
+        "pass: projection flags + one (url, survived) window + a single "
+        "aggregate exploded to the 4 ledger rows; every number is "
+        "tie-invariant even where the kept-row choice is engine-arbitrary",
+)
+def expectations_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _derived_pages(spark, sf_dir)
+    allowed = ["click", "view", "purchase", "signup"]
+    f1 = F.col("text").isNull()
+    f2 = ~f1 & ~F.col("lang").isin(*allowed)
+    flagged = pages.select(
+        "url",
+        "warc_ts",
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.length("text").alias("tl"),
+    )
+    reach = flagged.select(
+        "*",
+        (~F.col("f1") & ~F.col("f2")).alias("survives12"),
+        (~F.col("f1") & ~F.col("f2") & (F.col("tl") > _EXP_LEN_BOUND)).alias("f3"),
+    )
+    w = Window.partitionBy("url", "survives12").orderBy(
+        "warc_ts", F.coalesce("tl", F.lit(-1))
+    )
+    ranked = reach.select(
+        "*",
+        F.when(F.col("survives12"), F.row_number().over(w)).alias("rn"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("f1").cast("int")).cast("long").alias("d1"),
+        F.sum(F.col("f2").cast("int")).cast("long").alias("d2"),
+        F.sum(F.col("f3").cast("int")).cast("long").alias("w3"),
+        F.sum((F.col("survives12") & (F.col("rn") > 1)).cast("int"))
+        .cast("long")
+        .alias("d4"),
+    )
+    n, d1, d2, w3, d4 = (F.col(c) for c in ("n", "d1", "d2", "w3", "d4"))
+    ledger = F.array(
+        F.struct(
+            F.lit(1).alias("ord"), F.lit("text_not_null").alias("expectation"),
+            F.lit("drop").alias("action"), d1.alias("flagged"),
+            d1.alias("dropped"), (n - d1).cast("long").alias("rows_after"),
+        ),
+        F.struct(
+            F.lit(2).alias("ord"), F.lit("lang_in_allowlist").alias("expectation"),
+            F.lit("drop").alias("action"), d2.alias("flagged"),
+            d2.alias("dropped"), (n - d1 - d2).cast("long").alias("rows_after"),
+        ),
+        F.struct(
+            F.lit(3).alias("ord"), F.lit("len_within_bound").alias("expectation"),
+            F.lit("warn").alias("action"), w3.alias("flagged"),
+            F.lit(0).cast("long").alias("dropped"),
+            (n - d1 - d2).cast("long").alias("rows_after"),
+        ),
+        F.struct(
+            F.lit(4).alias("ord"), F.lit("url_unique").alias("expectation"),
+            F.lit("drop").alias("action"), d4.alias("flagged"),
+            d4.alias("dropped"), (n - d1 - d2 - d4).cast("long").alias("rows_after"),
+        ),
+    )
+    return (
+        agg.select(F.explode(ledger).alias("r"))
+        .select(
+            "r.ord", "r.expectation", "r.action", "r.flagged", "r.dropped",
+            "r.rows_after",
+        )
+        .orderBy("ord")
+    )

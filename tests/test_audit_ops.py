@@ -195,3 +195,36 @@ def test_source_scorecard_consistency(spark):
     # the gates must actually discriminate at this scale: some docs kept,
     # some dropped, across the corpus
     assert 0 < sum(r.kept_docs for r in rows) < n_docs
+
+
+def test_expectations_ledger_sequential_semantics(spark):
+    rows = {r.expectation: r for r in
+            QUERIES["expectations_enforce"].build(spark, SF_DIR).collect()}
+    # every planted defect fires its expectation
+    assert rows["text_not_null"].flagged > 0
+    assert rows["lang_in_allowlist"].flagged > 0        # planted 'error' lang
+    assert rows["len_within_bound"].flagged > 0         # planted x3 length day
+    assert rows["url_unique"].flagged > 0               # planted dup-day urls
+    # warn counts but never drops
+    assert rows["len_within_bound"].dropped == 0
+    assert rows["len_within_bound"].action == "warn"
+    # the ledger is a consistent running account
+    assert rows["text_not_null"].rows_after == (
+        rows["lang_in_allowlist"].rows_after + rows["lang_in_allowlist"].dropped
+    )
+    assert rows["len_within_bound"].rows_after == rows["lang_in_allowlist"].rows_after
+    assert rows["url_unique"].rows_after == (
+        rows["len_within_bound"].rows_after - rows["url_unique"].dropped
+    )
+    # sequential uniqueness: survivor-dedup can never drop more rows than
+    # (survivors - distinct surviving urls)
+    from skyline_spark.catalog.flagship_queries import _derived_pages
+    from pyspark.sql import functions as F
+
+    pages = _derived_pages(spark, SF_DIR)
+    allowed = ["click", "view", "purchase", "signup"]
+    surv = pages.where(F.col("text").isNotNull() & F.col("lang").isin(*allowed))
+    n_surv, n_urls = surv.agg(
+        F.count("*"), F.countDistinct("url")
+    ).first()
+    assert rows["url_unique"].dropped == n_surv - n_urls

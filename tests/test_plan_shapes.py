@@ -573,3 +573,15 @@ def test_confusion_matrix_tiny_grid(spark):
     p = plan_of(build(spark, "lang_confusion_matrix"))
     assert "BatchEvalPython" not in p
     assert "Join" not in p.split("\n\n", 1)[0]  # window reuses the grid
+
+
+def test_expectations_enforce_single_pass(spark):
+    # the whole suite evaluates in ONE corpus pass: projection flags, one
+    # (url, survived) window, a singleton aggregate exploded to the ledger
+    p = plan_of(build(spark, "expectations_enforce"))
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in p
+    import re
+    assert len(re.findall(r"^\s*[+:]- Window", tree, re.M)) == 1
