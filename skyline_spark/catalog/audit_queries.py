@@ -28,8 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
-from .flagship_queries import _PAGES_SQL, _derived_pages
+from .crawl_queries import _canon_url_sql
+from .flagship_queries import _ALLOWED_LANGS, _PAGES_SQL, _derived_pages
 from .registry import load, query
+from .text_queries import (
+    DUP_3GRAM_FRAC_T,
+    FILTER_MIN_QUALITY,
+    FILTER_MIN_TOKENS,
+    _DUP3_SQL,
+    _dupf_expr,
+    _spread,
+    _tgs_expr,
+    _url_raw_expr,
+    url_canonical_expr,
+    word_grams_sql,
+)
 
 __all__ = [
     "column_profile",
@@ -271,7 +284,9 @@ def constraint_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ratio(nd, nn),
             )
         )
-    structs = F.array(
+    # ONE concatenated struct array exploded once — a separate union branch
+    # would embed the corpus-profile subtree twice in the plan
+    per_col = F.array(
         *[
             F.struct(
                 c.alias("col_name"),
@@ -282,52 +297,51 @@ def constraint_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, k, pa, s in rows
         ]
     )
-    base = p.select(F.explode(structs).alias("r")).select(
-        "r.col_name", "r.constraint_kind", "r.params", "r.support"
+    empty = F.array().cast(
+        "array<struct<col_name:string,constraint_kind:string,"
+        "params:string,support:double>>"
     )
-    extras = p.select(
-        F.explode(
-            F.concat(
-                F.when(
-                    F.col("nd_lang") <= _MAX_DOMAIN,
-                    F.array(
-                        F.struct(
-                            F.lit("lang").alias("col_name"),
-                            F.lit("is_in").alias("constraint_kind"),
-                            F.col("lang_domain").alias("params"),
-                            F.lit(1.0).alias("support"),
-                        )
-                    ),
-                ).otherwise(F.array().cast(
-                    "array<struct<col_name:string,constraint_kind:string,"
-                    "params:string,support:double>>"
-                )),
-                F.array(
-                    F.struct(
-                        F.lit("text").alias("col_name"),
-                        F.lit("length_between").alias("constraint_kind"),
-                        F.concat(
-                            F.col("len_min").cast("string"),
-                            F.lit(".."),
-                            F.col("len_max").cast("string"),
-                        ).alias("params"),
-                        F.lit(1.0).alias("support"),
-                    ),
-                    F.struct(
-                        F.lit("warc_ts").alias("col_name"),
-                        F.lit("ts_between").alias("constraint_kind"),
-                        F.concat(
-                            F.date_format("ts_min", "yyyy-MM-dd"),
-                            F.lit(".."),
-                            F.date_format("ts_max", "yyyy-MM-dd"),
-                        ).alias("params"),
-                        F.lit(1.0).alias("support"),
-                    ),
-                ),
-            )
-        ).alias("r")
-    ).select("r.col_name", "r.constraint_kind", "r.params", "r.support")
-    return base.unionAll(extras).orderBy("col_name", "constraint_kind")
+    suggestions = F.concat(
+        per_col,
+        F.when(
+            F.col("nd_lang") <= _MAX_DOMAIN,
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col_name"),
+                    F.lit("is_in").alias("constraint_kind"),
+                    F.col("lang_domain").alias("params"),
+                    F.lit(1.0).alias("support"),
+                )
+            ),
+        ).otherwise(empty),
+        F.array(
+            F.struct(
+                F.lit("text").alias("col_name"),
+                F.lit("length_between").alias("constraint_kind"),
+                F.concat(
+                    F.col("len_min").cast("string"),
+                    F.lit(".."),
+                    F.col("len_max").cast("string"),
+                ).alias("params"),
+                F.lit(1.0).alias("support"),
+            ),
+            F.struct(
+                F.lit("warc_ts").alias("col_name"),
+                F.lit("ts_between").alias("constraint_kind"),
+                F.concat(
+                    F.date_format("ts_min", "yyyy-MM-dd"),
+                    F.lit(".."),
+                    F.date_format("ts_max", "yyyy-MM-dd"),
+                ).alias("params"),
+                F.lit(1.0).alias("support"),
+            ),
+        ),
+    )
+    return (
+        p.select(F.explode(suggestions).alias("r"))
+        .select("r.col_name", "r.constraint_kind", "r.params", "r.support")
+        .orderBy("col_name", "constraint_kind")
+    )
 
 
 def _pct_floor2(num: F.Column, den: F.Column) -> F.Column:
@@ -603,23 +617,12 @@ def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_K = 3
 
-
-def _grams_sql(toks: str) -> str:
-    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(_NGRAM_K))
-    return (
-        f"list_transform("
-        f"case when len({toks}) >= {_NGRAM_K} "
-        f"then generate_series(1, len({toks}) - {_NGRAM_K - 1}) "
-        f"else []::BIGINT[] end, i -> {parts})"
-    )
-
-
 _NGRAM_ORACLE = f"""
 WITH toks AS (
   SELECT lang, {X.tokens_sql("text")} AS tk FROM documents
 ), grams AS (
   SELECT lang, g, count(*)::BIGINT AS cnt
-  FROM toks, unnest({_grams_sql("tk")}) AS u(g)
+  FROM toks, unnest({word_grams_sql("tk", _NGRAM_K)}) AS u(g)
   GROUP BY lang, g
 ), ranked AS (
   SELECT lang, g, cnt,
@@ -650,27 +653,16 @@ FROM ranked GROUP BY lang ORDER BY lang
         "every occurrence counts",
 )
 def ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bind the token array into its OWN column before the gram lambda
-    # references it — inlining tokens_expr puts a split inside every
-    # element_at call (O(k·tokens) splits per row, the filter_pipeline
-    # hazard; measured 11.9 s vs ~1 s at sf0.1)
-    from .text_queries import _spread
-
+    # the gram rule is _tgs_expr / word_grams_sql — the SAME single
+    # definition the repetition gates use. Tokens are bound into their OWN
+    # column before the gram lambda references them — inlining tokens_expr
+    # puts a split inside every element_at call (O(k·tokens) splits per
+    # row, the filter_pipeline hazard; measured 11.9 s vs ~1 s at sf0.1)
     tok = _spread(load(spark, sf_dir, "documents")).select(
         "lang", X.tokens_expr(F.col("text")).alias("toks")
     )
-    n = F.size("toks")
-    idx = F.when(
-        n >= _NGRAM_K, F.sequence(F.lit(1), n - (_NGRAM_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams_col = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j) for j in range(_NGRAM_K)]
-        ),
-    )
     grams = (
-        tok.select("lang", F.explode(grams_col).alias("g"))
+        tok.select("lang", F.explode(_tgs_expr(F.col("toks"))).alias("g"))
         .groupBy("lang", "g")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -711,15 +703,37 @@ def ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FETCH_CAP = 8
 
+_FETCH_PLAN_ORACLE = f"""
+WITH urls AS (
+  SELECT DISTINCT {_canon_url_sql()} AS url FROM events
+), hosted AS (
+  SELECT regexp_extract(url, '^https?://([^/:]+)', 1) AS host, url,
+         {X.h32_sql("'fetch:' || url")} AS h
+  FROM urls
+), planned AS (
+  SELECT host, url,
+         (row_number() OVER (PARTITION BY host ORDER BY h, url) - 1)
+           // {_FETCH_CAP} AS slot
+  FROM hosted
+)
+SELECT host, slot::BIGINT AS slot, count(*)::BIGINT AS n_urls,
+       min(url) AS first_url
+FROM planned GROUP BY host, slot ORDER BY host, slot
+"""
+
 
 @query(
     "crawl_fetch_plan",
-    None,  # set below — needs the canonical-url SQL from crawl_queries
-    doc="",
+    _FETCH_PLAN_ORACLE,
+    doc="crawl politeness planner (the Heritrix/Nutch frontier-slicing "
+        f"stage): per-host rate-capped fetch slots of {_FETCH_CAP} urls — "
+        "slot = one crawl-delay window; urls rank within their host by the "
+        "portable h32 so the plan is reproducible and resumable mid-crawl; "
+        "one distinct-url shuffle + one host window (at 10^12 urls the "
+        "window becomes repartition(host) + sortWithinPartitions, the "
+        "corpus_shuffle_shards shape)",
 )
 def crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text_queries import _url_raw_expr, url_canonical_expr
-
     ev = load(spark, sf_dir, "events")
     urls = ev.select(
         url_canonical_expr(_url_raw_expr()).alias("url")
@@ -741,47 +755,6 @@ def crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "slot")
     )
-
-
-def _register_fetch_plan_oracle() -> None:
-    from .crawl_queries import _canon_url_sql
-    from .registry import QUERIES, QuerySpec
-
-    oracle = f"""
-WITH urls AS (
-  SELECT DISTINCT {_canon_url_sql()} AS url FROM events
-), hosted AS (
-  SELECT regexp_extract(url, '^https?://([^/:]+)', 1) AS host, url,
-         {X.h32_sql("'fetch:' || url")} AS h
-  FROM urls
-), planned AS (
-  SELECT host, url,
-         (row_number() OVER (PARTITION BY host ORDER BY h, url) - 1)
-           // {_FETCH_CAP} AS slot
-  FROM hosted
-)
-SELECT host, slot::BIGINT AS slot, count(*)::BIGINT AS n_urls,
-       min(url) AS first_url
-FROM planned GROUP BY host, slot ORDER BY host, slot
-"""
-    doc = (
-        "crawl politeness planner (the Heritrix/Nutch frontier-slicing "
-        f"stage): per-host rate-capped fetch slots of {_FETCH_CAP} urls — "
-        "slot = one crawl-delay window; urls rank within their host by the "
-        "portable h32 so the plan is reproducible and resumable mid-crawl; "
-        "one distinct-url shuffle + one host window (at 10^12 urls the "
-        "window becomes repartition(host) + sortWithinPartitions, the "
-        "corpus_shuffle_shards shape)"
-    )
-    QUERIES["crawl_fetch_plan"] = QuerySpec(
-        name="crawl_fetch_plan",
-        build=crawl_fetch_plan,
-        oracle=oracle,
-        doc=doc,
-    )
-
-
-_register_fetch_plan_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -863,9 +836,9 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiple of 1e-6), so it sums as int64 micro-units — order-free, unlike a
 # double sum; the mean divides once at the end.
 
-#: placeholder token replaced with filter_pipeline's dup-3-gram SQL at
-#: registration time (import-order: text_queries defines it)
-_DUP3_SQL_REF = "__DUP3_SQL__"
+#: the quality-floor gate in exact micro-units (q is r6-rounded, an exact
+#: multiple of 1e-6): q_fp >= min_q·1e6 — integer, knife-edge-free
+_MIN_Q_FP = round(FILTER_MIN_QUALITY * 1_000_000)
 
 _SCORECARD_ORACLE = f"""
 WITH tok AS (
@@ -873,13 +846,12 @@ WITH tok AS (
          {X.quality_score_sql("text")} AS q
   FROM documents
 ), sig AS (
-  -- the quality gate compares in exact micro-units (q is r6-rounded, an
-  -- exact multiple of 1e-6): q_fp >= min_q·1e6 — integer, knife-edge-free
   SELECT source, lang,
          len(t)::BIGINT AS ntok,
          floor(q * 1000000 + 0.5)::BIGINT AS q_fp,
-         (len(t) >= {{min_tok}} AND floor(q * 1000000 + 0.5) >= {{min_q_fp}}
-          AND ({_DUP3_SQL_REF}) <= {{dup_cap}}) AS kept
+         (len(t) >= {FILTER_MIN_TOKENS}
+          AND floor(q * 1000000 + 0.5) >= {_MIN_Q_FP}
+          AND ({_DUP3_SQL}) <= {DUP_3GRAM_FRAC_T}) AS kept
   FROM tok
 )
 SELECT source,
@@ -894,93 +866,70 @@ FROM sig GROUP BY source ORDER BY source
 """
 
 
-def _register_source_scorecard() -> None:
-    from .registry import QUERIES, QuerySpec
-    from .text_queries import (
-        DUP_3GRAM_FRAC_T,
-        FILTER_MIN_QUALITY,
-        FILTER_MIN_TOKENS,
-        _DUP3_SQL,
-        _dupf_expr,
-        _tgs_expr,
+@query(
+    "source_scorecard",
+    _SCORECARD_ORACLE,
+    doc="per-source league table for mix negotiation: volume (docs, "
+        "token mass), mean quality (r6 scores summed as int64 "
+        "micro-units — order-free), survival through the standard "
+        "filter gates (sans the lang gate, keeping multilingual "
+        "sources comparable) with the SURVIVING token mass the "
+        "mixture planner budgets, and language spread; one pure map "
+        "stage + one tiny per-source aggregate — at 10^12 docs the "
+        "only shuffle is source-cardinality-sized",
+)
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "lang", X.tokens_expr(F.col("text")).alias("toks")
     )
-
-    min_q_fp = round(FILTER_MIN_QUALITY * 1_000_000)
-    oracle = _SCORECARD_ORACLE.replace("{min_tok}", str(FILTER_MIN_TOKENS)).replace(
-        "{min_q_fp}", str(min_q_fp)
-    ).replace("{dup_cap}", str(DUP_3GRAM_FRAC_T)).replace(
-        _DUP3_SQL_REF, _DUP3_SQL
+    tg = tok.select(
+        "source", "lang", "toks", _tgs_expr(F.col("toks")).alias("tgs")
     )
-
-    def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        tok = docs.select(
-            "source", "lang", X.tokens_expr(F.col("text")).alias("toks")
+    # q_fp bound once; the quality gate compares in exact micro-units
+    sig = tg.select(
+        "source",
+        "lang",
+        F.size("toks").cast("long").alias("ntok"),
+        F.floor(
+            X.quality_score_from_tokens_expr(F.col("toks")) * 1_000_000
+            + F.lit(0.5)
         )
-        tg = tok.select(
-            "source", "lang", "toks", _tgs_expr(F.col("toks")).alias("tgs")
-        )
-        # q_fp bound once; the quality gate compares in exact micro-units
-        sig = tg.select(
-            "source",
-            "lang",
-            F.size("toks").cast("long").alias("ntok"),
-            F.floor(
-                X.quality_score_from_tokens_expr(F.col("toks")) * 1_000_000
-                + F.lit(0.5)
-            )
+        .cast("long")
+        .alias("q_fp"),
+        (_dupf_expr(F.col("tgs")) <= DUP_3GRAM_FRAC_T).alias("dup_ok"),
+    ).select(
+        "source",
+        "lang",
+        "ntok",
+        "q_fp",
+        (
+            (F.col("ntok") >= FILTER_MIN_TOKENS)
+            & (F.col("q_fp") >= _MIN_Q_FP)
+            & F.col("dup_ok")
+        ).alias("kept"),
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+            X.r6(
+                F.sum("q_fp").cast("double")
+                / (F.count("*").cast("double") * F.lit(1_000_000.0))
+            ).alias("mean_quality"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("kept_docs"),
+            X.r6(
+                F.sum(F.col("kept").cast("int")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("kept_rate"),
+            F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0))
             .cast("long")
-            .alias("q_fp"),
-            (_dupf_expr(F.col("tgs")) <= DUP_3GRAM_FRAC_T).alias("dup_ok"),
-        ).select(
-            "source",
-            "lang",
-            "ntok",
-            "q_fp",
-            (
-                (F.col("ntok") >= FILTER_MIN_TOKENS)
-                & (F.col("q_fp") >= min_q_fp)
-                & F.col("dup_ok")
-            ).alias("kept"),
+            .alias("kept_tokens"),
+            F.countDistinct("lang").cast("long").alias("langs"),
         )
-        return (
-            sig.groupBy("source")
-            .agg(
-                F.count("*").cast("long").alias("docs"),
-                F.sum("ntok").cast("long").alias("tokens"),
-                X.r6(
-                    F.sum("q_fp").cast("double")
-                    / (F.count("*").cast("double") * F.lit(1_000_000.0))
-                ).alias("mean_quality"),
-                F.sum(F.col("kept").cast("int")).cast("long").alias("kept_docs"),
-                X.r6(
-                    F.sum(F.col("kept").cast("int")).cast("double")
-                    / F.count("*").cast("double")
-                ).alias("kept_rate"),
-                F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0))
-                .cast("long")
-                .alias("kept_tokens"),
-                F.countDistinct("lang").cast("long").alias("langs"),
-            )
-            .orderBy("source")
-        )
-
-    QUERIES["source_scorecard"] = QuerySpec(
-        name="source_scorecard",
-        build=source_scorecard,
-        oracle=oracle,
-        doc="per-source league table for mix negotiation: volume (docs, "
-            "token mass), mean quality (r6 scores summed as int64 "
-            "micro-units — order-free), survival through the standard "
-            "filter gates (sans the lang gate, keeping multilingual "
-            "sources comparable) with the SURVIVING token mass the "
-            "mixture planner budgets, and language spread; one pure map "
-            "stage + one tiny per-source aggregate — at 10^12 docs the "
-            "only shuffle is source-cardinality-sized",
+        .orderBy("source")
     )
-
-
-_register_source_scorecard()
 
 
 # ---------------------------------------------------------------------------
@@ -1019,7 +968,7 @@ _EXPECT_ORACLE = (
 , flagged AS (
   SELECT lang, url, warc_ts,
          (text IS NULL) AS f1,
-         (text IS NOT NULL AND lang NOT IN ('click','view','purchase','signup')) AS f2,
+         (text IS NOT NULL AND lang NOT IN ({", ".join(f"'{g}'" for g in _ALLOWED_LANGS)})) AS f2,
          length(text) AS tl
   FROM pages
 ), reach AS (
@@ -1073,9 +1022,8 @@ SELECT * FROM (
 )
 def expectations_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _derived_pages(spark, sf_dir)
-    allowed = ["click", "view", "purchase", "signup"]
     f1 = F.col("text").isNull()
-    f2 = ~f1 & ~F.col("lang").isin(*allowed)
+    f2 = ~f1 & ~F.col("lang").isin(*_ALLOWED_LANGS)
     flagged = pages.select(
         "url",
         "warc_ts",

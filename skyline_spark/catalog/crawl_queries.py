@@ -648,8 +648,6 @@ ORDER BY host, verdict, matched_rule
 def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .text_queries import _url_raw_expr, url_canonical_expr
-
     ev = load(spark, sf_dir, "events")
     urls = ev.select(url_canonical_expr(_url_raw_expr()).alias("url")).distinct()
     parsed = urls.select(

@@ -49,6 +49,30 @@ def _edges_values_sql() -> str:
     return ", ".join(f"({j})" for j in range(1, OUT_DEG + 1))
 
 
+EDGE_SALT_FMT = "d.doc_id::VARCHAR || ':' || j.j::VARCHAR"
+
+
+def _edge_dst_sql() -> str:
+    '''The ONE hash-edge rule in SQL form: dst of (doc ``d``, outlink
+    ``j``), over CTE ``n(n_nodes)``. Every oracle touching the link
+    multigraph (PageRank, HITS, anchor aggregation) interpolates THIS
+    string; the Spark twin is :func:`_edge_dst_exprs` — no query can
+    silently rank or aggregate a different graph.'''
+    return f"{X.h32_sql(EDGE_SALT_FMT)} % n.n_nodes"
+
+
+def _edge_dst_exprs(id_col, n_col):
+    '''Spark twin of :func:`_edge_dst_sql`: the OUT_DEG dst columns of one
+    source node.'''
+    return [
+        (
+            X.h32(F.concat(id_col.cast("string"), F.lit(f":{j}")))
+            % n_col
+        ).cast("long")
+        for j in range(1, OUT_DEG + 1)
+    ]
+
+
 def _iteration_cte(k: int) -> str:
     prev = f"r{k - 1}"
     return f"""r{k} AS (
@@ -65,7 +89,7 @@ _PAGERANK_ORACLE = (
     f"""WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
 e AS (
   SELECT d.doc_id AS src,
-         {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst
+         {_edge_dst_sql()} AS dst
   FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
 ),
 deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
@@ -102,13 +126,7 @@ def _hash_graph(spark: SparkSession, sf_dir: str):
         .select(F.col("doc_id").alias("id"), "n_nodes")
         .localCheckpoint(eager=False)
     )
-    dsts = [
-        (
-            X.h32(F.concat(F.col("id").cast("string"), F.lit(f":{j}")))
-            % F.col("n_nodes")
-        ).cast("long")
-        for j in range(1, OUT_DEG + 1)
-    ]
+    dsts = _edge_dst_exprs(F.col("id"), F.col("n_nodes"))
     edges = nodes.select(
         F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
     ).localCheckpoint(eager=False)
@@ -171,7 +189,7 @@ _HITS_ORACLE = (
     f"""WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
 e AS (
   SELECT d.doc_id AS src,
-         {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst
+         {_edge_dst_sql()} AS dst
   FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
 ),
 h0 AS (SELECT doc_id AS id, {HITS_SCALE}::BIGINT AS hub FROM documents),
@@ -252,7 +270,7 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANCHOR_ORACLE = f"""
 WITH n AS (SELECT count(*)::BIGINT AS n_nodes FROM documents),
 links AS (
-  SELECT {X.h32_sql("d.doc_id::VARCHAR || ':' || j.j::VARCHAR")} % n.n_nodes AS dst,
+  SELECT {_edge_dst_sql()} AS dst,
          regexp_extract(lower(d.text), '^\\s*(\\S+)', 1) AS anchor
   FROM documents d, n, (VALUES {_edges_values_sql()}) j(j)
 ), cnt AS (
@@ -289,13 +307,7 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     n1 = d.agg(F.count("*").cast("long").alias("n_nodes"))
     anchor = F.regexp_extract(F.lower("text"), r"^\s*(\S+)", 1)
-    dsts = [
-        (
-            X.h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}")))
-            % F.col("n_nodes")
-        ).cast("long")
-        for j in range(1, OUT_DEG + 1)
-    ]
+    dsts = _edge_dst_exprs(F.col("doc_id"), F.col("n_nodes"))
     links = (
         d.crossJoin(F.broadcast(n1))
         .select(anchor.alias("anchor"), F.explode(F.array(*dsts)).alias("dst"))

@@ -1568,12 +1568,26 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_MIN_TOKENS = 20
 FILTER_MIN_QUALITY = 0.45
 
+def word_grams_sql(toks: str, k: int = 3) -> str:
+    """Occurrence-counted (NON-distinct) word k-gram list over a bound
+    token-list expression — the single SQL definition of the word-gram
+    rule, shared by the repetition gates (via ``_DUP3_SQL``) and the
+    Wimbd-style duplication analysis (``ngram_dup_rate``); the distinct
+    form for dedup lives in :func:`functions.text.shingles_sql`, the Spark
+    twin is :func:`_tgs_expr`."""
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"case when len({toks}) >= {k} "
+        f"then list_transform(range(1, len({toks}) - {k - 2}), i -> {parts}) "
+        f"else []::VARCHAR[] end"
+    )
+
+
 #: duplicate-3-gram fraction as a scalar SQL expression over a bound token
 #: list ``t`` (the same formula text_repetition's oracle computes in its CTE)
 _DUP3_SQL = (
     "CASE WHEN len(t) < 3 THEN 0.0 ELSE "
-    "1.0 - len(list_distinct(list_transform(range(1, len(t) - 1), "
-    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE / (len(t) - 2) END"
+    f"1.0 - len(list_distinct({word_grams_sql('t')}))::DOUBLE / (len(t) - 2) END"
 )
 
 

@@ -585,3 +585,97 @@ def rolling_drift_alerts(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming expectation gate (enforcement on the ingest path)
+# ---------------------------------------------------------------------------
+
+#: ordered expectation suite for the ingest gate — the streaming twin of the
+#: batch ``expectations_enforce`` catalog query's action model (warn counts,
+#: drop removes), restricted to the STATELESS expectations: uniqueness on a
+#: stream is :func:`stream_dedup_pages` (watermarked state), composed after
+#: this gate.
+EXPECT_ALLOWED_LANGS = ("eng", "deu", "fra", "spa", "zho")
+EXPECT_LEN_BOUND = 2000
+
+
+def stream_expectations(
+    pages: DataFrame,
+    allowed_langs: tuple[str, ...] = EXPECT_ALLOWED_LANGS,
+    len_bound: int = EXPECT_LEN_BOUND,
+) -> DataFrame:
+    """Row-level expectation verdicts as pure projection columns (works
+    identically on a stream or a batch frame — no state, no shuffle):
+    ``violation`` carries the FIRST failing drop-expectation's name (NULL =
+    row passes every drop rule, the sequential-semantics twin of the batch
+    ledger), ``warned`` marks rows flagged by the warn-only length bound.
+
+    The caller routes on ``violation``: NULL rows continue down the
+    pipeline, violating rows land in the violation sidecar with their
+    reason — the north-star violation-row shape, applied at ingest before
+    anything is persisted.
+    """
+    f_null = F.col("text").isNull()
+    f_lang = ~f_null & ~F.col("lang").isin(*allowed_langs)
+    violation = (
+        F.when(f_null, F.lit("text_not_null"))
+        .when(f_lang, F.lit("lang_in_allowlist"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    warned = violation.isNull() & (F.length("text") > len_bound)
+    return pages.withColumn("violation", violation).withColumn("warned", warned)
+
+
+def run_enforced_to_sinks(
+    pages: DataFrame,
+    kept_dir: str,
+    violations_dir: str,
+    ledger_dir: str,
+    checkpoint_path: str,
+) -> None:
+    """Drain a page stream through the expectation gate into three sinks:
+    clean rows (kept), the violation sidecar (reason-tagged rows), and the
+    per-micro-batch ledger (batch_id, expectation, action, flagged,
+    dropped). One ``foreachBatch`` evaluates the gate ONCE per batch and
+    fans out — re-drains with the same checkpoint reprocess nothing, the
+    same availableNow contract as :func:`run_to_sink`."""
+
+    def _enforce(batch: DataFrame, batch_id: int) -> None:
+        flagged = stream_expectations(batch).persist()
+        try:
+            kept = flagged.where(F.col("violation").isNull()).drop(
+                "violation", "warned"
+            )
+            kept.write.mode("append").parquet(kept_dir)
+            (
+                flagged.where(F.col("violation").isNotNull())
+                .select("url", "warc_ts", "lang", "violation")
+                .write.mode("append")
+                .parquet(violations_dir)
+            )
+            counts = flagged.agg(
+                F.sum((F.col("violation") == "text_not_null").cast("long")).alias("d1"),
+                F.sum((F.col("violation") == "lang_in_allowlist").cast("long")).alias("d2"),
+                F.sum(F.col("warned").cast("long")).alias("w3"),
+            ).first()
+            ledger = batch.sparkSession.createDataFrame(
+                [
+                    (batch_id, "text_not_null", "drop", counts.d1 or 0, counts.d1 or 0),
+                    (batch_id, "lang_in_allowlist", "drop", counts.d2 or 0, counts.d2 or 0),
+                    (batch_id, "len_within_bound", "warn", counts.w3 or 0, 0),
+                ],
+                "batch_id long, expectation string, action string, "
+                "flagged long, dropped long",
+            )
+            ledger.write.mode("append").parquet(ledger_dir)
+        finally:
+            flagged.unpersist()
+
+    (
+        pages.writeStream.foreachBatch(_enforce)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

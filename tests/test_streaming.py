@@ -420,3 +420,65 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         (F.unix_timestamp("g.warc_ts") - F.unix_timestamp("b.warc_ts")).alias("d")
     )
     assert diffs.where(~F.col("d").isin(0, 300)).count() == 0
+
+
+def test_stream_expectations_gate_matches_batch(spark, tmp_path):
+    """The ingest expectation gate: kept + violations partition the input,
+    the per-batch ledger sums to the batch-mode counts, reasons follow
+    sequential semantics (NULL text outranks bad lang), and a re-drain with
+    the same checkpoint adds nothing."""
+    from skyline_spark.streaming.ingest import (
+        run_enforced_to_sinks,
+        stream_expectations,
+    )
+
+    src = str(tmp_path / "src")
+    pages = synth_pages(spark, n_rows=3000, n_days=6, defects=True)
+    pages.repartition(3).write.mode("overwrite").parquet(src)
+
+    kept_dir = str(tmp_path / "kept")
+    viol_dir = str(tmp_path / "viol")
+    ledger_dir = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_page_stream(spark, src, max_files_per_trigger=1)
+    run_enforced_to_sinks(stream, kept_dir, viol_dir, ledger_dir, ckpt)
+
+    batch = spark.read.parquet(src)
+    flagged = stream_expectations(batch)
+    want_drop = flagged.where(F.col("violation").isNotNull()).count()
+    want_null = flagged.where(F.col("violation") == "text_not_null").count()
+    want_lang = flagged.where(F.col("violation") == "lang_in_allowlist").count()
+    want_warn = flagged.where(F.col("warned")).count()
+    total = batch.count()
+    assert want_null > 0 and want_lang > 0 and want_warn > 0  # defects fire
+
+    kept = spark.read.parquet(kept_dir)
+    viol = spark.read.parquet(viol_dir)
+    assert kept.count() + viol.count() == total
+    assert viol.count() == want_drop
+    got_reasons = {
+        r.violation: r.n
+        for r in viol.groupBy("violation").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_reasons == {
+        "text_not_null": want_null,
+        "lang_in_allowlist": want_lang,
+    }
+    ledger = spark.read.parquet(ledger_dir)
+    sums = {
+        r.expectation: (r.flagged, r.dropped)
+        for r in ledger.groupBy("expectation")
+        .agg(F.sum("flagged").alias("flagged"), F.sum("dropped").alias("dropped"))
+        .collect()
+    }
+    assert sums["text_not_null"] == (want_null, want_null)
+    assert sums["lang_in_allowlist"] == (want_lang, want_lang)
+    assert sums["len_within_bound"] == (want_warn, 0)
+    # multiple micro-batches actually exercised the per-batch ledger
+    assert ledger.select("batch_id").distinct().count() >= 2
+
+    # exactly-once: a second drain with the same checkpoint adds nothing
+    stream2 = read_page_stream(spark, src, max_files_per_trigger=1)
+    run_enforced_to_sinks(stream2, kept_dir, viol_dir, ledger_dir, ckpt)
+    assert spark.read.parquet(kept_dir).count() == kept.count()
+    assert spark.read.parquet(viol_dir).count() == viol.count()
