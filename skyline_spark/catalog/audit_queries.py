@@ -115,8 +115,15 @@ def _profile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ratio(num: F.Column, den: F.Column) -> F.Column:
-    """r6 of one correctly-rounded int64/int64 division (both engines)."""
-    return X.r6(num.cast("double") / den.cast("double"))
+    """r6 of one correctly-rounded int64/int64 division (both engines).
+    NULL when the denominator is 0 (an empty table/column) — guarded
+    identically in the oracles via :func:`_ratio_sql`; unguarded, ANSI
+    Spark throws DIVIDE_BY_ZERO where DuckDB yields NaN."""
+    return F.when(den != 0, X.r6(num.cast("double") / den.cast("double")))
+
+
+def _ratio_sql(num: str, den: str) -> str:
+    return f"CASE WHEN {den} <> 0 THEN {X.r6_sql(f'{num}::DOUBLE / {den}::DOUBLE')} END"
 
 
 _COLUMN_PROFILE_ORACLE = (
@@ -125,7 +132,7 @@ _COLUMN_PROFILE_ORACLE = (
     + "\nUNION ALL\n".join(
         [
             f"SELECT '{c}' AS col_name, 'completeness' AS metric, "
-            f"{X.r6_sql(f'nn_{c}::DOUBLE / n::DOUBLE')} AS value FROM prof"
+            f"{_ratio_sql(f'nn_{c}', 'n')} AS value FROM prof"
             for c in _PROFILE_COLS
         ]
         + [
@@ -134,14 +141,14 @@ _COLUMN_PROFILE_ORACLE = (
         ]
         + [
             f"SELECT '{c}', 'distinctness', "
-            f"{X.r6_sql(f'nd_{c}::DOUBLE / nn_{c}::DOUBLE')} FROM prof"
+            f"{_ratio_sql(f'nd_{c}', f'nn_{c}')} FROM prof"
             for c in _PROFILE_COLS
         ]
         + [
             "SELECT 'text', 'len_min', len_min::DOUBLE FROM prof",
             "SELECT 'text', 'len_max', len_max::DOUBLE FROM prof",
             "SELECT 'text', 'len_avg', "
-            + X.r6_sql("len_sum::DOUBLE / nn_text::DOUBLE")
+            + _ratio_sql("len_sum", "nn_text")
             + " FROM prof",
             "SELECT 'warc_ts', 'epoch_min', floor(epoch(ts_min))::DOUBLE FROM prof",
             "SELECT 'warc_ts', 'epoch_max', floor(epoch(ts_max))::DOUBLE FROM prof",
@@ -220,26 +227,30 @@ def _pct_floor_sql(num: str, den: str) -> str:
     return f"'0.' || lpad((({num}) * 100 // ({den}))::VARCHAR, 2, '0')"
 
 
+# every arm is gated on n > 0: an EMPTY table yields zero suggestions (no
+# data, no proposals) — ungated, the pct floor divides by zero and Spark's
+# empty collect_set ('') disagrees with DuckDB's empty string_agg (NULL)
 _SUGGESTION_ARMS_SQL = []
 for _c in _PROFILE_COLS:
     _SUGGESTION_ARMS_SQL.append(
         f"SELECT '{_c}' AS col_name, "
         f"CASE WHEN nn_{_c} = n THEN 'not_null' ELSE 'completeness_ge' END AS constraint_kind, "
         f"CASE WHEN nn_{_c} = n THEN '' ELSE {_pct_floor_sql(f'nn_{_c}', 'n')} END AS params, "
-        f"{X.r6_sql(f'nn_{_c}::DOUBLE / n::DOUBLE')} AS support FROM prof"
+        f"{X.r6_sql(f'nn_{_c}::DOUBLE / n::DOUBLE')} AS support FROM prof WHERE n > 0"
     )
     _SUGGESTION_ARMS_SQL.append(
         f"SELECT '{_c}', "
         f"CASE WHEN nd_{_c} = nn_{_c} THEN 'unique' ELSE 'distinctness_ge' END, "
         f"CASE WHEN nd_{_c} = nn_{_c} THEN '' ELSE {_pct_floor_sql(f'nd_{_c}', f'nn_{_c}')} END, "
-        f"{X.r6_sql(f'nd_{_c}::DOUBLE / nn_{_c}::DOUBLE')} FROM prof"
+        f"{X.r6_sql(f'nd_{_c}::DOUBLE / nn_{_c}::DOUBLE')} FROM prof WHERE n > 0"
     )
 _SUGGESTION_ARMS_SQL += [
-    f"SELECT 'lang', 'is_in', lang_domain, 1.0 FROM prof WHERE nd_lang <= {_MAX_DOMAIN}",
+    f"SELECT 'lang', 'is_in', lang_domain, 1.0 FROM prof "
+    f"WHERE n > 0 AND nd_lang <= {_MAX_DOMAIN}",
     "SELECT 'text', 'length_between', len_min::VARCHAR || '..' || len_max::VARCHAR, "
-    "1.0 FROM prof",
+    "1.0 FROM prof WHERE n > 0",
     "SELECT 'warc_ts', 'ts_between', strftime(ts_min, '%Y-%m-%d') || '..' || "
-    "strftime(ts_max, '%Y-%m-%d'), 1.0 FROM prof",
+    "strftime(ts_max, '%Y-%m-%d'), 1.0 FROM prof WHERE n > 0",
 ]
 
 _CONSTRAINT_SUGGESTION_ORACLE = (
@@ -337,8 +348,10 @@ def constraint_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # n > 0 gate (oracle twin: WHERE n > 0 on every arm): empty table →
+    # zero suggestions; explode of the empty array drops the profile row
     return (
-        p.select(F.explode(suggestions).alias("r"))
+        p.select(F.explode(F.when(n > 0, suggestions).otherwise(empty)).alias("r"))
         .select("r.col_name", "r.constraint_kind", "r.params", "r.support")
         .orderBy("col_name", "constraint_kind")
     )
@@ -367,16 +380,18 @@ _FD_ORACLE = (
 SELECT fd, n_keys, violating_keys, violating_rows,
        (violating_keys = 0) AS holds
 FROM (
+  -- coalesce: sums over an EMPTY table are NULL in both engines; an empty
+  -- table has zero violations and the FD holds vacuously
   SELECT 'url->lang' AS fd,
          count(*)::BIGINT AS n_keys,
-         sum((nd_lang > 1)::INT)::BIGINT AS violating_keys,
-         sum(CASE WHEN nd_lang > 1 THEN n_rows ELSE 0 END)::BIGINT AS violating_rows
+         coalesce(sum((nd_lang > 1)::INT), 0)::BIGINT AS violating_keys,
+         coalesce(sum(CASE WHEN nd_lang > 1 THEN n_rows ELSE 0 END), 0)::BIGINT AS violating_rows
   FROM per_url
   UNION ALL
   SELECT 'url->text_len',
          count(*)::BIGINT,
-         sum((nd_len > 1)::INT)::BIGINT,
-         sum(CASE WHEN nd_len > 1 THEN n_rows ELSE 0 END)::BIGINT
+         coalesce(sum((nd_len > 1)::INT), 0)::BIGINT,
+         coalesce(sum(CASE WHEN nd_len > 1 THEN n_rows ELSE 0 END), 0)::BIGINT
   FROM per_url
 )
 ORDER BY fd
@@ -405,16 +420,19 @@ def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nd_len"),
     )
     # both FDs roll up from the same per-key frame in one pass
+    zero = F.lit(0).cast("long")
     roll = per_url.agg(
         F.count("*").cast("long").alias("n_keys"),
-        F.sum((F.col("nd_lang") > 1).cast("int")).cast("long").alias("vk_lang"),
-        F.sum(F.when(F.col("nd_lang") > 1, F.col("n_rows")).otherwise(0))
-        .cast("long")
-        .alias("vr_lang"),
-        F.sum((F.col("nd_len") > 1).cast("int")).cast("long").alias("vk_len"),
-        F.sum(F.when(F.col("nd_len") > 1, F.col("n_rows")).otherwise(0))
-        .cast("long")
-        .alias("vr_len"),
+        # coalesce: sums over an empty frame are NULL; zero violations and
+        # a vacuously-holding FD is the right empty-table answer
+        F.coalesce(F.sum((F.col("nd_lang") > 1).cast("int")).cast("long"), zero).alias("vk_lang"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd_lang") > 1, F.col("n_rows")).otherwise(0)).cast("long"), zero
+        ).alias("vr_lang"),
+        F.coalesce(F.sum((F.col("nd_len") > 1).cast("int")).cast("long"), zero).alias("vk_len"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd_len") > 1, F.col("n_rows")).otherwise(0)).cast("long"), zero
+        ).alias("vr_len"),
     )
     out = roll.select(
         F.explode(
@@ -985,11 +1003,13 @@ _EXPECT_ORACLE = (
            ) END AS rn
   FROM reach
 ), agg AS (
+  -- coalesce: an EMPTY table's sums are NULL in both engines; the ledger
+  -- should read 0 flagged / 0 dropped / 0 remaining instead
   SELECT count(*)::BIGINT AS n,
-         sum(f1::INT)::BIGINT AS d1,
-         sum(f2::INT)::BIGINT AS d2,
-         sum(f3::INT)::BIGINT AS w3,
-         sum((survives12 AND rn > 1)::INT)::BIGINT AS d4
+         coalesce(sum(f1::INT), 0)::BIGINT AS d1,
+         coalesce(sum(f2::INT), 0)::BIGINT AS d2,
+         coalesce(sum(f3::INT), 0)::BIGINT AS w3,
+         coalesce(sum((survives12 AND rn > 1)::INT), 0)::BIGINT AS d4
   FROM ranked
 )
 SELECT * FROM (
@@ -1043,14 +1063,16 @@ def expectations_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.when(F.col("survives12"), F.row_number().over(w)).alias("rn"),
     )
+    zero = F.lit(0).cast("long")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("f1").cast("int")).cast("long").alias("d1"),
-        F.sum(F.col("f2").cast("int")).cast("long").alias("d2"),
-        F.sum(F.col("f3").cast("int")).cast("long").alias("w3"),
-        F.sum((F.col("survives12") & (F.col("rn") > 1)).cast("int"))
-        .cast("long")
-        .alias("d4"),
+        F.coalesce(F.sum(F.col("f1").cast("int")).cast("long"), zero).alias("d1"),
+        F.coalesce(F.sum(F.col("f2").cast("int")).cast("long"), zero).alias("d2"),
+        F.coalesce(F.sum(F.col("f3").cast("int")).cast("long"), zero).alias("w3"),
+        F.coalesce(
+            F.sum((F.col("survives12") & (F.col("rn") > 1)).cast("int")).cast("long"),
+            zero,
+        ).alias("d4"),
     )
     n, d1, d2, w3, d4 = (F.col(c) for c in ("n", "d1", "d2", "w3", "d4"))
     ledger = F.array(
