@@ -633,6 +633,51 @@ ORDER BY host, verdict, matched_rule
 """
 
 
+def evaluate_robots(parsed: DataFrame, rules: DataFrame) -> DataFrame:
+    """The reusable RFC 9309 evaluation core: per url (``parsed``:
+    url/host/path), match the host's prefix ``rules`` (host/kind/prefix),
+    pick the LONGEST matching prefix, allow wins an exact-length tie, no
+    rule -> allowed. Returns (url, host, verdict, matched_rule).
+
+    LEFT broadcast join (equi on host + the prefix predicate riding the
+    join): a url with no matching rule keeps one NULL-rule row, so the
+    per-url argmax window also resolves the default-allow case — one url
+    pass, no second join back. Property-tested against a pure-Python
+    evaluator on random rule/path sets (test_properties)."""
+    from pyspark.sql import Window
+
+    p_, r_ = parsed.alias("p"), rules.alias("r")
+    matched = p_.join(
+        F.broadcast(r_),
+        (F.col("p.host") == F.col("r.host"))
+        & F.col("p.path").startswith(F.col("r.prefix")),
+        "left",
+    ).select(
+        F.col("p.url").alias("url"),
+        F.col("p.host").alias("host"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.prefix").alias("prefix"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc_nulls_last(), (F.col("kind") == "allow").desc()
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "url",
+            "host",
+            F.when(
+                F.col("kind").isNull() | (F.col("kind") == "allow"), F.lit("allowed")
+            )
+            .otherwise(F.lit("blocked"))
+            .alias("verdict"),
+            F.coalesce("prefix", F.lit("")).alias("matched_rule"),
+        )
+    )
+
+
+
 @query(
     "robots_policy_eval",
     _robots_oracle(),
@@ -646,8 +691,6 @@ ORDER BY host, verdict, matched_rule
         "self-join",
 )
 def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
     urls = ev.select(url_canonical_expr(_url_raw_expr()).alias("url")).distinct()
     parsed = urls.select(
@@ -674,37 +717,8 @@ def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(common, F.when(F.col("hd") % 2 == 0, even).otherwise(empty))
         ).alias("r"),
     ).select("host", "r.kind", "r.prefix")
-    # LEFT broadcast join (equi on host + the prefix predicate riding the
-    # join): a url with no matching rule keeps one NULL-rule row, so the
-    # per-url argmax window also resolves the default-allow case — one url
-    # pass, no second join back
-    p_, r_ = parsed.alias("p"), rules.alias("r")
-    matched = p_.join(
-        F.broadcast(r_),
-        (F.col("p.host") == F.col("r.host"))
-        & F.col("p.path").startswith(F.col("r.prefix")),
-        "left",
-    ).select(
-        F.col("p.url").alias("url"),
-        F.col("p.host").alias("host"),
-        F.col("r.kind").alias("kind"),
-        F.col("r.prefix").alias("prefix"),
-    )
-    w = Window.partitionBy("url").orderBy(
-        F.length("prefix").desc_nulls_last(), (F.col("kind") == "allow").desc()
-    )
     return (
-        matched.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "host",
-            F.when(
-                F.col("kind").isNull() | (F.col("kind") == "allow"), F.lit("allowed")
-            )
-            .otherwise(F.lit("blocked"))
-            .alias("verdict"),
-            F.coalesce("prefix", F.lit("")).alias("matched_rule"),
-        )
+        evaluate_robots(parsed, rules)
         .groupBy("host", "verdict", "matched_rule")
         .agg(F.count("*").cast("long").alias("n_urls"))
         .orderBy("host", "verdict", "matched_rule")

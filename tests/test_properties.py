@@ -101,3 +101,68 @@ def test_h32_matches_duckdb(s):
         "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", params=[s]
     ).fetchone()[0]
     assert py == dk
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 longest-match evaluation vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_rule_prefix = st.text(alphabet="/ab1", min_size=1, max_size=4).map(
+    lambda s: "/" + s.lstrip("/")
+)
+_path = st.text(alphabet="/ab1", min_size=1, max_size=6).map(
+    lambda s: "/" + s.lstrip("/")
+)
+
+
+def _py_robots(path: str, rules: list[tuple[str, str]]) -> tuple[str, str]:
+    """Reference RFC 9309 evaluator: longest matching prefix wins, allow
+    beats disallow on an exact-length tie, no match -> allowed."""
+    best = None  # (len, is_allow, kind, prefix)
+    for kind, prefix in rules:
+        if path.startswith(prefix):
+            cand = (len(prefix), kind == "allow", kind, prefix)
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    if best is None:
+        return "allowed", ""
+    return ("allowed" if best[1] else "blocked"), best[3]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rules=st.lists(
+        st.tuples(st.sampled_from(["allow", "disallow"]), _rule_prefix),
+        min_size=0,
+        max_size=6,
+        unique=True,
+    ),
+    paths=st.lists(_path, min_size=1, max_size=10, unique=True),
+)
+def test_robots_eval_matches_python_reference(spark, rules, paths):
+    from pyspark.sql import Row
+    from skyline_spark.catalog.crawl_queries import evaluate_robots
+
+    host = "h.example.org"
+    parsed = spark.createDataFrame(
+        [Row(url=f"https://{host}{p}", host=host, path=p) for p in paths],
+        "url string, host string, path string",
+    )
+    rules_df = spark.createDataFrame(
+        [Row(host=host, kind=k, prefix=p) for k, p in rules],
+        "host string, kind string, prefix string",
+    )
+    got = {
+        r.url: (r.verdict, r.matched_rule)
+        for r in evaluate_robots(parsed, rules_df).collect()
+    }
+    for p in paths:
+        want_verdict, want_rule = _py_robots(p, rules)
+        url = f"https://{host}{p}"
+        assert got[url][0] == want_verdict, (p, rules, got[url])
+        # matched_rule ties between two same-length same-kind prefixes
+        # cannot exist (prefixes are unique), so the rule is deterministic
+        # except allow/disallow pairs of the same prefix string — unique
+        # tuples still allow that pair; the verdict assert above covers it
+        if got[url][0] == want_verdict == "blocked":
+            assert got[url][1] == want_rule, (p, rules, got[url])
