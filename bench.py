@@ -306,6 +306,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ionosphere_layers",
         "roomba_vacuum",
         "dedup_embedding_lsh",
+        "dedup_incremental_minhash",
         "dedup_clusters",
         "dedup_passages",
         "kmeans_lloyd",

@@ -2379,3 +2379,157 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: new crawl batch vs the persisted signature index
+# ---------------------------------------------------------------------------
+#
+# Production dedup is INCREMENTAL: yesterday's corpus already has a
+# materialized MinHash signature table; today's batch is checked AGAINST it
+# (and its signatures appended afterward) — the near-dup twin of
+# bloom_novelty's exact-hash gate, and the cross-corpus form of
+# dedup_minhash_lsh's self-join. Index = even doc_id (the deterministic
+# stand-in for yesterday's corpus, the bloom_novelty split), incoming = odd.
+#
+# Same scale shape as the self-join: the band equi-join shuffles only
+# (doc_id, band_id, band_key), candidate volume is per-bucket, shingle sets
+# fetched back by id for exact-Jaccard verification — but the index side
+# never recomputes signatures at scale (it IS the persisted table), and the
+# incoming side's signatures are exactly what gets appended for tomorrow.
+# Per incoming doc: is_dup, the best index match (max jaccard, tie -> min
+# index id), and its jaccard — 0/-1 for clean docs, so the driver-facing
+# frame is NULL-free.
+
+_INCR_ORACLE = (
+    _DOC_CTE
+    + f""", sig AS (
+  SELECT doc_id, sh, {X.minhash_sig_sql('shh')} AS sig,
+         doc_id % 2 = 0 AS in_index
+  FROM shh WHERE len(sh) > 0
+), bands AS (
+  SELECT doc_id, sh, in_index, b.b AS band_id,
+         CASE b.b {' '.join(f"WHEN {b} THEN {_band_key_sql('sig', b, _MINHASH_ROWS)}" for b in range(MINHASH_BANDS))} END AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) b
+), cand AS (
+  SELECT DISTINCT i.doc_id AS idx_id, q.doc_id AS new_id,
+         i.sh AS sh_i, q.sh AS sh_q
+  FROM bands i JOIN bands q
+    ON i.band_id = q.band_id AND i.band_key = q.band_key
+   AND i.in_index AND NOT q.in_index
+), verified AS (
+  SELECT new_id, idx_id,
+         len(list_intersect(sh_i, sh_q))::DOUBLE
+           / len(list_distinct(list_concat(sh_i, sh_q))) AS jac
+  FROM cand
+  WHERE len(list_intersect(sh_i, sh_q))::DOUBLE
+        / len(list_distinct(list_concat(sh_i, sh_q))) >= {MINHASH_JACCARD_T}
+), best AS (
+  SELECT new_id, idx_id, jac,
+         row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, idx_id) AS rk
+  FROM verified
+)
+SELECT d.doc_id,
+       (b.idx_id IS NOT NULL) AS is_dup,
+       coalesce(b.idx_id, -1) AS match_id,
+       coalesce(floor(b.jac * 1000000 + 0.5) / 1000000, 0.0) AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN best b ON b.new_id = d.doc_id AND b.rk = 1
+ORDER BY d.doc_id
+"""
+)
+
+
+@query(
+    "dedup_incremental_minhash",
+    _INCR_ORACLE,
+    doc="incremental near-dup: today's batch (odd doc_id) checked against "
+        "the persisted MinHash signature index (even doc_id — the "
+        "bloom_novelty split), the cross-corpus form of dedup_minhash_lsh "
+        "and the near-dup twin of the exact Bloom gate; band equi-join "
+        "shuffles only (doc_id, band_id, band_key), exact-Jaccard "
+        "verification by id fetch, per incoming doc the best index match "
+        "(max jaccard, tie -> min index id); at scale the index side IS "
+        "the materialized signature table and the incoming side's "
+        "signatures are what gets appended for tomorrow",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(load(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", X.shingles_udf()(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    sig = sh.select(
+        "doc_id",
+        _minhash_from_shingles(F.col("sh")).alias("sig"),
+        (F.col("doc_id") % 2 == 0).alias("in_index"),
+    )
+    rows = _MINHASH_ROWS
+    bands = (
+        sig.select(
+            "doc_id",
+            "in_index",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "in_index", "band.band_id", "band.band_key")
+        .localCheckpoint(eager=False)
+    )
+    i = bands.where(F.col("in_index")).alias("i")
+    q = bands.where(~F.col("in_index")).alias("q")
+    cand = (
+        i.join(
+            q,
+            (F.col("i.band_id") == F.col("q.band_id"))
+            & (F.col("i.band_key") == F.col("q.band_key")),
+        )
+        .select(F.col("i.doc_id").alias("idx_id"), F.col("q.doc_id").alias("new_id"))
+        .dropDuplicates(["idx_id", "new_id"])
+    )
+    sh_i = sh.select(F.col("doc_id").alias("idx_id"), F.col("sh").alias("sh_i"))
+    sh_q = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_q"))
+    jac = F.size(F.array_intersect("sh_i", "sh_q")).cast("double") / F.size(
+        F.array_union("sh_i", "sh_q")
+    )
+    verified = (
+        cand.join(sh_i, "idx_id")
+        .join(sh_q, "new_id")
+        .select("new_id", "idx_id", jac.alias("jac"))
+        .where(F.col("jac") >= MINHASH_JACCARD_T)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("idx_id"))
+    best = verified.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    incoming = d.select("doc_id").where(F.col("doc_id") % 2 == 1)
+    return (
+        incoming.join(best, incoming["doc_id"] == best["new_id"], "left")
+        .select(
+            incoming["doc_id"],
+            F.col("idx_id").isNotNull().alias("is_dup"),
+            F.coalesce("idx_id", F.lit(-1)).cast("long").alias("match_id"),
+            F.coalesce(
+                F.floor(F.col("jac") * 1_000_000 + F.lit(0.5)) / 1_000_000,
+                F.lit(0.0),
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )

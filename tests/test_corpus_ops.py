@@ -217,3 +217,35 @@ def test_temperature_sample_deterministic(spark, temp_docs):
     a = mixture_temperature_sample(spark, temp_docs).collect()
     b = mixture_temperature_sample(spark, temp_docs).collect()
     assert a == b  # incl. sel_hash_sum: the same doc set every run
+
+
+def test_incremental_minhash_consistent_with_self_join(spark):
+    """The cross-corpus incremental form must agree with the self-join
+    dedup: every (index, incoming) pair it verifies appears in
+    dedup_minhash_lsh's pair list (restricted to cross-parity pairs), and
+    vice versa — same bands, same threshold, different join topology."""
+    from skyline_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    incr = {
+        (r.match_id, r.doc_id): r.jaccard
+        for r in QUERIES["dedup_incremental_minhash"].build(spark, sf).collect()
+        if r.is_dup
+    }
+    self_pairs = {}
+    for r in QUERIES["dedup_minhash_lsh"].build(spark, sf).collect():
+        a, b = r.doc_a, r.doc_b
+        if a % 2 != b % 2:  # cross-parity pair: one index doc, one incoming
+            idx, new = (a, b) if a % 2 == 0 else (b, a)
+            self_pairs[(idx, new)] = r.jaccard
+    assert set(incr) <= set(self_pairs)
+    # every incoming doc with ANY cross-parity pair is flagged, and the
+    # reported match is its best (max jaccard) index partner
+    by_new = {}
+    for (idx, new), j in self_pairs.items():
+        cur = by_new.get(new)
+        if cur is None or (j, -idx) > (cur[1], -cur[0]):
+            by_new[new] = (idx, j)
+    assert {(idx, new) for new, (idx, _) in by_new.items()} == set(incr)
+    for (idx, new), j in incr.items():
+        assert abs(j - by_new[new][1]) < 1e-9
