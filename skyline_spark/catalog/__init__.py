@@ -44,6 +44,18 @@ from . import audit_queries  # noqa: F401,E402
 #: vs CORRECTNESS_r02.json (68 registered → first 50 recorded)
 DRIVER_WINDOW = 50
 
+# The second round-3 session's additions (the audit family, robots/anchor/
+# confusion, source_scorecard, expectations_enforce,
+# dedup_incremental_minhash) land PAST the window deliberately: every
+# in-window slot is held by an entry that still needs a FRESH driver row —
+# the flagships, the round-2 orphans, the round-3 adds with no row at all,
+# and the 9 detectors, whose r2 rows no longer cover current code (their
+# catalog builders changed in the d510425..HEAD round-3 diff). With no
+# strictly-better swap available, the new queries carry the committed
+# full-sweep snapshot (PARITY_r03.json, same sf/same comparison as the
+# driver gate) as their evidence tier — the fallback the rotation-invariant
+# test below codifies.
+
 PRIORITY_WINDOW: list[str] = [
     # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
     "validate_pages_relational",

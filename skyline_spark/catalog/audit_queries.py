@@ -52,6 +52,8 @@ __all__ = [
     "ngram_dup_rate",
     "crawl_fetch_plan",
     "lang_confusion_matrix",
+    "source_scorecard",
+    "expectations_enforce",
 ]
 
 
@@ -236,13 +238,16 @@ for _c in _PROFILE_COLS:
         f"SELECT '{_c}' AS col_name, "
         f"CASE WHEN nn_{_c} = n THEN 'not_null' ELSE 'completeness_ge' END AS constraint_kind, "
         f"CASE WHEN nn_{_c} = n THEN '' ELSE {_pct_floor_sql(f'nn_{_c}', 'n')} END AS params, "
-        f"{X.r6_sql(f'nn_{_c}::DOUBLE / n::DOUBLE')} AS support FROM prof WHERE n > 0"
+        f"{_ratio_sql(f'nn_{_c}', 'n')} AS support FROM prof WHERE n > 0"
     )
     _SUGGESTION_ARMS_SQL.append(
         f"SELECT '{_c}', "
         f"CASE WHEN nd_{_c} = nn_{_c} THEN 'unique' ELSE 'distinctness_ge' END, "
         f"CASE WHEN nd_{_c} = nn_{_c} THEN '' ELSE {_pct_floor_sql(f'nd_{_c}', f'nn_{_c}')} END, "
-        f"{X.r6_sql(f'nd_{_c}::DOUBLE / nn_{_c}::DOUBLE')} FROM prof WHERE n > 0"
+        # _ratio_sql, not a bare division: an all-NULL column in a NON-empty
+        # table has nn_c = 0, where DuckDB 0.0/0.0 = NaN but Spark's guarded
+        # _ratio is NULL — the same class of divergence the n > 0 gate fixes
+        f"{_ratio_sql(f'nd_{_c}', f'nn_{_c}')} FROM prof WHERE n > 0"
     )
 _SUGGESTION_ARMS_SQL += [
     f"SELECT 'lang', 'is_in', lang_domain, 1.0 FROM prof "
@@ -634,6 +639,9 @@ def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family uses — duplication mass needs every occurrence).
 
 _NGRAM_K = 3
+# the Spark side builds grams with text_queries._tgs_expr, whose k is fixed
+# at 3 — changing _NGRAM_K alone would silently update only the oracle
+assert _NGRAM_K == 3, "ngram_dup_rate's Spark side (_tgs_expr) is 3-gram-only"
 
 _NGRAM_ORACLE = f"""
 WITH toks AS (

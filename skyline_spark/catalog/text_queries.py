@@ -2526,10 +2526,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             incoming["doc_id"],
             F.col("idx_id").isNotNull().alias("is_dup"),
             F.coalesce("idx_id", F.lit(-1)).cast("long").alias("match_id"),
-            F.coalesce(
-                F.floor(F.col("jac") * 1_000_000 + F.lit(0.5)) / 1_000_000,
-                F.lit(0.0),
-            ).alias("jaccard"),
+            F.coalesce(X.r6(F.col("jac")), F.lit(0.0)).alias("jaccard"),
         )
         .orderBy("doc_id")
     )

@@ -638,8 +638,17 @@ def run_enforced_to_sinks(
     clean rows (kept), the violation sidecar (reason-tagged rows), and the
     per-micro-batch ledger (batch_id, expectation, action, flagged,
     dropped). One ``foreachBatch`` evaluates the gate ONCE per batch and
-    fans out — re-drains with the same checkpoint reprocess nothing, the
-    same availableNow contract as :func:`run_to_sink`."""
+    fans out.
+
+    Delivery contract: a COMPLETED drain is stable — re-drains with the
+    same checkpoint reprocess nothing (pinned in test_streaming). Unlike
+    :func:`run_to_sink`'s native file sink (whose commit log makes appends
+    exactly-once), a crash BETWEEN the three appends and the batch commit
+    replays that batch on restart — at-least-once across a failure. The
+    production hardening is standard: write each sink under a
+    ``batch_id=``-partitioned path (idempotent overwrite per batch) or a
+    transactional table format; the ledger's ``batch_id`` column is
+    already the dedup key a consumer needs either way."""
 
     def _enforce(batch: DataFrame, batch_id: int) -> None:
         flagged = stream_expectations(batch).persist()
