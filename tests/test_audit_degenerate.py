@@ -94,3 +94,47 @@ def test_empty_table_semantics(spark, empty_env):
     # the expectation ledger reads all-zero, not NULL
     for r in QUERIES["expectations_enforce"].build(spark, tmp).collect():
         assert r.flagged == 0 and r.dropped == 0 and r.rows_after == 0
+
+
+@pytest.fixture(scope="module")
+def all_null_env(spark, tmp_path_factory):
+    """events transformed so EVERY derived page has NULL text (user_id
+    scaled onto the %17==0 null predicate) — the all-NULL-column case:
+    nn_text = nd_text = 0 in a NON-empty table, where an unguarded oracle
+    ratio is NaN (DuckDB 0.0/0.0) but Spark's guarded ratio is NULL."""
+    from pyspark.sql import functions as F
+
+    tmp = str(tmp_path_factory.mktemp("allnull_sf"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.withColumn("user_id", F.col("user_id") * 17).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/events.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    return tmp, con
+
+
+@pytest.mark.parametrize(
+    "name", ["column_profile", "constraint_suggestion", "fd_check",
+             "expectations_enforce"]
+)
+def test_all_null_column_parity(spark, all_null_env, name):
+    tmp, con = all_null_env
+    spec = QUERIES[name]
+    sdf = spec.build(spark, tmp)
+    srows, scols = _rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows, ocols = _rows(ocols, res.fetchall())
+    assert scols == ocols
+    assert srows == orows
+    if name == "column_profile":
+        by_key = {(r[0], r[1]): r[2] for r in srows}
+        assert by_key[("text", "completeness")] == 0.0
+        # distinctness of an all-NULL column is undefined → NULL, never NaN
+        assert by_key[("text", "distinctness")] is None
