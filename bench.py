@@ -289,6 +289,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_recall",
         "drift_ensemble_relational",
         "drift_psi",
         "completeness_grid",

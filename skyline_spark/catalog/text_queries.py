@@ -2530,3 +2530,87 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall gauge vs exact top-k
+# ---------------------------------------------------------------------------
+#
+# The quality dial every IVF deployment tunes: what fraction of the TRUE
+# top-k does searching only nprobe cells return? The LSH path already has
+# its gauge (dedup_lsh_recall); this is the inverted-file twin, composed
+# from the two existing paths — exact brute-force (ann_cosine_topk) as
+# ground truth, ann_ivf_topk as the candidate — so a change to either
+# automatically re-scores the gauge. Per query: hits, k, recall; the -1 row
+# is the mean over queries (the number a tuning sweep plots against
+# nprobe). Explicitly a sampled-scale gauge, like dedup_lsh_recall: at
+# 10^12 vectors you run it on a query sample, never the corpus.
+
+_IVF_RECALL_ORACLE = f"""
+WITH exact AS ({_ANN_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+per_q AS (
+  SELECT e.query_id,
+         count(i.neighbor_id)::BIGINT AS hits,
+         count(*)::BIGINT AS k
+  FROM exact e LEFT JOIN ivf i
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, hits, k,
+       {X.r6_sql("hits::DOUBLE / k::DOUBLE")} AS recall
+FROM per_q
+UNION ALL
+SELECT -1, sum(hits)::BIGINT, sum(k)::BIGINT,
+       {X.r6_sql("sum(hits)::DOUBLE / sum(k)::DOUBLE")}
+FROM per_q
+ORDER BY query_id
+"""
+
+
+@query(
+    "ann_ivf_recall",
+    _IVF_RECALL_ORACLE,
+    doc="IVF recall gauge vs exact top-k (the inverted-file twin of "
+        "dedup_lsh_recall): per query, the fraction of the TRUE "
+        f"top-{ANN_TOPK} that probing {IVF_NPROBE} of {IVF_K} cells "
+        "returns, plus the micro-averaged mean row (query_id -1) a tuning "
+        "sweep plots against nprobe; composed from ann_cosine_topk "
+        "(ground truth) and ann_ivf_topk (candidate) so a change to "
+        "either re-scores the gauge — explicitly a sampled-scale quality "
+        "gauge, run on a query sample at 10^12 vectors",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("i_query_id"),
+            F.col("neighbor_id").alias("i_neighbor_id"),
+        )
+    )
+    per_q = (
+        exact.join(
+            ivf,
+            (F.col("query_id") == F.col("i_query_id"))
+            & (F.col("neighbor_id") == F.col("i_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_neighbor_id").cast("long").alias("hits"),
+            F.count("*").cast("long").alias("k"),
+        )
+        .localCheckpoint(eager=False)  # reused by the mean row
+    )
+    mean = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("hits").cast("long").alias("hits"),
+        F.sum("k").cast("long").alias("k"),
+    )
+    rec = X.r6(F.col("hits").cast("double") / F.col("k").cast("double"))
+    return (
+        per_q.unionAll(mean)
+        .select("query_id", "hits", "k", rec.alias("recall"))
+        .orderBy("query_id")
+    )

@@ -251,3 +251,19 @@ def test_incremental_minhash_consistent_with_self_join(spark):
     for (idx, new), j in incr.items():
         assert abs(j - best_j[new]) < 1e-9
         assert (idx, new) in self_pairs
+
+
+def test_ivf_recall_gauge_consistency(spark):
+    from skyline_spark.catalog import QUERIES
+
+    rows = {r.query_id: r for r in
+            QUERIES["ann_ivf_recall"].build(spark, "/root/testdata/sf0.01").collect()}
+    mean = rows.pop(-1)
+    assert mean.hits == sum(r.hits for r in rows.values())
+    assert mean.k == sum(r.k for r in rows.values())
+    for r in rows.values():
+        assert 0 <= r.hits <= r.k
+        assert abs(r.recall - r.hits / r.k) < 1e-6
+    # the gauge must be meaningful at this nprobe: some queries complete,
+    # overall recall well above random-cell chance (nprobe/K = 0.25)
+    assert mean.hits / mean.k > 0.5
