@@ -484,6 +484,13 @@ def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clamp note applies beyond that); ln is floor-quantized at 2^20, per-lang
 # sums Σ ca_i·l_fp are pure int64, and the final js double is the same
 # 3-operation expression in both engines.
+#
+# Known residual risk (accepted): the quantization assumes JVM Math.log and
+# DuckDB's libm log agree to the last ulp at every argument the fixture
+# produces; a 1-ulp disagreement exactly at a floor knife-edge would flip
+# one l_fp by 1. The same pattern holds for PSI/ccnet and has never flaked;
+# if it ever does, widen the margin (floor(x·S + 0.5 ± eps) band) or route
+# ln through a shared lookup table.
 
 _JS_LN_SCALE = 1 << 20
 _JS_DRIFT_T = 0.005
@@ -640,8 +647,13 @@ def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_K = 3
 # the Spark side builds grams with text_queries._tgs_expr, whose k is fixed
-# at 3 — changing _NGRAM_K alone would silently update only the oracle
-assert _NGRAM_K == 3, "ngram_dup_rate's Spark side (_tgs_expr) is 3-gram-only"
+# at 3 — changing _NGRAM_K alone would silently update only the oracle.
+# A raise (not assert) so the guard survives `python -O`.
+if _NGRAM_K != 3:
+    raise ValueError(
+        "ngram_dup_rate's Spark side (_tgs_expr) is 3-gram-only; "
+        "update both sides together"
+    )
 
 _NGRAM_ORACLE = f"""
 WITH toks AS (

@@ -603,7 +603,7 @@ WITH urls AS (
   FROM urls
 ), hosts AS (
   SELECT DISTINCT host,
-         regexp_extract(host, '^h([0-9]+)', 1)::BIGINT AS hd
+         TRY_CAST(regexp_extract(host, '^h([0-9]+)', 1) AS BIGINT) AS hd
   FROM parsed
 ), rules AS (
   SELECT host, kind, prefix
@@ -634,10 +634,17 @@ ORDER BY host, verdict, matched_rule
 
 
 def evaluate_robots(parsed: DataFrame, rules: DataFrame) -> DataFrame:
-    """The reusable RFC 9309 evaluation core: per url (``parsed``:
-    url/host/path), match the host's prefix ``rules`` (host/kind/prefix),
-    pick the LONGEST matching prefix, allow wins an exact-length tie, no
-    rule -> allowed. Returns (url, host, verdict, matched_rule).
+    """Reusable robots evaluation core for LITERAL-PREFIX rules: per url
+    (``parsed``: url/host/path), match the host's prefix ``rules``
+    (host/kind/prefix), pick the LONGEST matching prefix, allow wins an
+    exact-length tie, no rule -> allowed. Returns
+    (url, host, verdict, matched_rule).
+
+    Scope: implements RFC 9309's longest-match/allow-wins precedence over
+    plain string prefixes only — the '*' and '$' wildcard forms the RFC
+    also defines are NOT supported here; expand wildcard rules to literal
+    prefixes (or extend the match predicate) before feeding real parsed
+    robots.txt rule sets.
 
     LEFT broadcast join (equi on host + the prefix predicate riding the
     join): a url with no matching rule keeps one NULL-rule row, so the
@@ -700,7 +707,9 @@ def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # reused by hosts, the join, and the rollup
     hosts = parsed.select(
         "host",
-        F.regexp_extract("host", r"^h([0-9]+)", 1).cast("long").alias("hd"),
+        # try_cast: hosts not matching hN (real-corpus names) degrade to a
+        # NULL hd (→ no even-host rule) instead of throwing under ANSI mode
+        F.regexp_extract("host", r"^h([0-9]+)", 1).try_cast("long").alias("hd"),
     ).distinct()
     common = F.array(
         *[
