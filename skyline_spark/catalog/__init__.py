@@ -44,100 +44,55 @@ from . import audit_queries  # noqa: F401,E402
 #: vs CORRECTNESS_r02.json (68 registered → first 50 recorded)
 DRIVER_WINDOW = 50
 
-# The second round-3 session's additions (the audit family, robots/anchor/
-# confusion, source_scorecard, expectations_enforce,
-# dedup_incremental_minhash) land PAST the window deliberately: every
-# in-window slot is held by an entry that still needs a FRESH driver row —
-# the flagships, the round-2 orphans, the round-3 adds with no row at all,
-# and the 9 detectors, whose r2 rows no longer cover current code (their
-# catalog builders changed in the d510425..HEAD round-3 diff). With no
-# strictly-better swap available, the new queries carry the committed
-# full-sweep snapshot (PARITY_r03.json, same sf/same comparison as the
-# driver gate) as their evidence tier — the fallback the rotation-invariant
-# test below codifies.
+# Round-4 rotation: the 46 round-3 rows are banked (CORRECTNESS_r03.json),
+# so every slot they held is free. The window now gives FIRST-EVER driver
+# rows to the 23 oracled queries whose only evidence so far is the repo-run
+# parity snapshot (the round-3 audit/sketch/crawl/graph additions), keeps
+# the three flagship consensus twins in-window (their ensembles change this
+# round: 7-of-9 -> 9-of-9 oracled detectors), holds slots for the four
+# formerly rows-only entries being oracled this round
+# (replay_full_ensemble, extracted_text_parity, multimodal x2), and fills
+# the remainder with refresh slots for queries whose last driver row is the
+# two-round-old CORRECTNESS_r02 — each refresh slot is displaced, oldest
+# evidence first (bottom of the list upward), as round-4-new queries land.
 
 PRIORITY_WINDOW: list[str] = [
-    # flagship consensus + pipeline (incl. their rows-only full-kernel forms)
+    # flagship consensus twins — ensembles extended to 9-of-9 this round,
+    # so their r3 rows no longer cover current code
     "validate_pages_relational",
     "drift_ensemble_daily_relational",
     "drift_ensemble_relational",
-    "validate_pages_full",
-    "drift_ensemble_daily",
-    "extracted_text_parity",
+    # formerly rows-only, oracled this round (VERDICT r3 asks #4/#5/#6)
     "replay_full_ensemble",
-    "checkpoint_digest_quantiles",
-    # the 9 reference detectors + gates (core SURVEY §2.1/§2.2)
-    "detector_stddev_from_average",
-    "detector_median_absolute_deviation",
-    "detector_mean_subtraction_cumulation",
-    "detector_first_hour_average",
-    "detector_least_squares",
-    "detector_histogram_bins",
-    "detector_grubbs_score",
-    "detector_ks_2samp_d",
-    "detector_stddev_from_moving_average",
-    # boundary / luminosity / ionosphere / mirage (§2.5–2.9) + the round-3
-    # time-series joins (as-of, range — no committed driver row yet)
-    "asof_join_attribution",
-    "range_join_incidents",
-    "sessionize_events",
-    "ionosphere_profile_match",
-    "ionosphere_tsfresh_match",
-    # mirage_second_pass gained a degenerate-input guard this round
-    # (06ad64e), so its r2 row no longer covers the current code — it stays
-    # inside the window for a fresh row
-    "mirage_second_pass",
-    # round-2 orphans (oracled, green in pytest + r1, no r2 row)
-    "tsfresh_features",
-    "roomba_vacuum",
-    "util_namespace_functions",
-    "second_order_anomalies",
-    "events_props_extract",
-    "salted_group_count",
-    "tpch_q1_pricing_summary",
-    "join_orders_by_nation",
-    "window_top_orders_per_nation",
-    "domain_cap_sample",
-    "mixture_token_budget",
-    # headline LLM-pipeline operators (dedup/ANN/text); round-3 additions
-    # (no committed green row yet) displace r2-green ops — boundary_
-    # autoaggregate, events_daily_stats, text_pii_scrub rotate out (all
-    # hash-green in CORRECTNESS_r02) to make room for the curation trio
-    "dedup_exact_substrings",
-    "url_canonical_dedup",
-    "mixture_temperature_sample",
-    "quality_classifier_score",
-    "ccnet_perplexity_buckets",
-    "semdedup_prune",
-    "curation_verdicts",
-    "curation_report",
-    "dsir_select",
-    "pack_context_windows",
-    "bloom_novelty",
-    # round-3-new, no committed driver row yet: link-graph PageRank and the
-    # upsampling-epoch planner displace dedup_clusters and dedup_minhash_lsh
-    # (both hash-green in CORRECTNESS_r02; minhash additionally carries the
-    # round-3 scaling-bench evidence in scaling_results.json)
-    "mixture_epoch_plan",
-    "link_graph_pagerank",
-    # round-3-new crawl-management trio (no committed driver row yet):
-    # displaces series_gates, luminosity_correlation, ionosphere_layers —
-    # all three hash-green in CORRECTNESS_r02 with implementations
-    # untouched since that row was recorded (verified against the
-    # round-boundary diff d510425..HEAD)
-    "bpe_merge_candidates",
-    "crawl_snapshot_delta",
-    "url_host_blocklist",
-]
-assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
-    f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
-    f"got {len(PRIORITY_WINDOW)}"
-)
-
-# --- past the 50-row line from here: every one of these has a green row in
-# CORRECTNESS_r02.json (driver, sf0.01) and stays covered by the in-repo
-# sweep each round (tests/test_catalog.py pins that rotation invariant) ---
-PRIORITY_ROTATED: list[str] = [
+    "extracted_text_parity",
+    "multimodal_media_features",
+    "multimodal_resize_frames",
+    # the 23 oracled-but-never-driver-checked round-3 additions
+    "dedup_winnowing",
+    "dedup_incremental_minhash",
+    "ann_ivf_recall",
+    "fk_orphan_check",
+    "drift_psi",
+    "completeness_grid",
+    "link_graph_hits",
+    "anchor_text_topk",
+    "bpe_train_merges",
+    "bpe_tokenize_fertility",
+    "robots_policy_eval",
+    "heavy_hitters_cms",
+    "tdigest_quantiles",
+    "theta_sketch_urls",
+    "column_profile",
+    "constraint_suggestion",
+    "fd_check",
+    "corpus_divergence_js",
+    "ngram_dup_rate",
+    "crawl_fetch_plan",
+    "lang_confusion_matrix",
+    "source_scorecard",
+    "expectations_enforce",
+    # refresh slots: last driver row is CORRECTNESS_r02 (two rounds old);
+    # displaced bottom-up by round-4-new queries
     "series_gates",
     "luminosity_correlation",
     "ionosphere_layers",
@@ -158,6 +113,65 @@ PRIORITY_ROTATED: list[str] = [
     "text_lang_id",
     "text_quality",
     "ann_lsh_topk",
+]
+assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
+    f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
+    f"got {len(PRIORITY_WINDOW)}"
+)
+
+# --- past the 50-row line from here: every one of these carries a green
+# driver row in a committed CORRECTNESS_r{N}.json (r2 or r3) or, for the
+# rows-only forms, their oracled twins sit in-window; all stay covered by
+# the in-repo sweep each round (tests/test_catalog.py pins the rotation
+# invariant) ---
+PRIORITY_ROTATED: list[str] = [
+    # r3-green flagship satellites + detectors + series/relational family
+    "validate_pages_full",
+    "drift_ensemble_daily",
+    "checkpoint_digest_quantiles",
+    "detector_stddev_from_average",
+    "detector_median_absolute_deviation",
+    "detector_mean_subtraction_cumulation",
+    "detector_first_hour_average",
+    "detector_least_squares",
+    "detector_histogram_bins",
+    "detector_grubbs_score",
+    "detector_ks_2samp_d",
+    "detector_stddev_from_moving_average",
+    "asof_join_attribution",
+    "range_join_incidents",
+    "sessionize_events",
+    "ionosphere_profile_match",
+    "ionosphere_tsfresh_match",
+    "mirage_second_pass",
+    "tsfresh_features",
+    "roomba_vacuum",
+    "util_namespace_functions",
+    "second_order_anomalies",
+    "events_props_extract",
+    "salted_group_count",
+    "tpch_q1_pricing_summary",
+    "join_orders_by_nation",
+    "window_top_orders_per_nation",
+    "domain_cap_sample",
+    "mixture_token_budget",
+    "dedup_exact_substrings",
+    "url_canonical_dedup",
+    "mixture_temperature_sample",
+    "quality_classifier_score",
+    "ccnet_perplexity_buckets",
+    "semdedup_prune",
+    "curation_verdicts",
+    "curation_report",
+    "dsir_select",
+    "pack_context_windows",
+    "bloom_novelty",
+    "mixture_epoch_plan",
+    "link_graph_pagerank",
+    "bpe_merge_candidates",
+    "crawl_snapshot_delta",
+    "url_host_blocklist",
+    # r2-green, unchanged since their rows
     "filter_pipeline",
     "decontaminate_ngrams",
     "ann_ivf_topk",
@@ -177,8 +191,8 @@ PRIORITY_ROTATED: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_lsh_recall",
-    "multimodal_media_features",
-    "multimodal_resize_frames",
+    # pytest-only kernel twin (rows-only by design)
+    "tsfresh_features_kernel",
 ]
 
 PRIORITY: list[str] = PRIORITY_WINDOW + PRIORITY_ROTATED

@@ -196,9 +196,10 @@ def test_catalog_md_is_current():
 
 def test_driver_window_membership():
     """The driver's correctness gate records only the first 50 queries()
-    entries. Pin that the curated order puts the flagship consensus, the
-    round-2 orphans, and the core detectors inside that window — a module
-    import reshuffle must never again silently drop their driver rows."""
+    entries. Pin that the curated order matches PRIORITY_WINDOW and that the
+    round-4 rotation goal holds: every oracled query that has never earned a
+    committed driver row sits INSIDE the window — a query can never be added
+    and rotated out without ever earning one."""
     from skyline_spark.catalog import DRIVER_WINDOW, PRIORITY, PRIORITY_WINDOW
 
     names = list(QUERIES)
@@ -210,72 +211,71 @@ def test_driver_window_membership():
         "curated PRIORITY_WINDOW list"
     )
     must_have = {
+        # flagship twins (ensembles extended this round -> need fresh rows)
+        "validate_pages_relational",
+        "drift_ensemble_daily_relational",
         "drift_ensemble_relational",
-        "validate_pages_full",
-        "drift_ensemble_daily",
-        "replay_full_ensemble",
-        "extracted_text_parity",
-        # round-2 orphans
-        "tsfresh_features", "roomba_vacuum", "util_namespace_functions",
-        "second_order_anomalies", "events_props_extract", "salted_group_count",
-        "tpch_q1_pricing_summary", "join_orders_by_nation",
-        "window_top_orders_per_nation", "domain_cap_sample",
-        "mixture_token_budget",
-        # core detectors
-        "detector_stddev_from_average", "detector_median_absolute_deviation",
-        "detector_mean_subtraction_cumulation", "detector_first_hour_average",
-        "detector_least_squares", "detector_histogram_bins",
-        "detector_grubbs_score", "detector_ks_2samp_d",
-        "detector_stddev_from_moving_average",
-        # changed this round after its r2 row (degenerate-input guard) →
-        # needs a fresh row; series_gates/luminosity_correlation/
-        # ionosphere_layers are unchanged since their r2 rows and rotate out
-        "mirage_second_pass",
-        # headline dedup — the multi-stage paths stay pinned; the
-        # single-window forms (dedup_exact/simhash/embedding_lsh) carry
-        # green rows in CORRECTNESS_r02 and rotate out under the standing
-        # policy: queries with NO committed driver row outrank ones already
-        # evidenced green in a previous round
-        # round-3 additions (no committed driver row yet)
-        "quality_classifier_score", "ccnet_perplexity_buckets",
-        "semdedup_prune", "curation_verdicts", "curation_report",
-        "dsir_select", "pack_context_windows", "bloom_novelty",
-        "dedup_exact_substrings", "url_canonical_dedup",
-        "mixture_temperature_sample",
-        "asof_join_attribution", "range_join_incidents",
-        "sessionize_events", "link_graph_pagerank", "mixture_epoch_plan",
-        "bpe_merge_candidates", "crawl_snapshot_delta", "url_host_blocklist",
+        # oracled this round after being rows-only through r3
+        "replay_full_ensemble", "extracted_text_parity",
+        "multimodal_media_features", "multimodal_resize_frames",
+        # the 23 round-3 additions with no driver row before round 4
+        "dedup_winnowing", "dedup_incremental_minhash", "ann_ivf_recall",
+        "fk_orphan_check", "drift_psi", "completeness_grid",
+        "link_graph_hits", "anchor_text_topk", "bpe_train_merges",
+        "bpe_tokenize_fertility", "robots_policy_eval", "heavy_hitters_cms",
+        "tdigest_quantiles", "theta_sketch_urls", "column_profile",
+        "constraint_suggestion", "fd_check", "corpus_divergence_js",
+        "ngram_dup_rate", "crawl_fetch_plan", "lang_confusion_matrix",
+        "source_scorecard", "expectations_enforce",
     }
     missing = must_have - window
     assert not missing, f"queries fell out of the driver window: {sorted(missing)}"
-    # everything rotated past the line must carry a green row in a committed
-    # CORRECTNESS_r{N}.json (rotation invariant: no query is ever evidence-less)
+
+    # Rotation invariants. Evidence tiers, strongest first:
+    #   1. a green row in a committed driver CORRECTNESS_r{N}.json;
+    #   2. membership in the CURRENT window (the row is earned next
+    #      driver run);
+    #   3. a green row in a committed full-sweep PARITY_r{N}.json
+    #      (tools/check_parity.py — same sf, same comparison) — the
+    #      fallback for rounds where more new queries land than window
+    #      slots free up.
+    # Invariant A (round-4 strengthening, VERDICT r3 ask #8): every oracled
+    # query must hold tier-1 or tier-2 evidence — i.e. the union of all
+    # committed driver rows plus the current window covers the whole
+    # oracled catalog.
+    # Invariant B (standing): everything past the line must hold tier-1 or
+    # tier-3 evidence, so no query is ever committed evidence-less.
     import json, os
-    evidenced = set()
+    driver_green = set()
     repo_root = os.path.join(os.path.dirname(__file__), "..")
     for fn in sorted(os.listdir(repo_root)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(repo_root, fn)) as f:
                 rows = json.load(f)
-            evidenced |= {
+            driver_green |= {
                 k for k, v in rows.items()
                 if v.get("rows_match") and v.get("schema_match")
             }
-    # a committed full-sweep snapshot (tools/check_parity.py) is the
-    # fallback evidence tier: queries added after the 50 window slots filled
-    # with not-yet-driver-evidenced entries land past the line with their
-    # parity row as the committed record
+    oracled = {n for n in names if QUERIES[n].oracle is not None}
+    never_driver_checked = oracled - driver_green - window
+    assert not never_driver_checked, (
+        f"oracled queries with no committed driver row AND no window slot "
+        f"(they could rotate out without ever earning one): "
+        f"{sorted(never_driver_checked)}"
+    )
+    parity_green = set()
     for fn in sorted(os.listdir(repo_root)):
         if fn.startswith("PARITY_r") and fn.endswith(".json"):
             with open(os.path.join(repo_root, fn)) as f:
                 sweep = json.load(f)
-            evidenced |= {
+            parity_green |= {
                 k for k, v in sweep.get("results", {}).items()
                 if v.get("status") == "ok"
             }
     rotated_out = [
         n for n in names[DRIVER_WINDOW:]
-        if QUERIES[n].oracle is not None and n not in evidenced
+        if QUERIES[n].oracle is not None
+        and n not in driver_green | parity_green
     ]
     assert not rotated_out, (
         f"oracled queries past the window with no committed green evidence "
