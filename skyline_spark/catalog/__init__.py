@@ -111,8 +111,11 @@ PRIORITY_WINDOW: list[str] = [
     "luminosity_shift_correlation",
     "text_token_count",
     "text_lang_id",
-    "text_quality",
-    "ann_lsh_topk",
+    # round-4-new: the sample-fed ks gate + lag-0 ADF tau (the two ks_test
+    # sub-gates the 9-of-9 twins cannot exercise) displace the bottom two
+    # refresh slots (text_quality, ann_lsh_topk — both r2-green)
+    "detector_ks_gate",
+    "detector_adf_tau",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -125,6 +128,8 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # the in-repo sweep each round (tests/test_catalog.py pins the rotation
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "text_quality",
+    "ann_lsh_topk",
     # r3-green flagship satellites + detectors + series/relational family
     "validate_pages_full",
     "drift_ensemble_daily",

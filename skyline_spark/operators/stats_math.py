@@ -34,7 +34,10 @@ __all__ = [
     "t_isf",
     "norm_cdf",
     "kolmogorov_sf",
+    "kolmogorov_isf",
     "ks_2samp",
+    "mackinnon_pvalue",
+    "mackinnon_tau_crit",
     "adfuller",
 ]
 
@@ -178,6 +181,28 @@ def kolmogorov_sf(x: float, terms: int = 101) -> float:
     return min(1.0, max(0.0, total))
 
 
+@functools.lru_cache(maxsize=64)
+def kolmogorov_isf(q: float) -> float:
+    """Inverse survival function of the Kolmogorov distribution.
+
+    Returns λ with ``kolmogorov_sf(λ) = q`` (bisection on the monotone
+    Smirnov series). ``kolmogorov_isf(0.05)`` is the asymptotic two-sample
+    .05 critical line: p < .05  ⇔  √(n·m/(n+m))·D > λ — the closed form the
+    SQL oracles compare against (the kernel computes the p-value itself)."""
+    if not (0.0 < q < 1.0):
+        raise ValueError("q must be in (0, 1)")
+    lo, hi = 1e-9, 10.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if kolmogorov_sf(mid) > q:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-13:
+            break
+    return 0.5 * (lo + hi)
+
+
 def ks_2samp(data1: np.ndarray, data2: np.ndarray) -> tuple[float, float]:
     """Two-sample KS test: (D, asymptotic p-value).
 
@@ -225,6 +250,27 @@ def mackinnon_pvalue(tau: float) -> float:
     for c in reversed(coeffs):
         val = val * tau + c
     return norm_cdf(val)
+
+
+@functools.lru_cache(maxsize=64)
+def mackinnon_tau_crit(q: float) -> float:
+    """τ with ``mackinnon_pvalue(τ) = q`` (bisection; the response surface is
+    monotone increasing in τ). ``mackinnon_tau_crit(0.05)`` is the constant
+    ADF gate line: p < .05  ⇔  τ < this value — our mackinnon_pvalue carries
+    no sample-size term, so the line is a single literal the SQL oracles can
+    embed."""
+    if not (0.0 < q < 1.0):
+        raise ValueError("q must be in (0, 1)")
+    lo, hi = _TAU_MIN_C, _TAU_MAX_C
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if mackinnon_pvalue(mid) < q:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-13:
+            break
+    return 0.5 * (lo + hi)
 
 
 def _ols(y: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float, np.ndarray]:
