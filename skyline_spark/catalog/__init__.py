@@ -62,8 +62,10 @@ PRIORITY_WINDOW: list[str] = [
     "validate_pages_relational",
     "drift_ensemble_daily_relational",
     "drift_ensemble_relational",
-    # formerly rows-only, oracled this round (VERDICT r3 asks #4/#5/#6)
-    "replay_full_ensemble",
+    # formerly rows-only, oracled this round (VERDICT r3 asks #4/#5/#6);
+    # the replay evidence now rides the 8-detector oracled twin — the full
+    # 9-kernel replay_full_ensemble stays rows-only and rotates out
+    "replay_ensemble_relational",
     "extracted_text_parity",
     "multimodal_media_features",
     "multimodal_resize_frames",
@@ -128,6 +130,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # the in-repo sweep each round (tests/test_catalog.py pins the rotation
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    "replay_full_ensemble",
     "text_quality",
     "ann_lsh_topk",
     # r3-green flagship satellites + detectors + series/relational family

@@ -215,8 +215,10 @@ def test_driver_window_membership():
         "validate_pages_relational",
         "drift_ensemble_daily_relational",
         "drift_ensemble_relational",
-        # oracled this round after being rows-only through r3
-        "replay_full_ensemble", "extracted_text_parity",
+        # oracled this round after being rows-only through r3 (the replay
+        # evidence rides the 8-detector oracled twin; the full 9-kernel
+        # replay_full_ensemble rotates out as rows-only)
+        "replay_ensemble_relational", "extracted_text_parity",
         "multimodal_media_features", "multimodal_resize_frames",
         # the 23 round-3 additions with no driver row before round 4
         "dedup_winnowing", "dedup_incremental_minhash", "ann_ivf_recall",
