@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import ValidationConfig
+from ..functions import text as X
 from .registry import load, query
 
 
@@ -160,31 +161,122 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.join(frames, "url").orderBy("url")
 
 
+# --- extracted-text parity, oracled (r3 ask #6) ----------------------------
+#
+# The north-star invariant is "extracted text byte-identical per url". The
+# synth-table form of this check is pinned by tests/test_synth.py (the
+# xxhash64-seeded fixture is not DuckDB-mirrorable); the CATALOG query now
+# derives a page corpus from `events` with only SQL-expressible transforms,
+# runs the REAL production extraction chain (functions/extract.py::
+# extract_text_expr — the codegen regexp path used by plans/validate) on the
+# Spark side, and the oracle regenerates the same corpus AND independently
+# restates the extraction with DuckDB's RE2 engine — a genuine cross-engine
+# check of the extraction semantics, anchored by per-row h32 sums rather
+# than a bare 0 == 0.
+
+_ETP_SRC = "paragraph text body " * 12  # 240 chars, shared literal
+# ~1-in-17 rows get an article-less page with NULL stored text — exercises
+# the extractor's NULL branch on both engines
+_ETP_TEXT_SQL = (
+    "array_to_string(list_transform(range(1, 2 + user_id % 3), "
+    f"i -> substr('{_ETP_SRC}', 1, (1 + ((floor(value)::BIGINT + i * 7) % 120))::INT)), chr(10))"
+)
+_ETP_TEXT_SPARK = (
+    "array_join(transform(sequence(1, cast(1 + user_id % 3 as int)), "
+    f"i -> substring('{_ETP_SRC}', 1, cast(1 + ((cast(floor(value) as bigint) + i * 7) % 120) as int))), '\\n')"
+)
+
+_ETP_HTML_TMPL = (
+    "'<html><head><title>h' || (user_id % 40) || '</title></head>"
+    "<body><nav><a href=\"https://www.example.org/\">home</a></nav>"
+    "<article><p>' || {body} || '</p></article>"
+    "<footer>crawl</footer></body></html>'"
+)
+
+_ETP_SQL = f"""
+WITH pages AS (
+  SELECT 'https://h' || (user_id % 40) || '.example.org/p/' || event_id AS url,
+         event_type,
+         CASE WHEN user_id % 17 = 0 THEN NULL ELSE {_ETP_TEXT_SQL} END AS text,
+         CASE WHEN user_id % 17 = 0
+              THEN '<html><head><title>bare</title></head><body>no article</body></html>'
+              ELSE {_ETP_HTML_TMPL.format(body=f"replace({_ETP_TEXT_SQL}, chr(10), '</p><p>')")}
+              END AS page
+  FROM events
+), ex AS (
+  SELECT event_type, text,
+         nullif(regexp_replace(regexp_replace(
+                  regexp_extract(page, '(?s)<article>(.*?)</article>', 1),
+                  '(?s)</p>\\s*<p>', chr(10), 'g'),
+                '(?s)</?p>', '', 'g'), '') AS extracted
+  FROM pages
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE extracted IS DISTINCT FROM text)::BIGINT
+         AS n_mismatched,
+       count(extracted)::BIGINT AS n_extracted,
+       coalesce(sum(length(extracted)), 0)::BIGINT AS extracted_chars,
+       coalesce(sum({X.h32_sql('extracted')}), 0)::BIGINT AS extracted_h32_sum
+FROM ex GROUP BY event_type ORDER BY event_type
+"""
+
+
 @query(
     "extracted_text_parity",
-    None,
-    doc="north-star invariant: extracted text is byte-identical per url — "
-        "JVM regexp extraction chain vs the stored text column",
+    _ETP_SQL,
+    doc="north-star extraction invariant, oracled: a page corpus derived "
+        "from events with only SQL-expressible transforms (multi-"
+        "paragraph text, the synth HTML template, an article-less NULL "
+        "branch) is extracted by the REAL production codegen chain "
+        "(functions/extract.py::extract_text_expr) on the Spark side, "
+        "while DuckDB independently regenerates the corpus and restates "
+        "the extraction with its own RE2 regexps — mismatch counts plus "
+        "length/h32 sums anchor the comparison to the actual bytes; the "
+        "synth-fixture form of the invariant stays pinned by "
+        "tests/test_synth.py",
 )
 def extracted_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.extract import extract_text_expr
-    from ..sources.synth import synth_pages
 
-    pages = synth_pages(spark, n_rows=2000, n_days=8)
-    # eqNullSafe, not ==: a broken extractor returning NULL against
-    # non-null text would make (NULL == text) -> NULL, the when() skip it,
-    # and the north-star invariant report a clean pass on fully broken
-    # extraction. Null-safe inequality counts every divergence; rows whose
-    # stored text is intentionally null are excluded explicitly.
-    return pages.select(
-        F.count("*").cast("long").alias("n_rows"),
-        F.count(
-            F.when(
-                F.col("text").isNotNull()
-                & ~extract_text_expr(F.col("html")).eqNullSafe(F.col("text")),
-                1,
-            )
-        )
-        .cast("long")
-        .alias("n_mismatched"),
+    ev = load(spark, sf_dir, "events")
+    text = F.expr(_ETP_TEXT_SPARK)
+    page = F.concat(
+        F.lit("<html><head><title>h"),
+        F.pmod("user_id", F.lit(40)).cast("string"),
+        F.lit(
+            '''</title></head><body><nav><a href="https://www.example.org/">home</a></nav><article><p>'''
+        ),
+        F.regexp_replace(text, "\n", "</p><p>"),
+        F.lit("</p></article><footer>crawl</footer></body></html>"),
     )
+    bare = F.lit(
+        "<html><head><title>bare</title></head><body>no article</body></html>"
+    )
+    is_bare = F.pmod("user_id", F.lit(17)) == 0
+    pages = ev.select(
+        "event_type",
+        F.when(is_bare, F.lit(None).cast("string")).otherwise(text).alias("text"),
+        F.encode(F.when(is_bare, bare).otherwise(page), "UTF-8").alias("html"),
+    )
+    ex = pages.select(
+        "event_type",
+        "text",
+        extract_text_expr(F.col("html")).alias("extracted"),
+    )
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(
+                F.when(~F.col("extracted").eqNullSafe(F.col("text")), 1)
+            ).cast("long").alias("n_mismatched"),
+            F.count("extracted").cast("long").alias("n_extracted"),
+            F.coalesce(F.sum(F.length("extracted")), F.lit(0))
+            .cast("long").alias("extracted_chars"),
+            F.coalesce(F.sum(X.h32(F.col("extracted"))), F.lit(0))
+            .cast("long").alias("extracted_h32_sum"),
+        )
+        .orderBy("event_type")
+    )
+
