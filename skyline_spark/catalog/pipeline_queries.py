@@ -117,48 +117,271 @@ def validate_pages_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal, real stdlib codecs + analytic oracles (r3 ask #5) ---------
+#
+# Payload parameters are derived from `events` with integer-only rules, the
+# Spark side synthesizes REAL BMP/WAV bytes (functions/media_codecs.py),
+# runs the REAL decoder on them inside Arrow-batched mapInPandas, and emits
+# decoded statistics. The DuckDB oracle computes the same statistics
+# ANALYTICALLY from the generation rules — it never decodes — so a green
+# row certifies the encode→decode round trip reproduces the closed-form
+# ground truth. The legacy opaque-payload plumbing (decode stub, chunked
+# frame sampling) remains for formats without stdlib codecs and stays
+# pinned by tests/test_multimodal.py.
+
+_MM_SUBSET = "user_id % 3 = 0"
+_MM_MAX_SIDE = 8      # resize bound — small enough that most BMPs shrink
+_MM_FRAME = 40        # WAV frame = 40 samples (5 ms at 8 kHz)
+_MM_STRIDE = 3        # sample every 3rd frame
+
+_MM_PARAMS_SQL = f"""
+WITH m AS (
+  SELECT event_id::BIGINT AS media_id, user_id::BIGINT AS uid,
+         CASE WHEN event_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind
+  FROM events WHERE {_MM_SUBSET}
+), bmp AS (
+  SELECT media_id, (4 + uid % 13)::BIGINT AS w, (3 + media_id % 9)::BIGINT AS h,
+         ((uid * 31 + media_id * 17) % 256)::BIGINT AS seed
+  FROM m WHERE kind = 'bmp'
+), wav AS (
+  SELECT media_id, (50 + uid % 200)::BIGINT AS n,
+         ((uid * 13 + media_id * 7) % 65536)::BIGINT AS seed
+  FROM m WHERE kind = 'wav'
+)"""
+
+_MM_FEATURES_SQL = _MM_PARAMS_SQL + f"""
+, bpx AS (
+  SELECT b.media_id, ((xx.x * 7 + yy.y * 11 + b.seed) % 256)::BIGINT AS v
+  FROM bmp b, unnest(range(0, b.w)) xx(x), unnest(range(0, b.h)) yy(y)
+), bstat AS (
+  SELECT p.media_id, count(*)::BIGINT AS n_units, sum(v)::BIGINT AS unit_sum,
+         min(v)::BIGINT AS unit_min, max(v)::BIGINT AS unit_max
+  FROM bpx p GROUP BY 1
+), wpx AS (
+  SELECT w.media_id, ((ii.i * 37 + w.seed) % 65536 - 32768)::BIGINT AS v
+  FROM wav w, unnest(range(0, w.n)) ii(i)
+), wstat AS (
+  SELECT media_id, count(*)::BIGINT AS n_units, sum(v)::BIGINT AS unit_sum,
+         min(v)::BIGINT AS unit_min, max(v)::BIGINT AS unit_max
+  FROM wpx GROUP BY 1
+)
+SELECT b.media_id, 'bmp' AS kind,
+       (54 + ((3 * b.w + 3) // 4 * 4) * b.h)::BIGINT AS n_bytes,
+       b.w::INT AS width, b.h::INT AS height,
+       s.n_units, s.unit_sum, s.unit_min, s.unit_max,
+       0::BIGINT AS duration_ms
+FROM bmp b JOIN bstat s USING (media_id)
+UNION ALL
+SELECT w.media_id, 'wav',
+       (44 + 2 * w.n)::BIGINT,
+       0::INT, 0::INT,
+       s.n_units, s.unit_sum, s.unit_min, s.unit_max,
+       (w.n * 1000 // 8000)::BIGINT
+FROM wav w JOIN wstat s USING (media_id)
+ORDER BY media_id
+"""
+
+_MM_OUT = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_units long, unit_sum long, unit_min long, unit_max long, "
+    "duration_ms long"
+)
+
+
+def _mm_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.where(F.expr(_MM_SUBSET)).select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("bmp"))
+        .otherwise(F.lit("wav")).alias("kind"),
+        (4 + F.pmod("user_id", F.lit(13))).cast("long").alias("w"),
+        (3 + F.pmod("event_id", F.lit(9))).cast("long").alias("h"),
+        F.pmod(F.col("user_id") * 31 + F.col("event_id") * 17, F.lit(256))
+        .cast("long").alias("bseed"),
+        (50 + F.pmod("user_id", F.lit(200))).cast("long").alias("n"),
+        F.pmod(F.col("user_id") * 13 + F.col("event_id") * 7, F.lit(65536))
+        .cast("long").alias("wseed"),
+    )
+
+
+def _mm_synth_payload(kind, w, h, bseed, n, wseed):
+    import numpy as np
+
+    from ..functions.media_codecs import encode_bmp, encode_wav
+
+    if kind == "bmp":
+        g = (
+            (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + bseed) % 256
+        ).astype(np.uint8)
+        return encode_bmp(g)
+    s = (((np.arange(n) * 37 + wseed) % 65536) - 32768).astype(np.int16)
+    return encode_wav(s, 8000)
+
+
 @query(
     "multimodal_media_features",
-    None,
-    doc="binary-column multimodal plumbing: Arrow-batched mapInPandas decode/"
-        "feature stub over html:binary (decode itself stubbed — no codec "
-        "libs in container; schema/batching/partitioning real)",
+    _MM_FEATURES_SQL,
+    doc="REAL stdlib media decode, oracled: BMP/WAV payloads are synthesized "
+        "from integer rules, encoded and then DECODED by the real codecs "
+        "(functions/media_codecs.py — headers walked, rows un-padded and "
+        "un-flipped, RIFF chunks parsed) inside Arrow-batched mapInPandas; "
+        "decoded pixel/sample statistics (count, sum, min, max, byte size, "
+        "duration) must match the DuckDB oracle's ANALYTIC computation from "
+        "the generation rules — the oracle never decodes, so a green row "
+        "certifies the encode-decode round trip end to end",
 )
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.multimodal import extract_media_features
-    from ..sources.synth import synth_pages
+    import pandas as pd
 
-    pages = synth_pages(spark, n_rows=500, n_days=4, defects=False)
-    return extract_media_features(pages)
+    def _batches(batches):
+        from ..functions.media_codecs import decode_bmp, decode_wav
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = _mm_synth_payload(
+                    r.kind, int(r.w), int(r.h), int(r.bseed), int(r.n), int(r.wseed)
+                )
+                if r.kind == "bmp":
+                    g = decode_bmp(payload).astype("int64")
+                    hh, ww = g.shape
+                    out.append(
+                        (r.media_id, "bmp", len(payload), ww, hh, g.size,
+                         int(g.sum()), int(g.min()), int(g.max()), 0)
+                    )
+                else:
+                    rate, s = decode_wav(payload)
+                    s64 = s.astype("int64")
+                    out.append(
+                        (r.media_id, "wav", len(payload), 0, 0, s.size,
+                         int(s64.sum()), int(s64.min()), int(s64.max()),
+                         s.size * 1000 // rate)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "n_bytes", "width", "height",
+                    "n_units", "unit_sum", "unit_min", "unit_max",
+                    "duration_ms",
+                ],
+            )
+
+    return (
+        _mm_params(spark, sf_dir)
+        .mapInPandas(_batches, _MM_OUT)
+        .orderBy("media_id")
+    )
+
+
+_MM_RESIZE_SQL = _MM_PARAMS_SQL + f"""
+, geom AS (
+  SELECT media_id, w, h, seed,
+         CASE WHEN greatest(w, h) <= {_MM_MAX_SIDE} THEN w
+              ELSE greatest(1, w * {_MM_MAX_SIDE} // greatest(w, h)) END AS ow,
+         CASE WHEN greatest(w, h) <= {_MM_MAX_SIDE} THEN h
+              ELSE greatest(1, h * {_MM_MAX_SIDE} // greatest(w, h)) END AS oh
+  FROM bmp
+), rpx AS (
+  -- nearest-neighbor source pixel of output (i, j): ((i*w)//ow, (j*h)//oh)
+  SELECT g.media_id,
+         (((ii.i * g.w // g.ow) * 7 + (jj.j * g.h // g.oh) * 11 + g.seed)
+          % 256)::BIGINT AS v
+  FROM geom g, unnest(range(0, g.ow)) ii(i), unnest(range(0, g.oh)) jj(j)
+), rstat AS (
+  SELECT media_id, sum(v)::BIGINT AS resized_sum FROM rpx GROUP BY 1
+), wgeom AS (
+  SELECT media_id, n, seed, (n // {_MM_FRAME})::BIGINT AS n_frames
+  FROM wav
+), wsamp AS (
+  SELECT g.media_id, ((ii.i * 37 + g.seed) % 65536 - 32768)::BIGINT AS v
+  FROM wgeom g, unnest(range(0, g.n_frames * {_MM_FRAME})) ii(i)
+  WHERE (ii.i // {_MM_FRAME}) % {_MM_STRIDE} = 0
+), wstat AS (
+  SELECT media_id, sum(v)::BIGINT AS frame_sum, count(*)::BIGINT AS n_sampled
+  FROM wsamp GROUP BY 1
+)
+SELECT g.media_id, 'bmp' AS kind, g.ow::INT AS out_w, g.oh::INT AS out_h,
+       (54 + ((3 * g.ow + 3) // 4 * 4) * g.oh)::BIGINT AS resized_bytes,
+       r.resized_sum,
+       0::BIGINT AS n_frames, 0::BIGINT AS frames_sampled,
+       0::BIGINT AS frame_sum
+FROM geom g JOIN rstat r USING (media_id)
+UNION ALL
+SELECT w.media_id, 'wav', 0::INT, 0::INT, 0::BIGINT, 0::BIGINT,
+       w.n_frames,
+       CASE WHEN w.n_frames = 0 THEN 0
+            ELSE (w.n_frames + {_MM_STRIDE} - 1) // {_MM_STRIDE} END::BIGINT,
+       coalesce(s.frame_sum, 0)::BIGINT
+FROM wgeom w LEFT JOIN wstat s USING (media_id)
+ORDER BY media_id
+"""
+
+_MM_RESIZE_OUT = (
+    "media_id long, kind string, out_w int, out_h int, resized_bytes long, "
+    "resized_sum long, n_frames long, frames_sampled long, frame_sum long"
+)
 
 
 @query(
     "multimodal_resize_frames",
-    None,
-    doc="the other two multimodal verbs: resize (1→1 binary map, payload "
-        "bounded to max_side) and frame-sample (1→N mapInPandas explode, "
-        "every stride-th frame) — decode stubbed as above, the Spark-side "
-        "schema/batch/cardinality plumbing real; output is the per-url "
-        "join of resized dims with sampled-frame counts",
+    _MM_RESIZE_SQL,
+    doc="REAL media transforms, oracled: BMPs take a true nearest-neighbor "
+        f"downscale to {_MM_MAX_SIDE} px (integer-exact geometry: out = "
+        "max(1, side*bound//max_side), source pixel (i*w//ow, j*h//oh)), "
+        "are RE-ENCODED as BMP and RE-DECODED for the stats — a full "
+        "encode-resize-encode-decode loop; WAVs are decoded and sliced "
+        f"into {_MM_FRAME}-sample frames with every {_MM_STRIDE}rd frame "
+        "sampled. The oracle computes resized pixel sums and sampled-frame "
+        "sample sums analytically from the generation rules",
 )
 def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.multimodal import resize_images, sample_frames
-    from ..sources.synth import synth_pages
+    import pandas as pd
 
-    pages = synth_pages(spark, n_rows=500, n_days=4, defects=False)
-    resized = resize_images(pages, max_side=256).select(
-        "url", "out_w", "out_h", F.round("scale", 6).alias("scale")
-    )
-    frames = (
-        sample_frames(pages, stride=5)
-        .groupBy("url")
-        .agg(
-            F.count("*").cast("long").alias("frames_sampled"),
-            F.max("n_frames").cast("long").alias("n_frames"),
-            F.sum(F.length("frame")).cast("long").alias("frame_bytes"),
+    def _batches(batches):
+        from ..functions.media_codecs import (
+            decode_bmp,
+            decode_wav,
+            resize_bmp_nearest,
         )
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = _mm_synth_payload(
+                    r.kind, int(r.w), int(r.h), int(r.bseed), int(r.n), int(r.wseed)
+                )
+                if r.kind == "bmp":
+                    resized, ow, oh = resize_bmp_nearest(payload, _MM_MAX_SIDE)
+                    g = decode_bmp(resized).astype("int64")
+                    out.append(
+                        (r.media_id, "bmp", ow, oh, len(resized),
+                         int(g.sum()), 0, 0, 0)
+                    )
+                else:
+                    _, s = decode_wav(payload)
+                    n_frames = s.size // _MM_FRAME
+                    idx = range(0, n_frames, _MM_STRIDE)
+                    frame_sum = sum(
+                        int(s[f * _MM_FRAME : (f + 1) * _MM_FRAME].astype("int64").sum())
+                        for f in idx
+                    )
+                    out.append(
+                        (r.media_id, "wav", 0, 0, 0, 0,
+                         n_frames, len(list(idx)), frame_sum)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "out_w", "out_h", "resized_bytes",
+                    "resized_sum", "n_frames", "frames_sampled", "frame_sum",
+                ],
+            )
+
+    return (
+        _mm_params(spark, sf_dir)
+        .mapInPandas(_batches, _MM_RESIZE_OUT)
+        .orderBy("media_id")
     )
-    return resized.join(frames, "url").orderBy("url")
 
 
 # --- extracted-text parity, oracled (r3 ask #6) ----------------------------

@@ -139,3 +139,90 @@ def test_frame_sample_never_emits_empty_frames(spark):
     assert rows, "short payload still yields its non-empty frames"
     assert all(len(bytes(r.frame)) > 0 for r in rows)
     assert len(rows) == len(p)  # exactly the frames that have bytes
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs (round 4): BMP / WAV round trips and malformed inputs
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_and_padding():
+    import numpy as np
+
+    from skyline_spark.functions.media_codecs import decode_bmp, encode_bmp
+
+    for w, h in [(1, 1), (3, 5), (4, 4), (16, 11), (13, 2)]:
+        g = ((np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + 42) % 256
+             ).astype(np.uint8)
+        payload = encode_bmp(g)
+        # spec size: headers + padded bottom-up rows
+        assert len(payload) == 54 + ((3 * w + 3) // 4 * 4) * h
+        assert np.array_equal(decode_bmp(payload), g)
+
+
+def test_bmp_rejects_malformed():
+    import numpy as np
+    import pytest as pt
+
+    from skyline_spark.functions.media_codecs import decode_bmp, encode_bmp
+
+    good = encode_bmp(np.zeros((4, 4), dtype=np.uint8))
+    with pt.raises(ValueError):
+        decode_bmp(b"notabmp" + good[7:])
+    with pt.raises(ValueError):
+        decode_bmp(good[:40])       # truncated header
+    with pt.raises(ValueError):
+        decode_bmp(good[:-5])       # truncated pixel data
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8                 # biBitCount -> 8
+    with pt.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+    import pytest as pt
+
+    from skyline_spark.functions.media_codecs import decode_wav, encode_wav
+
+    s = (((np.arange(250) * 37 + 999) % 65536) - 32768).astype(np.int16)
+    payload = encode_wav(s, 8000)
+    assert len(payload) == 44 + 2 * 250
+    rate, s2 = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(s, s2)
+    # decoder walks chunks: an extra LIST chunk before fmt must be skipped
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = payload[:12] + extra + payload[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, s3 = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(s, s3)
+    with pt.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])
+    stereo = bytearray(payload)
+    stereo[22] = 2                  # channels -> 2
+    with pt.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_resize_bmp_nearest_geometry():
+    import numpy as np
+
+    from skyline_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+
+    g = ((np.arange(16)[None, :] * 7 + np.arange(10)[:, None] * 11 + 5) % 256
+         ).astype(np.uint8)
+    payload = encode_bmp(g)
+    resized, ow, oh = resize_bmp_nearest(payload, 8)
+    assert (ow, oh) == (16 * 8 // 16, 10 * 8 // 16) == (8, 5)
+    got = decode_bmp(resized)
+    xs = (np.arange(ow) * 16) // ow
+    ys = (np.arange(oh) * 10) // oh
+    assert np.array_equal(got, g[np.ix_(ys, xs)])
+    # within bounds -> byte-identical passthrough
+    same, w2, h2 = resize_bmp_nearest(payload, 64)
+    assert same == payload and (w2, h2) == (16, 10)
