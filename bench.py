@@ -355,11 +355,33 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "events_daily_stats",
         "tpch_q1_pricing_summary",
         "join_orders_by_nation",
+        # round-4 additions
+        "replay_ensemble_relational",
+        "detector_ks_gate",
+        "detector_adf_tau",
+        "extracted_text_parity",
+        "multimodal_media_features",
+        "multimodal_resize_frames",
+        "gopher_quality_rules",
+        "boilerplate_line_dedup",
+        "hll_daily_users",
+        "winsorize_doclen",
     ]
+    # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
+    # intermediate frames; across ~80 stanzas the accumulated blocks pressure
+    # executor storage memory and late-suite heavy stanzas (the r3
+    # `dedup_embedding_lsh` 10-12 s anomaly — 1.6-1.9 s in the committed
+    # quiet-window rep evidence, AB_r04.json) pay for it. Dropping the Python
+    # refs and collecting promptly lets the ContextCleaner free the blocks
+    # between stanzas, so each stanza measures the operator, not its
+    # predecessors' leftovers.
+    import gc
+
     for name in bench_queries:
         t0 = time.time()
         _noop_sink(QUERIES[name].build(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        gc.collect()
 
     shutil.rmtree(tmp, ignore_errors=True)
     # synth_write is input generation, worker_warmup is one-time session

@@ -109,15 +109,18 @@ PRIORITY_WINDOW: list[str] = [
     "boundary_autoaggregate",
     "events_daily_stats",
     "text_pii_scrub",
-    "alert_dedup",
-    "luminosity_shift_correlation",
-    "text_token_count",
-    "text_lang_id",
-    # round-4-new: the sample-fed ks gate + lag-0 ADF tau (the two ks_test
-    # sub-gates the 9-of-9 twins cannot exercise) displace the bottom two
-    # refresh slots (text_quality, ann_lsh_topk — both r2-green)
+    # round-4-new queries displace the bottom refresh slots (alert_dedup,
+    # luminosity_shift_correlation, text_token_count, text_lang_id,
+    # text_quality, ann_lsh_topk — all r2-green): the sample-fed ks gate +
+    # lag-0 ADF tau (the two ks_test sub-gates the 9-of-9 twins cannot
+    # exercise), the Gopher rule battery, CCNet boilerplate line dedup, the
+    # HLL cardinality audit and the winsorize outlier audit
     "detector_ks_gate",
     "detector_adf_tau",
+    "gopher_quality_rules",
+    "boilerplate_line_dedup",
+    "hll_daily_users",
+    "winsorize_doclen",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -131,6 +134,10 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
     "replay_full_ensemble",
+    "alert_dedup",
+    "luminosity_shift_correlation",
+    "text_token_count",
+    "text_lang_id",
     "text_quality",
     "ann_lsh_topk",
     # r3-green flagship satellites + detectors + series/relational family

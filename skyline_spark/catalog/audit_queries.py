@@ -1126,3 +1126,84 @@ def expectations_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorize audit: type-1 p99 clamp of document length, integer-exact
+# ---------------------------------------------------------------------------
+
+WINSOR_Q_NUM = 99   # p99 as an exact rational (99/100) — no float quantile
+WINSOR_Q_DEN = 100
+
+
+@query(
+    "winsorize_doclen",
+    f"""
+WITH c AS (
+  SELECT lang, n_chars, count(*)::BIGINT AS k FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars,
+         sum(k) OVER (PARTITION BY lang ORDER BY n_chars) AS cm,
+         sum(k) OVER (PARTITION BY lang) AS n
+  FROM c
+), p AS (
+  -- type-1 inverted-CDF p99: smallest value whose cumulative count reaches
+  -- ceil(0.99 * n), computed as integer ceil((99*n)/100)
+  SELECT lang,
+         min(CASE WHEN cm * {WINSOR_Q_DEN} >= {WINSOR_Q_NUM} * max_n
+                  THEN n_chars END)::BIGINT AS p99,
+         max(max_n)::BIGINT AS n_docs
+  FROM (SELECT lang, n_chars, cm, n AS max_n FROM cum)
+  GROUP BY lang
+)
+SELECT d.lang, p.n_docs, p.p99,
+       count(*) FILTER (WHERE d.n_chars > p.p99)::BIGINT AS n_clipped,
+       sum(d.n_chars)::BIGINT AS mass_before,
+       sum(least(d.n_chars, p.p99))::BIGINT AS mass_after
+FROM documents d JOIN p ON p.lang = d.lang
+GROUP BY d.lang, p.n_docs, p.p99
+ORDER BY d.lang
+""",
+    doc="winsorization audit — the outlier-clamp every length-sensitive "
+        "training pipeline applies before token budgeting: per-lang exact "
+        "type-1 p99 of n_chars (integer ceil((99·n)/100) rank — no float "
+        "quantile), documents clamped to it, clipped count and char mass "
+        "before/after reported integer-exact; at scale the p99 comes from "
+        "the checkpoint's GK/t-digest sketches and this exact form is the "
+        "audit",
+)
+def winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "n_chars").agg(F.count("*").cast("long").alias("k"))
+    wcum = Window.partitionBy("lang").orderBy("n_chars")
+    wall = Window.partitionBy("lang")
+    cum = c.select(
+        "lang", "n_chars",
+        F.sum("k").over(wcum).alias("cm"),
+        F.sum("k").over(wall).alias("n"),
+    )
+    p = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cm") * WINSOR_Q_DEN >= WINSOR_Q_NUM * F.col("n"),
+                F.col("n_chars"),
+            )
+        ).cast("long").alias("p99"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+    return (
+        d.join(F.broadcast(p), "lang")
+        .groupBy("lang", "n_docs", "p99")
+        .agg(
+            F.count(F.when(F.col("n_chars") > F.col("p99"), 1)).cast("long")
+            .alias("n_clipped"),
+            F.sum("n_chars").cast("long").alias("mass_before"),
+            F.sum(F.least("n_chars", "p99")).cast("long").alias("mass_after"),
+        )
+        .select(
+            "lang", "n_docs", "p99", "n_clipped", "mass_before", "mass_after"
+        )
+        .orderBy("lang")
+    )

@@ -621,3 +621,133 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
         ).cast("long").alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_rules — the published Gopher rule battery (adapted bounds)
+# ---------------------------------------------------------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") appendix A docu-
+# ments the rule battery most production pipelines (MassiveText, RefinedWeb,
+# FineWeb) start from: word-count bounds, mean-word-length bounds, a minimum
+# stop-word presence, a minimum alphabetic-word fraction, and repetition
+# caps. Bounds are adapted to this fixture corpus (docs are 20-80 words) and
+# the line-based rules (bullet/ellipsis line fractions) are N/A on the
+# single-line fixture — documented, not silently passed. Every verdict is
+# an INTEGER cross-multiplication (5*top_cnt <= ntok, not top_cnt/ntok <=
+# 0.2), so both engines compare exact ints and the booleans cannot drift.
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 5000
+GOPHER_MEAN_LEN_LO = 3     # mean word length in [3, 10]
+GOPHER_MEAN_LEN_HI = 10
+GOPHER_MIN_STOPWORDS = 2   # Gopher: at least 2 stop words present
+GOPHER_ALPHA_NUM = 4       # alpha_cnt/ntok >= 4/5
+GOPHER_ALPHA_DEN = 5
+GOPHER_TOP_FRAC_DEN = 5    # top_cnt/ntok <= 1/5
+
+_GQ_TOKS = X.tokens_sql("text")
+
+_GQ_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, {_GQ_TOKS} AS tk FROM documents
+), t AS (
+  SELECT doc_id, lang, source,
+         len(tk)::BIGINT AS ntok,
+         list_sum(list_transform(tk, x -> length(x)))::BIGINT AS sum_wlen,
+         len(list_filter(tk, x -> list_contains({X._stop_list_sql()}, x)))::BIGINT
+           AS stop_cnt,
+         len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))::BIGINT
+           AS alpha_cnt
+  FROM toks
+), topw AS (
+  SELECT doc_id, max(cnt)::BIGINT AS top_cnt
+  FROM (
+    SELECT doc_id, u.t, count(*) AS cnt
+    FROM toks, unnest(tk) AS u(t) GROUP BY doc_id, u.t
+  ) GROUP BY doc_id
+), r AS (
+  SELECT t.*, coalesce(w.top_cnt, 0) AS top_cnt,
+    (t.ntok BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_words,
+    (t.sum_wlen >= {GOPHER_MEAN_LEN_LO} * t.ntok
+     AND t.sum_wlen <= {GOPHER_MEAN_LEN_HI} * t.ntok) AS r_mean_len,
+    (t.stop_cnt >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+    ({GOPHER_ALPHA_DEN} * t.alpha_cnt >= {GOPHER_ALPHA_NUM} * t.ntok) AS r_alpha,
+    ({GOPHER_TOP_FRAC_DEN} * coalesce(w.top_cnt, 0) <= t.ntok) AS r_repetition
+  FROM t LEFT JOIN topw w USING (doc_id)
+)
+SELECT doc_id, lang, source, ntok AS n_words,
+       {X.r6_sql('sum_wlen / greatest(ntok, 1)')} AS mean_word_len,
+       stop_cnt, top_cnt,
+       r_words, r_mean_len, r_stopwords, r_alpha, r_repetition,
+       (r_words AND r_mean_len AND r_stopwords AND r_alpha AND r_repetition)
+         AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+@query(
+    "gopher_quality_rules",
+    _GQ_SQL,
+    doc="the Gopher rule battery (Rae et al. 2021 appendix A — the filter "
+        "set MassiveText/RefinedWeb/FineWeb derive from): word-count "
+        "bounds, mean-word-length bounds, minimum stop-word presence, "
+        "alphabetic-word fraction, top-word repetition cap; bounds adapted "
+        "to the fixture corpus and line-based rules documented N/A; every "
+        "verdict is an integer cross-multiplication so the booleans are "
+        "bit-exact cross-engine; one token explode + per-doc mode is the "
+        "only shuffle — pure map otherwise at any corpus size",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", X.tokens_expr(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    t = toks.select(
+        "doc_id", "lang", "source",
+        F.size("tk").cast("long").alias("ntok"),
+        F.aggregate(
+            F.transform("tk", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_wlen"),
+        F.size(
+            F.filter("tk", lambda x: F.array_contains(F.lit(X.STOPWORDS), x))
+        ).cast("long").alias("stop_cnt"),
+        F.size(
+            F.filter("tk", lambda x: x.rlike("^[a-z]+$"))
+        ).cast("long").alias("alpha_cnt"),
+    )
+    topw = (
+        toks.select("doc_id", F.explode("tk").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("top_cnt"))
+    )
+    r = t.join(topw, "doc_id", "left").withColumn(
+        "top_cnt", F.coalesce("top_cnt", F.lit(0).cast("long"))
+    )
+    r_words = F.col("ntok").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean = (F.col("sum_wlen") >= GOPHER_MEAN_LEN_LO * F.col("ntok")) & (
+        F.col("sum_wlen") <= GOPHER_MEAN_LEN_HI * F.col("ntok")
+    )
+    r_stop = F.col("stop_cnt") >= GOPHER_MIN_STOPWORDS
+    r_alpha = (
+        GOPHER_ALPHA_DEN * F.col("alpha_cnt") >= GOPHER_ALPHA_NUM * F.col("ntok")
+    )
+    r_rep = GOPHER_TOP_FRAC_DEN * F.col("top_cnt") <= F.col("ntok")
+    return r.select(
+        "doc_id", "lang", "source",
+        F.col("ntok").alias("n_words"),
+        X.r6(F.col("sum_wlen") / F.greatest(F.col("ntok"), F.lit(1))).alias(
+            "mean_word_len"
+        ),
+        "stop_cnt", "top_cnt",
+        r_words.alias("r_words"),
+        r_mean.alias("r_mean_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_rep.alias("r_repetition"),
+        (r_words & r_mean & r_stop & r_alpha & r_rep).alias("keep"),
+    ).orderBy("doc_id")

@@ -503,3 +503,105 @@ def extracted_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line dedup (CCNet-style corpus-frequency paragraph removal)
+# ---------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2020) removes lines/paragraphs whose hash appears in
+# many documents — the nav/footer boilerplate sweep every crawl pipeline
+# runs before LM training. The corpus here is the same SQL-derivable multi-
+# paragraph table extracted_text_parity uses, PLUS one per-document unique
+# tail line, so the operator demonstrably separates boilerplate (the ~120
+# distinct shared paragraph values, corpus frequency in the thousands) from
+# unique content (the tail lines, frequency 1). Counting is per-LINE-VALUE
+# document frequency; all aggregates are integer-exact.
+
+BOILERPLATE_DF_T = 100  # lines appearing in more than this many docs drop
+
+_BLD_SQL = f"""
+WITH pages AS (
+  SELECT event_type,
+         event_id::BIGINT AS doc_id,
+         {_ETP_TEXT_SQL} || chr(10) || 'u' || user_id || '-' || event_id AS text
+  FROM events WHERE user_id % 17 <> 0
+), lines AS (
+  SELECT event_type, doc_id, u.line
+  FROM pages, unnest(string_split(text, chr(10))) AS u(line)
+), df AS (
+  SELECT line, count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM lines GROUP BY line
+), judged AS (
+  SELECT l.event_type, l.doc_id, l.line,
+         (d.doc_freq > {BOILERPLATE_DF_T}) AS boilerplate
+  FROM lines l JOIN df d USING (line)
+)
+SELECT event_type,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_lines,
+       count(DISTINCT line)::BIGINT AS n_distinct_lines,
+       count(*) FILTER (WHERE boilerplate)::BIGINT AS lines_removed,
+       coalesce(sum(length(line)) FILTER (WHERE NOT boilerplate), 0)::BIGINT
+         AS chars_kept,
+       coalesce(sum(length(line)) FILTER (WHERE boilerplate), 0)::BIGINT
+         AS chars_removed
+FROM judged GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "boilerplate_line_dedup",
+    _BLD_SQL,
+    doc="CCNet-style boilerplate removal (Wenzek et al. 2020): per-line "
+        "corpus document frequency over the shared multi-paragraph corpus "
+        f"(+ one unique tail line per doc); lines in more than "
+        f"{BOILERPLATE_DF_T} docs are boilerplate and dropped, unique "
+        "content survives — the funnel is reported per event_type with "
+        "integer-exact char accounting. At 100 TB the line-hash df table "
+        "is the only corpus-wide shuffle and is vocabulary-sized (shared "
+        "boilerplate is low-cardinality by definition); the verdict join "
+        "broadcasts it",
+)
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    text = F.concat(
+        F.expr(_ETP_TEXT_SPARK),
+        F.lit("\nu"),
+        F.col("user_id").cast("string"),
+        F.lit("-"),
+        F.col("event_id").cast("string"),
+    )
+    pages = ev.where(F.pmod("user_id", F.lit(17)) != 0).select(
+        "event_type",
+        F.col("event_id").cast("long").alias("doc_id"),
+        text.alias("text"),
+    )
+    lines = pages.select(
+        "event_type", "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).localCheckpoint(eager=False)
+    df = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").cast("long").alias("doc_freq")
+    )
+    judged = lines.join(F.broadcast(df), "line").select(
+        "event_type", "doc_id", "line",
+        (F.col("doc_freq") > BOILERPLATE_DF_T).alias("boilerplate"),
+    )
+    return (
+        judged.groupBy("event_type")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.count_distinct("line").cast("long").alias("n_distinct_lines"),
+            F.count(F.when(F.col("boilerplate"), 1)).cast("long").alias(
+                "lines_removed"
+            ),
+            F.coalesce(
+                F.sum(F.when(~F.col("boilerplate"), F.length("line"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("boilerplate"), F.length("line"))), F.lit(0)
+            ).cast("long").alias("chars_removed"),
+        )
+        .orderBy("event_type")
+    )

@@ -506,3 +506,48 @@ def theta_sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bound"),
     )
     return scopes.unionByName(inter).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# HLL audit: Spark's built-in approx_count_distinct vs exact, bound-judged
+# ---------------------------------------------------------------------------
+
+#: requested relative standard deviation for approx_count_distinct
+HLL_RSD = 0.02
+#: accepted deviation = 3·rsd, checked in integer fixed-point (per-mille):
+#: |approx − exact| · 1000 ≤ 60 · exact
+HLL_BOUND_PM = int(3 * HLL_RSD * 1000)
+
+
+@query(
+    "hll_daily_users",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       true AS hll_within_3rsd
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    doc="HyperLogLog distinct-count audit (the third sketch family: counts "
+        "have CMS, ranks GK, values log-histogram — cardinality gets HLL): "
+        "per-day distinct users via Spark's built-in HLL++ "
+        f"(approx_count_distinct, rsd {HLL_RSD}) judged in-query against "
+        "the exact distinct count with a 3·rsd fixed-point bound; the "
+        "oracle pins the exact count and the bound verdict (the estimate "
+        "itself is engine-specific and deliberately not emitted). At "
+        "10^12 rows the exact count is the audit-only part — production "
+        "keeps just the mergeable HLL sketch, one map-side partial per "
+        "partition",
+)
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    agg = ev.groupBy(day).agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.approx_count_distinct("user_id", HLL_RSD).cast("long").alias("hll"),
+    )
+    dev_pm = F.abs(F.col("hll") - F.col("n_users")) * 1000
+    return agg.select(
+        "day",
+        "n_users",
+        (dev_pm <= HLL_BOUND_PM * F.col("n_users")).alias("hll_within_3rsd"),
+    ).orderBy("day")
