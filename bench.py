@@ -411,6 +411,29 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "cores": cores,
         **extras,
     }
+    # attach the committed sf1 super-linearity probe (measured separately by
+    # tools/scale_probe.py — 10x inputs for the five heaviest stanzas with
+    # time/throughput ratios; NOT re-measured per bench run, see the file
+    # for reps and methodology)
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SCALE_PROBE_r04.json")
+    if os.path.exists(probe_path):
+        with open(probe_path) as f:
+            probe = json.load(f)
+        result["sf1_probe"] = {
+            "measured_by": "tools/scale_probe.py",
+            "file": "SCALE_PROBE_r04.json",
+            "queries": {
+                k: {
+                    "sf01_sec": v.get("sf01"),
+                    "sf1_sec": v.get("sf1"),
+                    "data_ratio": v.get("data_ratio"),
+                    "time_ratio": v.get("time_ratio"),
+                    "throughput_ratio": v.get("throughput_ratio"),
+                }
+                for k, v in probe.get("queries", {}).items()
+            },
+        }
     spark.stop()
     if not quiet:
         print(json.dumps(result))

@@ -45,7 +45,7 @@ def _spread(df):
 
 MINHASH_BANDS = 4          # 16 hashes → 4 bands × 4 rows
 MINHASH_JACCARD_T = 0.05   # verify threshold on exact shingle Jaccard
-SIMHASH_MAX_HAMMING = 3    # ≤3 differing bits over 4 bands of 8 → pigeonhole
+SIMHASH_MAX_HAMMING = 3    # ≤3 differing bits over 4 bands of 15 → pigeonhole
 NGRAM_JACCARD_T = 0.05
 # near-dup threshold FOR THESE QUERIES: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine ≈ 0.5/0.6 at sf 0.01/0.1), so the
@@ -169,7 +169,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            {X.simhash_sql('text')} AS simhash
     FROM documents ORDER BY doc_id
     """,
-    doc="rolling polynomial fingerprint + 32-bit SimHash",
+    doc="rolling polynomial fingerprint + 60-bit SimHash",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched twin of fingerprint_expr/simhash_expr — exact integer
@@ -530,16 +530,25 @@ ORDER BY doc_a, doc_b
 @query(
     "dedup_simhash",
     _SIMHASH_ORACLE,
-    doc="SimHash near-dup: 4 byte-bands of the 32-bit hash as LSH keys; "
+    doc="SimHash near-dup: 4 15-bit bands of the 60-bit hash as LSH keys; "
         "hamming ≤ 3 ⇒ pigeonhole guarantees a shared band, so the banded "
-        "equi-join finds exactly the brute-force pair set",
+        "equi-join finds exactly the brute-force pair set. Width chosen by "
+        "the sf1 scale probe: random band collisions are ~n²/2^(bits+1), "
+        "so 8-bit bands went quadratic (OOM) at 50k docs while 15-bit "
+        "bands keep the candidate set linear-ish far past it",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
     )
-    # 4 bands of 8 bits: band b value = (sh >> 8b) & 255, via long arithmetic
+    # 4 bands of 15 bits: band b value = (sh >> 15b) & 0x7FFF. Integer shift/
+    # mask, NOT the old %-then-/ form — float division of values near 2^60
+    # loses mantissa bits and would corrupt band keys. Round 4 widened the
+    # bands 8 -> 15 bits with the 60-bit hash: random band collisions scale
+    # ~n²/2^(bits+1), and the sf1 scale probe showed 8-bit bands going
+    # quadratic (heap OOM) at 50k docs while the hamming≤3 pigeonhole
+    # guarantee is band-width-independent.
     bands = d.select(
         "doc_id",
         "sh",
@@ -548,7 +557,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        ((F.col("sh") % F.lit(1 << (8 * (b + 1)))) / F.lit(1 << (8 * b)))
+                        F.shiftright("sh", 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .cast("long")
                         .alias("band_val"),
                     )

@@ -425,10 +425,33 @@ def minhash_sig_sql(shingle_hashes: str, n_perms: int = 16) -> str:
 # SimHash (32-bit, over token h32s)
 # ---------------------------------------------------------------------------
 
+#: SimHash width. Round 4 widened 32 -> 60 bits (4 LSH bands of 15 bits):
+#: with b-bit bands, random band collisions are ~n^2/2^(b+1) per band, so
+#: 8-bit bands that were fine at 5k docs went quadratic at the 50k-doc sf1
+#: scale probe (a single hot band bucket OOM'd a 16g heap); 15-bit bands
+#: cut random collisions 128x while the hamming<=3 pigeonhole guarantee
+#: over 4 bands is width-independent. 60 bits = 15 md5 hex chars, safely
+#: inside signed-int64 range in BOTH engines (16 chars could overflow).
+SIMHASH_BITS = 60
+SIMHASH_HEX_CHARS = SIMHASH_BITS // 4
+
+
+def h60(col: Column) -> Column:
+    """int(md5(s)[:15], 16) — the 60-bit sibling of h32, token hash of the
+    SimHash bit votes. Identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, SIMHASH_HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+
+
+def h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {SIMHASH_HEX_CHARS}))::BIGINT"
+
+
 def simhash_expr(col: Column) -> Column:
-    """Bit i set iff more than half of the tokens have bit i set in h32."""
-    hashes = F.transform(tokens_expr(col), lambda t: h32(t))
-    # the 32-bit loop is unrolled in python (pyspark lambdas can't close over
+    """Bit i set iff more than half of the tokens have bit i set in h60."""
+    hashes = F.transform(tokens_expr(col), lambda t: h60(t))
+    # the per-bit loop is unrolled in python (pyspark lambdas can't close over
     # a Column bit index); Catalyst constant-folds the per-bit masks
 
     def _bit_votes(i: int):
@@ -446,7 +469,7 @@ def simhash_expr(col: Column) -> Column:
             > F.size(hashes),
             F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for i in range(32)
+        for i in range(SIMHASH_BITS)
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -456,9 +479,9 @@ def simhash_expr(col: Column) -> Column:
 
 def simhash_sql(expr: str) -> str:
     toks = tokens_sql(expr)
-    hashes = f"list_transform({toks}, t -> {h32_sql('t')})"
+    hashes = f"list_transform({toks}, t -> {h60_sql('t')})"
     return (
-        "list_sum(list_transform(generate_series(0, 31), i -> "
+        f"list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), i -> "
         f" case when 2 * list_sum(list_transform({hashes}, h -> (h >> i) & 1)) "
         f"           > len({hashes}) "
         f" then (1::BIGINT << i) else 0::BIGINT end))::BIGINT"
@@ -525,16 +548,17 @@ def text_hashes_udf():
     from pyspark.sql.functions import pandas_udf
 
     ws = re.compile(r"\s+", re.ASCII)
-    bit_idx = np.arange(32, dtype=np.int64)
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     @pandas_udf("struct<fingerprint: long, simhash: long>")
     def _hashes(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, int] = {}
+        memo: dict[str, tuple[int, int]] = {}
 
-        def h32_py(t: str) -> int:
+        def hashes_py(t: str) -> tuple[int, int]:
             v = memo.get(t)
             if v is None:
-                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+                v = (int(hx[:8], 16), int(hx[:SIMHASH_HEX_CHARS], 16))
                 memo[t] = v
             return v
 
@@ -548,15 +572,15 @@ def text_hashes_udf():
                 sims.append(None)
                 continue
             toks = [w for w in ws.split(t.lower()) if w]
-            hs = [h32_py(w) for w in toks]
+            pairs = [hashes_py(w) for w in toks]
             acc = 0
-            for h in hs:
-                acc = (acc * FP_MULT + h) % FP_MOD
+            for h32v, _ in pairs:
+                acc = (acc * FP_MULT + h32v) % FP_MOD
             fps.append(acc)
-            n = len(hs)
+            n = len(pairs)
             sim = 0
             if n:
-                cnt = Counter(hs)
+                cnt = Counter(h60v for _, h60v in pairs)
                 H = np.fromiter(cnt.keys(), np.int64, len(cnt))
                 C = np.fromiter(cnt.values(), np.int64, len(cnt))
                 votes = (((H[:, None] >> bit_idx) & 1) * C[:, None]).sum(axis=0)

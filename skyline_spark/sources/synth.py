@@ -281,3 +281,32 @@ def synth_documents(spark: SparkSession, n_rows: int = 100_000) -> DataFrame:
         _host(rid, 1000).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+def synth_embeddings(
+    spark: SparkSession, n_rows: int = 20_000, dim: int = 64
+) -> DataFrame:
+    """Deterministic embeddings table matching the testdata schema
+    (vec_id, embedding float[], label) at arbitrary scale — used by the
+    sf1 scale probe to size the embedding-dedup/ANN stages beyond the
+    fixed sf dirs.
+
+    Components are hash-uniform in [-0.5, 0.5); every 20th vector copies
+    the vector 19 ids earlier (cosine exactly 1) so the near-dup path has
+    real work at any scale, mirroring synth_documents' dup rule.
+    """
+    rid = F.col("vec_id")
+    base = F.when(rid % 20 == 19, rid - 19).otherwise(rid)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(base, F.lit("emb"), j), F.lit(1_000_000))
+            / 1_000_000.0
+            - 0.5
+        ).cast("float"),
+    )
+    return spark.range(n_rows).select(F.col("id").alias("vec_id")).select(
+        "vec_id",
+        emb.alias("embedding"),
+        F.pmod(F.xxhash64(rid, F.lit("lb")), F.lit(10)).cast("int").alias("label"),
+    )

@@ -274,3 +274,73 @@ def test_curation_stage_semantics(spark, curate_docs):
             r["n_tokens"] for r in rows_l if r["kept"]
         )
         assert rep[lang]["kept_tokens"] <= CURATE_TOKENS_PER_LANG
+
+
+def test_gopher_rules_integer_verdicts(spark):
+    """The battery's verdicts are integer cross-multiplications; pin the
+    rule semantics on constructed docs: a stopword-free doc fails
+    r_stopwords, a one-word-repeated doc fails r_repetition, a too-short
+    doc fails r_words, and a clean doc keeps."""
+    import pandas as pd
+
+    from skyline_spark.catalog.curation_queries import (
+        GOPHER_MIN_WORDS,
+        gopher_quality_rules,
+    )
+
+    clean = ("the quick brown fox jumps over a lazy dog and runs to the "
+             "hills with many fine friends in tow")
+    no_stop = "quick brown fox jumps runs hills friends wolves badgers otters weasels stoats"
+    repeated = "the spam spam spam spam spam spam spam spam spam spam spam"
+    short = "the cat sat"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [clean, no_stop, repeated, short],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(clean), len(no_stop), len(repeated), len(short)],
+        }
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="gopher_")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in gopher_quality_rules(spark, tmp).collect()}
+    assert rows[0].keep
+    assert not rows[1].r_stopwords and not rows[1].keep
+    assert not rows[2].r_repetition and not rows[2].keep
+    assert rows[3].n_words < GOPHER_MIN_WORDS and not rows[3].r_words
+
+
+def test_winsorize_mass_accounting(spark):
+    """mass_before - mass_after == sum of (n_chars - p99) over clipped docs,
+    and nothing at or below p99 is ever clipped."""
+    from skyline_spark.catalog.audit_queries import winsorize_doclen
+
+    rows = winsorize_doclen(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected per-lang rows"
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    for r in rows:
+        clipped_excess = con.execute(
+            "SELECT coalesce(sum(n_chars - ?), 0), count(*) FROM documents "
+            "WHERE lang = ? AND n_chars > ?",
+            [r.p99, r.lang, r.p99],
+        ).fetchone()
+        assert r.mass_before - r.mass_after == clipped_excess[0]
+        assert r.n_clipped == clipped_excess[1]
+        # type-1 p99 rank guarantee: at least ceil(0.99 n) docs at or below
+        at_or_below = con.execute(
+            "SELECT count(*) FROM documents WHERE lang = ? AND n_chars <= ?",
+            [r.lang, r.p99],
+        ).fetchone()[0]
+        assert 100 * at_or_below >= 99 * r.n_docs

@@ -1,0 +1,200 @@
+"""sf1 scale probe for the heaviest stanzas (VERDICT r3 ask #7).
+
+The fixed testdata dirs stop at sf0.1; before believing the 100× claim the
+heaviest operators need one committed super-linearity probe. This tool
+builds a 10×-sf0.1 ("sf1") input set from the deterministic generators —
+events replicated 10× with disjoint id spaces (same day calendar, so
+per-partition row counts grow 10×, the shape a bigger crawl actually has),
+``synth_documents`` at 50k rows, ``synth_embeddings`` at 20k vectors — runs
+each probe query at sf0.1 and at sf1, and reports the wall-time ratio and
+the throughput (rows/sec) ratio. A healthy linear-ish operator shows a
+time ratio ≈ the data ratio (10×) or better and a throughput ratio near
+(or above) 1; a super-linear cliff shows a collapsing throughput ratio.
+
+validate_pages is probed through its own generator (2M → 20M pages,
+30 days, hive layout — the bench.py shape scaled 10×).
+
+Writes SCALE_PROBE_r04.json; bench.py attaches the committed file to its
+output under ``sf1_probe`` (clearly labeled as measured by this tool, not
+re-measured per bench run).
+
+Usage: python tools/scale_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: the five heaviest r3 stanzas (VERDICT "Plan audit"), minus validate_pages
+#: which is probed via its own generator
+PROBE_QUERIES = [
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "theta_sketch_urls",
+    "ionosphere_tsfresh_match",
+]
+
+#: input table each probe query actually scans (for the rows/sec metric)
+DRIVER_TABLE = {
+    "dedup_embedding_lsh": "embeddings",
+    "dedup_clusters": "documents",
+    "theta_sketch_urls": "events",
+    "ionosphere_tsfresh_match": "events",
+}
+
+
+def _noop(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _build_sf1(spark, out_dir: str) -> dict[str, int]:
+    """Materialize the 10x input set; returns per-table row counts."""
+    from pyspark.sql import functions as F
+
+    from skyline_spark.sources.synth import synth_documents, synth_embeddings
+
+    counts: dict[str, int] = {}
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    reps = spark.range(10).withColumnRenamed("id", "_rep")
+    ev10 = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_rep") * F.lit(1_000_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_rep") * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev10.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    counts["events"] = spark.read.parquet(f"{out_dir}/events.parquet").count()
+
+    docs = synth_documents(spark, n_rows=50_000)
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    counts["documents"] = 50_000
+
+    emb = synth_embeddings(spark, n_rows=20_000)
+    emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    counts["embeddings"] = 20_000
+    return counts
+
+
+def main(out_path: str = "SCALE_PROBE_r04.json") -> None:
+    t_all = time.time()
+    from pyspark.sql import functions as F
+
+    from skyline_spark.catalog import QUERIES
+    from skyline_spark.config import ValidationConfig
+    from skyline_spark.plans.stats import with_partition
+    from skyline_spark.plans.validate import validate
+    from skyline_spark.session import get_spark
+    from skyline_spark.sources.synth import synth_pages
+
+    spark = get_spark("skyline-scale-probe", cores=CORES)
+    tmp = tempfile.mkdtemp(prefix="skyline_sf1_")
+    sf1_dir = os.path.join(tmp, "sf1")
+    os.makedirs(sf1_dir, exist_ok=True)
+    print("building sf1 inputs...", flush=True)
+    counts1 = _build_sf1(spark, sf1_dir)
+    import duckdb
+
+    con = duckdb.connect()
+    counts01 = {
+        t: con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF01}/{t}.parquet')"
+        ).fetchone()[0]
+        for t in ("events", "documents", "embeddings")
+    }
+
+    results: dict = {
+        "cores": CORES,
+        "rows_sf01": counts01,
+        "rows_sf1": counts1,
+        "queries": {},
+    }
+
+    # warm-up
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+
+    _noop(spark.range(1000).select(_warm(F.col("id").cast("double")).alias("w")))
+
+    import gc
+
+    for name in PROBE_QUERIES:
+        per = {}
+        for label, d in (("sf01", SF01), ("sf1", sf1_dir)):
+            # best of 2 reps — one-shot numbers on this VM measure the
+            # hypervisor as often as the engine (BASELINE.md)
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                _noop(QUERIES[name].build(spark, d))
+                times.append(round(time.time() - t0, 3))
+                gc.collect()
+            per[label] = min(times)
+            per[f"{label}_reps"] = times
+        rows01 = counts01[DRIVER_TABLE[name]]
+        rows1 = counts1[DRIVER_TABLE[name]]
+        per["data_ratio"] = round(rows1 / rows01, 2)
+        per["time_ratio"] = round(per["sf1"] / per["sf01"], 2)
+        per["throughput_ratio"] = round(
+            (rows1 / per["sf1"]) / (rows01 / per["sf01"]), 2
+        )
+        results["queries"][name] = per
+        print(name, per, flush=True)
+
+    # validate_pages through its own generator, 2M -> 20M pages
+    vp = {}
+    for label, n_rows in (("sf01", 2_000_000), ("sf1", 20_000_000)):
+        pages_path = os.path.join(tmp, f"pages_{label}")
+        t0 = time.time()
+        with_partition(
+            synth_pages(spark, n_rows=n_rows, n_days=30)
+        ).repartition("partition_date").write.mode("overwrite").partitionBy(
+            "partition_date"
+        ).parquet(pages_path)
+        vp[f"{label}_synth"] = round(time.time() - t0, 3)
+        pages = spark.read.parquet(pages_path)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            res = validate(
+                pages, ValidationConfig(min_history=4), run_ts=1_700_000_000.0
+            )
+            res.verdicts.count()
+            _noop(res.violations)
+            times.append(round(time.time() - t0, 3))
+            res.release()
+            gc.collect()
+        vp[label] = min(times)
+        vp[f"{label}_reps"] = times
+    vp["data_ratio"] = 10.0
+    vp["time_ratio"] = round(vp["sf1"] / vp["sf01"], 2)
+    vp["throughput_ratio"] = round(
+        (20_000_000 / vp["sf1"]) / (2_000_000 / vp["sf01"]), 2
+    )
+    results["queries"]["validate_pages"] = vp
+    print("validate_pages", vp, flush=True)
+
+    results["wall_total"] = round(time.time() - t_all, 1)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r04.json")
