@@ -580,12 +580,21 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = pages.select(
         "event_type", "doc_id", F.explode(F.split("text", "\n")).alias("line")
     ).localCheckpoint(eager=False)
-    df = lines.groupBy("line").agg(
-        F.count_distinct("doc_id").cast("long").alias("doc_freq")
+    # broadcast ONLY the lines already judged boilerplate: that set is
+    # low-cardinality by definition (each member appears in >T docs, so at
+    # most n_lines/T rows), while the full frequency table carries one row
+    # per UNIQUE line — O(corpus) here because of the per-doc tail lines —
+    # and would be an unbounded broadcast at scale. Left join + null test
+    # replaces the equality on doc_freq.
+    bp = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").cast("long").alias("doc_freq"))
+        .where(F.col("doc_freq") > BOILERPLATE_DF_T)
+        .select("line", F.lit(True).alias("bp"))
     )
-    judged = lines.join(F.broadcast(df), "line").select(
+    judged = lines.join(F.broadcast(bp), "line", "left").select(
         "event_type", "doc_id", "line",
-        (F.col("doc_freq") > BOILERPLATE_DF_T).alias("boilerplate"),
+        F.coalesce("bp", F.lit(False)).alias("boilerplate"),
     )
     return (
         judged.groupBy("event_type")

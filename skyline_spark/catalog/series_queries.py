@@ -1869,18 +1869,28 @@ def detector_ks_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         half = n // 2
         a = pdf["value"].to_numpy(dtype=np.float64)[:half]
         b = pdf["value"].to_numpy(dtype=np.float64)[half:]
-        d, p = ks_2samp(a, b)
-        scaled = math.sqrt(a.size * b.size / (a.size + b.size)) * d
+        if a.size == 0 or b.size == 0:
+            # single-point series: the first half is empty and ks_2samp
+            # returns (NaN, NaN); the oracle's nullif(n1, 0) path emits the
+            # same NULL-D / all-FALSE row (pinned by the degenerate battery)
+            d_out = scaled_out = None
+            p_lt, d_ex = False, False
+        else:
+            d, p = ks_2samp(a, b)
+            scaled = math.sqrt(a.size * b.size / (a.size + b.size)) * d
+            d_out = math.floor(d * 1e6 + 0.5) / 1e6
+            scaled_out = math.floor(scaled * 1e6 + 0.5) / 1e6
+            p_lt, d_ex = bool(p < 0.05), bool(d > 0.5)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iat[0]],
                 "n1": [a.size],
                 "n2": [b.size],
-                "ks_d": [math.floor(d * 1e6 + 0.5) / 1e6],
-                "scaled_d": [math.floor(scaled * 1e6 + 0.5) / 1e6],
-                "p_lt_05": [bool(p < 0.05)],
-                "d_exceeds": [bool(d > 0.5)],
-                "gate": [bool(p < 0.05 and d > 0.5)],
+                "ks_d": [d_out],
+                "scaled_d": [scaled_out],
+                "p_lt_05": [p_lt],
+                "d_exceeds": [d_ex],
+                "gate": [bool(p_lt and d_ex)],
             }
         )
 
@@ -1930,14 +1940,28 @@ WITH s AS (
   FROM p JOIN reg r ON r.event_type = p.event_type
   WHERE p.dx IS NOT NULL
   GROUP BY p.event_type, r.m, r.b, r.vx
+), ets AS (
+  SELECT DISTINCT event_type FROM six
+), tt AS (
+  -- degenerate contract (pinned by the degenerate battery): a series
+  -- without the full {_ADF_N}-point prefix (m < {_ADF_N - 1}), constant
+  -- lags (vx = 0), or an exact OLS fit (ssr = 0 — the kernel's lstsq sees
+  -- se -> 0 / tau -> ±inf there) reports tau NULL, stationary NULL; the
+  -- |tau| > 1e8 clamp keeps near-exact fits (float-residual ssr ~ 1e-30)
+  -- in the same NULL bucket on both engines instead of overflowing floor
+  SELECT e.event_type, s.m, s.vx, s.ssr,
+         b / nullif(sqrt((ssr / (m - 2)) / (m * vx)), 0) AS rawtau,
+         (s.event_type IS NULL OR s.m < {_ADF_N - 1} OR s.vx = 0
+          OR s.ssr = 0 OR s.ssr IS NULL) AS degen
+  FROM ets e LEFT JOIN ssr s ON s.event_type = e.event_type
 )
 SELECT event_type,
-       floor(b / nullif(sqrt((ssr / (m - 2)) / (m * vx)), 0) * 1000000 + 0.5)
-         / 1000000 AS tau,
+       CASE WHEN degen OR abs(rawtau) > 1e8 THEN NULL
+            ELSE floor(rawtau * 1000000 + 0.5) / 1000000 END AS tau,
        0::BIGINT AS usedlag,
-       coalesce(b / nullif(sqrt((ssr / (m - 2)) / (m * vx)), 0)
-                < {_ADF_TAU_05!r}, FALSE) AS stationary
-FROM ssr ORDER BY event_type
+       CASE WHEN degen OR abs(rawtau) > 1e8 THEN NULL
+            ELSE rawtau < {_ADF_TAU_05!r} END AS stationary
+FROM tt ORDER BY event_type
 """
 
 
@@ -1950,9 +1974,12 @@ FROM ssr ORDER BY event_type
         "the 2-regressor [y_lag, 1] fit — tau = b/se restated via "
         "covar_pop/var_pop and ssr, and p < .05 as the constant line "
         "tau < mackinnon_tau_crit(.05) (our MacKinnon response surface has "
-        "no sample-size term); the AIC lag-selection path for longer "
-        "series stays pinned by tests/test_stats_math.py goldens "
-        "(reference analyzer/algorithms.py:390)",
+        "no sample-size term); degenerate series (short prefix, constant "
+        "lags, exact fits where se->0) report tau/stationary NULL under an "
+        "engine-identical contract pinned by the degenerate battery; the "
+        "AIC lag-selection path for longer series stays pinned by "
+        "tests/test_stats_math.py goldens (reference "
+        "analyzer/algorithms.py:390)",
 )
 def detector_adf_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -1968,13 +1995,26 @@ def detector_adf_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("rn").head(_ADF_N)
         vals = pdf["v"].to_numpy(dtype=np.float64)
-        tau, p, lag = adfuller(vals, 10)
+        # degenerate contract mirroring the oracle: short prefix, or a
+        # (near-)exact fit where adfuller's se -> 0 pushes tau to ±inf /
+        # past the 1e8 clamp -> tau NULL, stationary NULL (constant or
+        # perfectly-linear 6-point prefixes are exactly this shape; an
+        # unguarded floor() raises on inf/NaN and aborts the whole query)
+        if vals.size < _ADF_N:
+            tau_out, lag, stat = None, 0, None
+        else:
+            tau, p, lag = adfuller(vals, 10)
+            if not math.isfinite(tau) or abs(tau) > 1e8:
+                tau_out, stat = None, None
+            else:
+                tau_out = math.floor(tau * 1e6 + 0.5) / 1e6
+                stat = bool(p < 0.05)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iat[0]],
-                "tau": [math.floor(tau * 1e6 + 0.5) / 1e6],
+                "tau": [tau_out],
                 "usedlag": [lag],
-                "stationary": [bool(p < 0.05)],
+                "stationary": pd.array([stat], dtype="boolean"),
             }
         )
 

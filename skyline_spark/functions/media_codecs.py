@@ -146,14 +146,22 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the payload end is corruption —
+            # reject it instead of silently truncating the sample stream
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError("only PCM mono 16-bit supported")
         elif cid == b"data":
+            if size & 1:
+                raise ValueError("odd data chunk size for 16-bit samples")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:

@@ -32,6 +32,11 @@ DETECTORS = [
     "mirage_second_pass",
     "drift_ensemble_relational",
     "ionosphere_profile_match",
+    # round-4: the sample-fed KS gate (empty first half on n=1) and the
+    # lag-0 ADF tau (constant/short prefixes -> the NULL degenerate
+    # contract) — added after review found both crashing on these classes
+    "detector_ks_gate",
+    "detector_adf_tau",
 ]
 
 COSINE_QUERIES = [

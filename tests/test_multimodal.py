@@ -226,3 +226,29 @@ def test_resize_bmp_nearest_geometry():
     # within bounds -> byte-identical passthrough
     same, w2, h2 = resize_bmp_nearest(payload, 64)
     assert same == payload and (w2, h2) == (16, 10)
+
+
+def test_wav_rejects_truncated_and_short_chunks():
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    from skyline_spark.functions.media_codecs import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(8, dtype=np.int16), 8000)
+    # data chunk declaring a size past the payload end
+    oversize = bytearray(good)
+    data_pos = good.index(b"data")
+    struct.pack_into("<I", oversize, data_pos + 4, 0xFFFF)
+    with pt.raises(ValueError, match="truncated"):
+        decode_wav(bytes(oversize))
+    # fmt chunk shorter than the 16-byte PCM header
+    short_fmt = (
+        good[:12]
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + good[12:]
+    )
+    short_fmt = short_fmt[:4] + struct.pack("<I", len(short_fmt) - 8) + short_fmt[8:]
+    with pt.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(bytes(short_fmt))
