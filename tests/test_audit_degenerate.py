@@ -32,6 +32,18 @@ AUDIT_FAMILY = [
     "lang_confusion_matrix",
     "source_scorecard",
     "expectations_enforce",
+    # round-4 additions (same contract: empty tables validate cleanly with
+    # exact cross-engine parity)
+    "gopher_quality_rules",
+    "boilerplate_line_dedup",
+    "hll_daily_users",
+    "winsorize_doclen",
+    "extracted_text_parity",
+    "multimodal_media_features",
+    "multimodal_resize_frames",
+    "detector_ks_gate",
+    "detector_adf_tau",
+    "replay_ensemble_relational",
 ]
 
 
