@@ -366,6 +366,8 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "boilerplate_line_dedup",
         "hll_daily_users",
         "winsorize_doclen",
+        "text_normalize_nfc",
+        "bpe_char_coverage",
     ]
     # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
     # intermediate frames; across ~80 stanzas the accumulated blocks pressure

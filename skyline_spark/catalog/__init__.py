@@ -107,8 +107,6 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "boundary_autoaggregate",
-    "events_daily_stats",
-    "text_pii_scrub",
     # round-4-new queries displace the bottom refresh slots (alert_dedup,
     # luminosity_shift_correlation, text_token_count, text_lang_id,
     # text_quality, ann_lsh_topk — all r2-green): the sample-fed ks gate +
@@ -121,6 +119,8 @@ PRIORITY_WINDOW: list[str] = [
     "boilerplate_line_dedup",
     "hll_daily_users",
     "winsorize_doclen",
+    "text_normalize_nfc",
+    "bpe_char_coverage",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -134,6 +134,8 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
     "replay_full_ensemble",
+    "events_daily_stats",
+    "text_pii_scrub",
     "alert_dedup",
     "luminosity_shift_correlation",
     "text_token_count",

@@ -732,3 +732,76 @@ def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_urls"))
         .orderBy("host", "verdict", "matched_rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer QA #2: character coverage / UNK rate on out-of-corpus text
+# ---------------------------------------------------------------------------
+#
+# SentencePiece's character_coverage and every production tokenizer report:
+# which characters of INCOMING text are absent from the training corpus'
+# character inventory (they become UNK/byte-fallback tokens at inference).
+# Training inventory = distinct characters of `documents.text`; evaluation
+# stream = the events table's raw `props` JSON strings — a genuinely
+# different distribution (braces, quotes, colons, digits) so the UNK rate
+# is non-trivially nonzero. The inventory is charset-sized and BROADCAST;
+# the evaluation is one scan + rollup.
+
+_CHARCOV_SQL = f"""
+WITH train AS (
+  SELECT DISTINCT u.c FROM documents,
+       unnest(regexp_extract_all(text, '.')) AS u(c)
+), ev AS (
+  SELECT event_type, u.c
+  FROM events, unnest(regexp_extract_all(props, '.')) AS u(c)
+)
+SELECT ev.event_type,
+       count(*)::BIGINT AS n_chars,
+       count(*) FILTER (WHERE t.c IS NULL)::BIGINT AS unk_chars,
+       {X.r6_sql("count(*) FILTER (WHERE t.c IS NULL) / count(*)::DOUBLE")}
+         AS unk_rate,
+       count(DISTINCT CASE WHEN t.c IS NULL THEN ev.c END)::BIGINT
+         AS n_distinct_unk
+FROM ev LEFT JOIN train t ON t.c = ev.c
+GROUP BY ev.event_type ORDER BY ev.event_type
+"""
+
+
+@query(
+    "bpe_char_coverage",
+    _CHARCOV_SQL,
+    doc="tokenizer character-coverage audit (the SentencePiece "
+        "character_coverage / byte-fallback-rate metric): the training "
+        "corpus' distinct-character inventory (documents.text) is "
+        "broadcast against an out-of-corpus evaluation stream (events' "
+        "raw props JSON), reporting per-type UNK character occurrences "
+        "and rate — the number every tokenizer team checks before a new "
+        "data source enters training; inventory is charset-sized, "
+        "evaluation is one scan + rollup",
+)
+def bpe_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    chars = lambda c: F.explode(F.expr(f"regexp_extract_all({c}, '.', 0)"))  # noqa: E731
+    train = docs.select(chars("text").alias("c")).distinct()
+    evc = ev.select("event_type", chars("props").alias("c"))
+    return (
+        evc.join(
+            F.broadcast(train.withColumn("known", F.lit(True))), "c", "left"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_chars"),
+            F.count(F.when(F.col("known").isNull(), 1)).cast("long").alias(
+                "unk_chars"
+            ),
+            X.r6(
+                F.count(F.when(F.col("known").isNull(), 1))
+                / F.count("*").cast("double")
+            ).alias("unk_rate"),
+            F.count_distinct(
+                F.when(F.col("known").isNull(), F.col("c"))
+            ).cast("long").alias("n_distinct_unk"),
+        )
+        .orderBy("event_type")
+    )

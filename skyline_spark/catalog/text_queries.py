@@ -2624,3 +2624,111 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "hits", "k", rec.alias("recall"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization — the canonicalization pass every multilingual
+# corpus needs before dedup/hashing (decomposed "e"+U+0301 and composed "é"
+# must hash identically)
+# ---------------------------------------------------------------------------
+#
+# Spark has no NFC builtin, so the normalization runs in an Arrow-batched
+# pandas UDF (stdlib unicodedata — the same tables ICU ships); DuckDB HAS
+# nfc_normalize, so the oracle is a genuinely independent second
+# implementation of the Unicode composition tables. The cleaning contract
+# is pinned identically on both sides: strip C0 controls (except \t\n\r),
+# collapse [ \t\n\r]+ runs to one space (an EXPLICIT class — python re's
+# \s and RE2's \s disagree on unicode spaces), trim spaces, then NFC.
+# Planted content: combining acute/diaeresis sequences, doubled whitespace,
+# a BEL control — all built from chr() so both engines derive byte-equal
+# raw strings.
+
+_NORM_RAW_SQL = (
+    "'cafe' || chr(769) || '  resume' || chr(769) || chr(9) || "
+    "(CASE WHEN user_id % 3 = 0 THEN 'nai' || chr(776) || 've' ELSE 'plain' END) "
+    "|| chr(7) || ' id ' || event_id"
+)
+
+_NORM_SQL = f"""
+WITH raw AS (
+  SELECT event_type, {_NORM_RAW_SQL} AS s FROM events
+), cleaned AS (
+  SELECT event_type, s,
+         nfc_normalize(trim(regexp_replace(regexp_replace(
+           s, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+           '[ \\t\\n\\r]+', ' ', 'g'), ' ')) AS c
+  FROM raw
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE c <> s)::BIGINT AS n_changed,
+       sum(length(s))::BIGINT AS chars_before,
+       sum(length(c))::BIGINT AS chars_after,
+       sum({X.h32_sql('c')})::BIGINT AS h32_sum
+FROM cleaned GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "text_normalize_nfc",
+    _NORM_SQL,
+    doc="Unicode NFC canonicalization + control-strip + whitespace-collapse "
+        "— the pass that makes decomposed e+U+0301 and composed é hash "
+        "identically before dedup. Spark side: Arrow-batched stdlib "
+        "unicodedata (no NFC builtin exists); oracle: DuckDB's independent "
+        "nfc_normalize — two implementations of the Unicode composition "
+        "tables cross-checked via code-point counts and h32 sums. "
+        "Whitespace class is explicit [ \\\\t\\\\n\\\\r] (python re and RE2 "
+        "disagree on unicode \\\\s). Pure map at any scale — no shuffle "
+        "before the rollup",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc_clean(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+        ws = re.compile(r"[ \t\n\r]+")
+
+        def one(t):
+            if t is None:
+                return None
+            return unicodedata.normalize(
+                "NFC", ws.sub(" ", ctrl.sub("", t)).strip(" ")
+            )
+
+        return s.map(one)
+
+    ev = load(spark, sf_dir, "events")
+    raw = F.concat(
+        # EXPLICIT decomposed escapes (e + U+0301), matching the oracle's
+        # chr(769) construction byte-for-byte: a literal typed as composed
+        # (or a file normalized to NFC by an editor) would silently change
+        # the raw strings this query measures
+        F.lit("cafe\u0301  resume\u0301\t"),
+        F.when(
+            F.pmod("user_id", F.lit(3)) == 0, F.lit("nai\u0308ve")
+        ).otherwise(F.lit("plain")),
+        F.lit("\x07 id "),
+        F.col("event_id").cast("string"),
+    )
+    cleaned = ev.select(
+        "event_type", raw.alias("s")
+    ).withColumn("c", _nfc_clean(F.col("s")))
+    return (
+        cleaned.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("c") != F.col("s"), 1)).cast("long").alias(
+                "n_changed"
+            ),
+            F.sum(F.length("s")).cast("long").alias("chars_before"),
+            F.sum(F.length("c")).cast("long").alias("chars_after"),
+            F.sum(X.h32(F.col("c"))).cast("long").alias("h32_sum"),
+        )
+        .orderBy("event_type")
+    )
