@@ -107,12 +107,16 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "boundary_autoaggregate",
-    # round-4-new queries displace the bottom refresh slots (alert_dedup,
-    # luminosity_shift_correlation, text_token_count, text_lang_id,
-    # text_quality, ann_lsh_topk — all r2-green): the sample-fed ks gate +
-    # lag-0 ADF tau (the two ks_test sub-gates the 9-of-9 twins cannot
-    # exercise), the Gopher rule battery, CCNet boilerplate line dedup, the
-    # HLL cardinality audit and the winsorize outlier audit
+    # round-4-new queries displace eight refresh slots (bottom-up:
+    # alert_dedup, luminosity_shift_correlation, text_token_count,
+    # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
+    # char-coverage audits landed — events_daily_stats and text_pii_scrub
+    # from the list's then-bottom; all eight hold r2 driver rows): the
+    # sample-fed ks gate + lag-0 ADF tau (the two ks_test sub-gates the
+    # 9-of-9 twins cannot exercise), the Gopher rule battery, CCNet
+    # boilerplate line dedup, the HLL cardinality audit, the winsorize
+    # outlier audit, Unicode NFC normalization and tokenizer character
+    # coverage
     "detector_ks_gate",
     "detector_adf_tau",
     "gopher_quality_rules",

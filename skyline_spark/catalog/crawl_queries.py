@@ -750,10 +750,10 @@ def robots_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHARCOV_SQL = f"""
 WITH train AS (
   SELECT DISTINCT u.c FROM documents,
-       unnest(regexp_extract_all(text, '.')) AS u(c)
+       unnest(regexp_extract_all(text, '(?s).')) AS u(c)
 ), ev AS (
   SELECT event_type, u.c
-  FROM events, unnest(regexp_extract_all(props, '.')) AS u(c)
+  FROM events, unnest(regexp_extract_all(props, '(?s).')) AS u(c)
 )
 SELECT ev.event_type,
        count(*)::BIGINT AS n_chars,
@@ -782,7 +782,10 @@ GROUP BY ev.event_type ORDER BY ev.event_type
 def bpe_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ev = load(spark, sf_dir, "events")
-    chars = lambda c: F.explode(F.expr(f"regexp_extract_all({c}, '.', 0)"))  # noqa: E731
+    # (?s): Java regex '.' skips \r/\u0085/\u2028/\u2029 and RE2 '.' skips
+    # only \n — DOTALL makes BOTH count every character incl. line
+    # terminators, so web-crawl text with \r cannot desync the engines
+    chars = lambda c: F.explode(F.expr(f"regexp_extract_all({c}, '(?s).', 0)"))  # noqa: E731
     train = docs.select(chars("text").alias("c")).distinct()
     evc = ev.select("event_type", chars("props").alias("c"))
     return (

@@ -44,6 +44,8 @@ AUDIT_FAMILY = [
     "detector_ks_gate",
     "detector_adf_tau",
     "replay_ensemble_relational",
+    "text_normalize_nfc",
+    "bpe_char_coverage",
 ]
 
 
