@@ -80,6 +80,21 @@ NO_ROWWISE_PYTHON = [
     "link_graph_pagerank",
     "link_graph_hits",
     "fk_orphan_check",
+    # round-4 additions (Arrow-vectorized boundaries only; NFC/ks-gate/
+    # adf-tau/multimodal use ArrowEvalPython / FlatMapGroupsInPandas /
+    # MapInPandas — the sanctioned forms)
+    "gopher_quality_rules",
+    "boilerplate_line_dedup",
+    "hll_daily_users",
+    "winsorize_doclen",
+    "bpe_char_coverage",
+    "extracted_text_parity",
+    "text_normalize_nfc",
+    "detector_ks_gate",
+    "detector_adf_tau",
+    "replay_ensemble_relational",
+    "multimodal_media_features",
+    "multimodal_resize_frames",
 ]
 
 
@@ -585,3 +600,17 @@ def test_expectations_enforce_single_pass(spark):
     assert "BatchEvalPython" not in p
     import re
     assert len(re.findall(r"^\s*[+:]- Window", tree, re.M)) == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["boilerplate_line_dedup", "winsorize_doclen", "bpe_char_coverage"],
+)
+def test_round4_small_sides_broadcast(spark, name):
+    # each of these claims its small side broadcasts (judged-boilerplate
+    # lines, per-lang p99 row, the training character inventory) — the
+    # fact side must never be shuffled for the join
+    p = plan_of(build(spark, name))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
