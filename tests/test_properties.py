@@ -166,3 +166,87 @@ def test_robots_eval_matches_python_reference(spark, rules, paths):
         # tuples still allow that pair; the verdict assert above covers it
         if got[url][0] == want_verdict == "blocked":
             assert got[url][1] == want_rule, (p, rules, got[url])
+
+
+# ---------------------------------------------------------------------------
+# round-4: media codec round-trip properties
+# ---------------------------------------------------------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode_bmp → decode_bmp is the identity for every (w, h) incl. all
+    row-padding classes (3w % 4 ∈ {0,1,2,3})."""
+    from skyline_spark.functions.media_codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(gray)), gray)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_property(n, rate, seed):
+    from skyline_spark.functions.media_codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    r2, s2 = decode_wav(encode_wav(s, rate))
+    assert r2 == rate and np.array_equal(s, s2)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    max_side=st.integers(min_value=1, max_value=48),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_resize_property(w, h, max_side, seed):
+    """Resize bounds: output dims ≤ max_side when shrinking, byte-identical
+    passthrough when already within bounds, and every output pixel equals
+    its integer-mapped source pixel."""
+    from skyline_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    payload = encode_bmp(gray)
+    out, ow, oh = resize_bmp_nearest(payload, max_side)
+    if max(w, h) <= max_side:
+        assert out == payload and (ow, oh) == (w, h)
+    else:
+        assert 1 <= ow <= max_side and 1 <= oh <= max_side
+        got = decode_bmp(out)
+        xs = (np.arange(ow) * w) // ow
+        ys = (np.arange(oh) * h) // oh
+        assert np.array_equal(got, gray[np.ix_(ys, xs)])
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_nfc_clean_idempotent(s):
+    """The NFC cleaning contract is idempotent — cleaning a cleaned string
+    is a no-op (control strip, ws collapse, trim and NFC are each
+    idempotent and the composition preserves it)."""
+    import re
+    import unicodedata
+
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    ws = re.compile(r"[ \t\n\r]+")
+
+    def clean(t):
+        return unicodedata.normalize("NFC", ws.sub(" ", ctrl.sub("", t)).strip(" "))
+
+    assert clean(clean(s)) == clean(s)
