@@ -365,6 +365,26 @@ def _prep(e: DataFrame) -> DataFrame:
     )
 
 
+def features_sum_expr() -> str:
+    """The ONE features_sum definition both engines run.
+
+    NULL-skipping sum (pandas .sum() semantics — the reference's
+    features_sum ignores NaN calculators): coalesce each term. Each term is
+    quantized to 6dp with the portable floor form FIRST: about half the
+    calculators are raw float aggregates whose engine/fold-order ulp
+    spreads, summed across ~100 terms, measurably straddled the final
+    2dp rounding boundary (a committed flake: calc_sum 615630.07 vs .06).
+    Summing identical 6dp-quantized doubles leaves only order-level ulp
+    noise, which the final 2dp round absorbs. Integer-valued features pass
+    through the quantization exactly.
+    """
+    terms = " + ".join(
+        f"coalesce(floor(({n}) * 1000000 + 0.5) / 1000000, 0)"
+        for n in TSF_FEATURE_NAMES
+    )
+    return f"round({terms}, 2)"
+
+
 def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
     """Feature matrix for a windowed series frame e(event_type, rn, n, value)
     — one row per event_type with every TSF_FEATURE_NAMES column plus the
@@ -440,12 +460,7 @@ def tsfresh_feature_frame(e: DataFrame) -> DataFrame:
             "features_count", F.lit(len(TSF_FEATURE_NAMES)).cast("long")
         )
     )
-    # NULL-skipping sum (pandas .sum() semantics — the reference's
-    # features_sum ignores NaN calculators): coalesce each term in BOTH
-    # engines so a short/degenerate series (NULL lagged corr, etc.) still
-    # sums the defined features; one expr string, not a 100-term client fold
-    fsum = " + ".join(f"coalesce({n}, 0)" for n in TSF_FEATURE_NAMES)
-    return out.withColumn("features_sum", F.expr(f"round({fsum}, 2)"))
+    return out.withColumn("features_sum", F.expr(features_sum_expr()))
 
 
 def tsfresh_oracle_body() -> str:
@@ -454,7 +469,6 @@ def tsfresh_oracle_body() -> str:
     prep1 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_WINDOW_EXPRS)
     prep2 = ",\n         ".join(f"{sql} AS {name}" for name, sql in PREP_LAYER2_EXPRS)
     aggs = ",\n         ".join(f"{sql} AS {name}" for name, sql in SHARED_AGG_EXPRS)
-    feature_sum = " + ".join(f"coalesce({n}, 0)" for n in TSF_FEATURE_NAMES)
     return f"""
 , s1 AS (
   SELECT event_type, rn, n, value,
@@ -509,7 +523,7 @@ def tsfresh_oracle_body() -> str:
 )
 SELECT *,
        {len(TSF_FEATURE_NAMES)}::BIGINT AS features_count,
-       round({feature_sum}, 2) AS features_sum
+       {features_sum_expr()} AS features_sum
 FROM full_feat
 ORDER BY event_type
 """
