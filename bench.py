@@ -368,6 +368,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "winsorize_doclen",
         "text_normalize_nfc",
         "bpe_char_coverage",
+        "shard_rendezvous_stability",
     ]
     # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
     # intermediate frames; across ~80 stanzas the accumulated blocks pressure

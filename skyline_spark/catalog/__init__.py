@@ -106,7 +106,6 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding_lsh",
-    "boundary_autoaggregate",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -125,6 +124,7 @@ PRIORITY_WINDOW: list[str] = [
     "winsorize_doclen",
     "text_normalize_nfc",
     "bpe_char_coverage",
+    "shard_rendezvous_stability",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -138,6 +138,7 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
     "replay_full_ensemble",
+    "boundary_autoaggregate",
     "events_daily_stats",
     "text_pii_scrub",
     "alert_dedup",

@@ -394,3 +394,98 @@ def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dup.alias("exact_dup"),
         (bloom_hit & ~exact_dup).alias("false_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding — minimal-movement shard assignment
+# ---------------------------------------------------------------------------
+#
+# corpus_shuffle_shards deals shards by modular hash: adding ONE shard
+# remaps ~(N-1)/N of all documents — at 10^12 docs a full reshuffle.
+# Highest-random-weight (rendezvous) hashing (Thaler & Ravishankar 1998)
+# assigns doc -> argmax_s h(doc, s): growing N -> N+1 moves only the docs
+# whose new shard's weight beats their old maximum — exactly 1/(N+1) in
+# expectation — so shard-local artifacts (signature indexes, token counts,
+# Bloom filters) survive a topology change almost entirely. The query
+# computes both assignments and the per-(old, new) movement matrix; the
+# planted property (moved fraction ~= 1/(N+1), and every move targets the
+# NEW shard) is what the oracle pins. Portable h32 keyed on (doc_id, shard)
+# keeps both engines bit-identical; one scan, no joins (the argmax is a
+# greatest() over N compile-time columns).
+
+HRW_N = 8           # current topology
+HRW_N_NEW = 9       # topology after adding one shard
+
+
+def _hrw_weight_sql(shard: int) -> str:
+    return X.h32_sql(f"doc_id::VARCHAR || ':shard' || {shard}")
+
+
+def _hrw_argmax_sql(n: int) -> str:
+    # argmax via greatest() + a CASE chain over compile-time shards; h32
+    # collisions across (doc, shard) pairs are 2^-32-improbable and the
+    # CASE picks the LOWEST shard id on a tie in both engines (first WHEN
+    # wins). The greatest() is inlined per branch — no correlated subquery.
+    weights = ", ".join(_hrw_weight_sql(s) for s in range(n))
+    cases = " ".join(
+        f"WHEN {_hrw_weight_sql(s)} = greatest({weights}) THEN {s}"
+        for s in range(n)
+    )
+    return f"(CASE {cases} END)"
+
+
+_HRW_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         {_hrw_argmax_sql(HRW_N)} AS shard_old,
+         {_hrw_argmax_sql(HRW_N_NEW)} AS shard_new
+  FROM documents
+)
+SELECT shard_old::BIGINT AS shard_old, shard_new::BIGINT AS shard_new,
+       count(*)::BIGINT AS n_docs,
+       (shard_old <> shard_new) AS moved
+FROM a GROUP BY shard_old, shard_new ORDER BY shard_old, shard_new
+"""
+
+
+@query(
+    "shard_rendezvous_stability",
+    _HRW_SQL,
+    doc="rendezvous (HRW) sharding with the minimal-movement reshard "
+        f"property: doc -> argmax over shards of h32(doc, shard); growing "
+        f"{HRW_N} -> {HRW_N_NEW} shards must move only ~1/{HRW_N_NEW} of "
+        "docs and EVERY move must target the new shard (pinned by "
+        "tests) — the property that lets shard-local artifacts survive "
+        "topology changes at 10^12 docs, vs the ~(N-1)/N full reshuffle "
+        "of modular dealing (corpus_shuffle_shards); one scan, no "
+        "shuffle before the rollup, compile-time argmax columns",
+)
+def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+
+    def weight(s: int):
+        return X.h32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":shard{s}"))
+        )
+
+    def argmax(n: int):
+        m = F.greatest(*[weight(s) for s in range(n)])
+        expr = F.lit(None).cast("int")
+        for s in reversed(range(n)):
+            expr = F.when(weight(s) == m, F.lit(s)).otherwise(expr)
+        return expr
+
+    a = d.select(
+        "doc_id",
+        argmax(HRW_N).alias("shard_old"),
+        argmax(HRW_N_NEW).alias("shard_new"),
+    )
+    return (
+        a.groupBy(
+            F.col("shard_old").cast("long").alias("shard_old"),
+            F.col("shard_new").cast("long").alias("shard_new"),
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("moved", F.col("shard_old") != F.col("shard_new"))
+        .orderBy("shard_old", "shard_new")
+    )

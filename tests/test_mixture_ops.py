@@ -149,3 +149,25 @@ def test_token_budget_fill_quota_on_exact_bucket_boundary(spark):
         tie_col="doc_id", quota=F.lit(10).cast("long"), buckets=BUCKETS,
     )
     assert {int(r.doc_id) for r in got.collect()} == {0, 1, 2}
+
+
+def test_rendezvous_reshard_minimal_movement(spark):
+    """HRW property: growing N -> N+1 shards moves ~1/(N+1) of docs and
+    every moved doc lands on the NEW shard (its weight there newly beats
+    the old maximum; old-shard weights are unchanged)."""
+    from skyline_spark.catalog.selection_queries import (
+        HRW_N,
+        HRW_N_NEW,
+        shard_rendezvous_stability,
+    )
+
+    rows = shard_rendezvous_stability(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.moved)
+    assert total > 0
+    # binomial(1/9) around 11%: generous band, deterministic data
+    assert 0.03 <= moved / total <= 0.25
+    assert all(r.shard_new == HRW_N_NEW - 1 for r in rows if r.moved), (
+        "a rendezvous move may only target the newly added shard"
+    )
+    assert {r.shard_old for r in rows} <= set(range(HRW_N))
