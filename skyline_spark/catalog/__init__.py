@@ -106,6 +106,11 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    # round-5 new: flood-guard observability (the three banded dedup paths
+    # above changed semantics this round — exact-dup pre-collapse + band
+    # caps — so they hold these refresh slots AND the guard needs its
+    # first-ever row)
+    "dedup_band_guard",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -124,7 +129,6 @@ PRIORITY_WINDOW: list[str] = [
     "winsorize_doclen",
     "text_normalize_nfc",
     "bpe_char_coverage",
-    "shard_rendezvous_stability",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -137,6 +141,8 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # the in-repo sweep each round (tests/test_catalog.py pins the rotation
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
+    # r4-green, displaced by round-5's dedup_band_guard
+    "shard_rendezvous_stability",
     "replay_full_ensemble",
     "boundary_autoaggregate",
     "events_daily_stats",

@@ -47,6 +47,41 @@ MINHASH_BANDS = 4          # 16 hashes → 4 bands × 4 rows
 MINHASH_JACCARD_T = 0.05   # verify threshold on exact shingle Jaccard
 SIMHASH_MAX_HAMMING = 3    # ≤3 differing bits over 4 bands of 15 → pigeonhole
 NGRAM_JACCARD_T = 0.05
+
+# --- duplicate-flood guards (VERDICT r4 item 1) ----------------------------
+# Two-layer guard applied to every banded near-dup path (minhash, simhash,
+# embedding LSH) against the real-crawl skew-killer that near-unique
+# synthetic fixtures never exercise: k copies of one boilerplate page share
+# ALL band keys, so one band bucket yields ~k²/2 candidate pairs.
+#  (1) exact-dup PRE-COLLAPSE — byte-identical content (text / embedding
+#      vector) is grouped to ONE representative (min id) before signatures,
+#      so identical floods contribute one band row each, not k. Exact-dup
+#      membership itself is dedup_exact's output; near-dup pairs are
+#      reported between representatives (dedup_clusters expands component
+#      labels back to every member).
+#  (2) per-(band_id, band_key) FREQUENCY CAP — near-identical-but-not-
+#      identical floods (boilerplate with a counter, mirrored pages with a
+#      timestamp) survive the collapse and still share all band keys.
+#      Buckets larger than the cap are dropped from candidate generation —
+#      the same trade dedup_winnowing already makes (WINNOW_FREQ_CAP) —
+#      and the dropped mass is observable through dedup_band_guard.
+# Cap math: a kept bucket of nb reps yields nb·(nb-1)/2 candidates, so the
+# guard bounds total candidates at ~2·cap·k for a flood of k variants —
+# LINEAR in k with constant 2·cap, vs k²/2 unguarded. Caps are set against
+# the measured benign bucket maxima at sf0.1 (minhash 4, simhash 269,
+# emb-lsh 28):
+#  - minhash/embedding caps sit ~10-20x above their benign maxima — zero
+#    recall cost on clean data;
+#  - simhash's random 15-bit collisions grow linearly with corpus size, so
+#    its cap necessarily intersects the benign tail: at sf0.1 cap 256 drops
+#    the single 269-deep hash-attractor bucket, costing 14 of 498 true
+#    pairs (2.8%, measured; 0% at the sf0.01 driver gate). That is the
+#    honest price of bounding a boilerplate flood — a 1,500-variant
+#    planted flood at cap 1024 still emitted 1.2M candidates through
+#    just-under-cap buckets (measured), at cap 256 it emits 72k.
+MINHASH_BAND_CAP = 64
+SIMHASH_BAND_CAP = 256
+EMB_BAND_CAP = 512
 # near-dup threshold FOR THESE QUERIES: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine ≈ 0.5/0.6 at sf 0.01/0.1), so the
 # production-style 0.9 threshold makes every dedup row vacuously empty;
@@ -402,17 +437,33 @@ def _band_key_sql(sig: str, b: int, rows: int) -> str:
 
 _MINHASH_ROWS = len(X.MINHASH_PERMS) // MINHASH_BANDS
 
-_MINHASH_ORACLE = (
-    _DOC_CTE
-    + f""", sig AS (
+# exact-dup-collapsed representatives + minhash banding + bucket frequencies
+# (WITH-less fragment: composed by _MINHASH_ORACLE and _BAND_GUARD_ORACLE)
+_MINHASH_BAND_CTES = f"""rep AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS toks FROM rep
+), sh AS (
+  SELECT doc_id, {X.shingles_sql('toks')} AS sh FROM tok
+), shh AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {X.h32_sql('s')}) AS shh FROM sh
+), sig AS (
   SELECT doc_id, sh, {X.minhash_sig_sql('shh')} AS sig FROM shh WHERE len(sh) > 0
-), bands AS (
+), mbands AS (
   SELECT doc_id, sh, b.b AS band_id,
          CASE b.b {' '.join(f"WHEN {b} THEN {_band_key_sql('sig', b, _MINHASH_ROWS)}" for b in range(MINHASH_BANDS))} END AS band_key
   FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) b
-), cand AS (
+), mfreq AS (
+  SELECT band_id, band_key, count(*) AS nb FROM mbands GROUP BY 1, 2
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_BAND_CTES}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sh AS sh_a, c.sh AS sh_b
-  FROM bands a JOIN bands c
+  FROM mbands a
+  JOIN mfreq f ON f.band_id = a.band_id AND f.band_key = a.band_key
+              AND f.nb <= {MINHASH_BAND_CAP}
+  JOIN mbands c
     ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id
 )
 SELECT doc_a, doc_b,
@@ -423,14 +474,47 @@ WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
       / len(list_distinct(list_concat(sh_a, sh_b))) >= {MINHASH_JACCARD_T}
 ORDER BY doc_a, doc_b
 """
-)
+
+
+def _collapse_exact_docs(d: DataFrame) -> DataFrame:
+    """Exact-dup pre-collapse: one representative row (min doc_id) per
+    distinct text, feeding every banded near-dup path. Keyed on the full
+    128-bit md5 (same collision posture as dedup_exact) so the shuffle key
+    is 16 bytes; the text itself rides in the min_by buffer — one value per
+    key per map task thanks to partial aggregation, never k copies. NULL
+    texts keep a sentinel key (md5(NULL) is NULL, and a NULL groupBy key
+    would silently drop members at the expansion join)."""
+    key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+    return (
+        d.groupBy(key.alias("_k"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .drop("_k")
+    )
+
+
+def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop (band) buckets holding more than ``cap`` members — the
+    duplicate-flood guard (see MINHASH_BAND_CAP block comment). The
+    semi-join shuffles only the key columns + a count; the band self-join
+    downstream already shuffles on the same keys, so AQE coalesces the
+    exchange. Dropped mass is surfaced by dedup_band_guard."""
+    freq = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+    ok = freq.where(F.col("nb") <= cap).select(*keys)
+    return bands.join(ok, keys)
 
 
 @query(
     "dedup_minhash_lsh",
     _MINHASH_ORACLE,
     doc="MinHash(16)+LSH(4 bands): band-key equi-join candidates, verified by "
-        "exact shingle Jaccard — the O(n²) pair scan never happens",
+        "exact shingle Jaccard — the O(n²) pair scan never happens. "
+        "Flood-guarded (VERDICT r4): exact dups collapse to one "
+        "representative before signatures, and band buckets larger than "
+        f"{MINHASH_BAND_CAP} reps are dropped from candidate generation "
+        "(dropped mass observable via dedup_band_guard)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage-wise: shingles are computed ONCE and persisted; the band join
@@ -443,7 +527,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice-referenced frames, but the materialized blocks are released by
     # the ContextCleaner when the DataFrame goes out of scope — repeated
     # build() calls (bench loops, parity sweeps) don't accumulate cache
-    d = _spread(load(spark, sf_dir, "documents"))
+    d = _collapse_exact_docs(_spread(load(spark, sf_dir, "documents")))
     # Arrow-batched shingle kernel — identical output to shingles_expr (the
     # oracle's value-hash match enforces it); the expression form's HOF
     # chain was 16 s of this query's 14–16 s at sf0.1
@@ -453,27 +537,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sig = sh.select("doc_id", _minhash_from_shingles(F.col("sh")).alias("sig"))
-    rows = _MINHASH_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key").localCheckpoint(eager=False)
+    bands = _minhash_bands_from_sig(sig).localCheckpoint(eager=False)
+    bands = _cap_band_buckets(bands, ["band_id", "band_key"], MINHASH_BAND_CAP)
 
     a = bands.alias("a")
     c = bands.alias("c")
@@ -498,6 +563,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("_j") >= MINHASH_JACCARD_T).drop("_j")
 
 
+def _minhash_bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from a (doc_id, sig) signature frame
+    — shared by dedup_minhash_lsh and dedup_band_guard."""
+    rows = _MINHASH_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 def _minhash_from_shingles(sh):
     hashes = F.transform(sh, lambda s: X.h32(s))
     return F.array(
@@ -510,46 +601,35 @@ def _minhash_from_shingles(sh):
     )
 
 
-# pair-list fragment shared by dedup_simhash and dedup_clusters
-_SIMHASH_PAIRS_SQL = f"""s AS (
-  SELECT doc_id, {X.simhash_sql('text')} AS sh FROM documents
-), sim_pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+# pair-list fragment shared by dedup_simhash and dedup_clusters.
+# Flood-guarded like the Spark builder: exact dups collapse to one
+# representative before hashing, pairs come from the SAME banded equi-join
+# the engine runs (not the old brute-force restatement — the frequency cap
+# is a property of the banded plan and has no all-pairs equivalent), and
+# band buckets above SIMHASH_BAND_CAP are excluded from candidates.
+_SIMHASH_BAND_CTES = f"""srep AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+), s AS (
+  SELECT doc_id, {X.simhash_sql('text')} AS sh FROM srep
+), sbands AS (
+  SELECT doc_id, sh, b.b AS band_id, (sh >> (15 * b.b)) & 32767 AS band_val
+  FROM s, (SELECT unnest(generate_series(0, 3)) AS b) b
+), sfreq AS (
+  SELECT band_id, band_val, count(*) AS nb FROM sbands GROUP BY 1, 2
 )"""
 
-_SIMHASH_ORACLE = f"""
-WITH {_SIMHASH_PAIRS_SQL}
-SELECT doc_a, doc_b, hamming FROM sim_pairs
-ORDER BY doc_a, doc_b
-"""
+def _simhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, sh, band_id, band_val) rows from a (doc_id, sh) frame —
+    shared by dedup_simhash and dedup_band_guard.
 
-
-@query(
-    "dedup_simhash",
-    _SIMHASH_ORACLE,
-    doc="SimHash near-dup: 4 15-bit bands of the 60-bit hash as LSH keys; "
-        "hamming ≤ 3 ⇒ pigeonhole guarantees a shared band, so the banded "
-        "equi-join finds exactly the brute-force pair set. Width chosen by "
-        "the sf1 scale probe: random band collisions are ~n²/2^(bits+1), "
-        "so 8-bit bands went quadratic (OOM) at 50k docs while 15-bit "
-        "bands keep the candidate set linear-ish far past it",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
-    )
-    # 4 bands of 15 bits: band b value = (sh >> 15b) & 0x7FFF. Integer shift/
-    # mask, NOT the old %-then-/ form — float division of values near 2^60
-    # loses mantissa bits and would corrupt band keys. Round 4 widened the
-    # bands 8 -> 15 bits with the 60-bit hash: random band collisions scale
-    # ~n²/2^(bits+1), and the sf1 scale probe showed 8-bit bands going
-    # quadratic (heap OOM) at 50k docs while the hamming≤3 pigeonhole
-    # guarantee is band-width-independent.
-    bands = d.select(
+    4 bands of 15 bits: band b value = (sh >> 15b) & 0x7FFF. Integer shift/
+    mask, NOT the old %-then-/ form — float division of values near 2^60
+    loses mantissa bits and would corrupt band keys. Round 4 widened the
+    bands 8 -> 15 bits with the 60-bit hash: random band collisions scale
+    ~n²/2^(bits+1), and the sf1 scale probe showed 8-bit bands going
+    quadratic (heap OOM) at 50k docs while the hamming≤3 pigeonhole
+    guarantee is band-width-independent."""
+    return d.select(
         "doc_id",
         "sh",
         F.explode(
@@ -567,6 +647,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sh", "band.band_id", "band.band_val")
+
+
+_SIMHASH_PAIRS_SQL = f"""{_SIMHASH_BAND_CTES}, sim_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         bit_count(xor(a.sh, c.sh))::BIGINT AS hamming
+  FROM sbands a
+  JOIN sfreq f ON f.band_id = a.band_id AND f.band_val = a.band_val
+              AND f.nb <= {SIMHASH_BAND_CAP}
+  JOIN sbands c
+    ON a.band_id = c.band_id AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.sh, c.sh)) <= {SIMHASH_MAX_HAMMING}
+)"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_PAIRS_SQL}
+SELECT doc_a, doc_b, hamming FROM sim_pairs
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    doc="SimHash near-dup: 4 15-bit bands of the 60-bit hash as LSH keys; "
+        "hamming ≤ 3 ⇒ pigeonhole guarantees a shared band, so the banded "
+        "equi-join finds exactly the brute-force pair set. Width chosen by "
+        "the sf1 scale probe: random band collisions are ~n²/2^(bits+1), "
+        "so 8-bit bands went quadratic (OOM) at 50k docs while 15-bit "
+        "bands keep the candidate set linear-ish far past it. "
+        "Flood-guarded (VERDICT r4): exact dups collapse to one "
+        "representative before hashing, and band buckets larger than "
+        f"{SIMHASH_BAND_CAP} reps are dropped from candidate generation",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _collapse_exact_docs(_spread(load(spark, sf_dir, "documents"))).select(
+        "doc_id",
+        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
+    )
+    bands = _simhash_bands(d)
+    bands = _cap_band_buckets(bands, ["band_id", "band_val"], SIMHASH_BAND_CAP)
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
         a.join(
@@ -605,23 +725,41 @@ walk(id, lbl) AS (
   UNION
   SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id
 ),
-lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+replab AS (SELECT id AS rep_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+grp AS (
+  SELECT min(doc_id) AS rep_id, count(*) AS n_copies, text
+  FROM documents GROUP BY text
+),
+-- expansion: every member of a text-group inherits its representative's
+-- component label (min doc_id over the full membership, since each rep is
+-- the min of its own group); exact-dup groups (n_copies >= 2) whose rep
+-- has no near-dup edge still form their own cluster (label = rep_id)
+memb AS (
+  SELECT d.doc_id, coalesce(r.cluster_id, g.rep_id) AS cluster_id
+  FROM documents d
+  JOIN grp g ON g.text IS NOT DISTINCT FROM d.text
+  LEFT JOIN replab r ON r.rep_id = g.rep_id
+  WHERE r.rep_id IS NOT NULL OR g.n_copies >= 2
+)
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
        (doc_id = cluster_id) AS is_keeper
-FROM lab ORDER BY doc_id
+FROM memb ORDER BY doc_id
 """
 
 
 @query(
     "dedup_clusters",
     _CLUSTERS_ORACLE,
-    doc="near-dup clustering: SimHash pairs → connected components "
-        "(min-label propagation + pointer jumping, operators/components.py) "
-        "→ one keeper per component. Fixes the chain-dup over-delete that "
+    doc="near-dup clustering: SimHash pairs (flood-guarded, over exact-dup "
+        "representatives) → connected components (min-label propagation + "
+        "pointer jumping, operators/components.py) → labels EXPANDED back "
+        "to every member of each exact-dup text group, so cluster "
+        "membership still covers all docs while pair generation runs on "
+        "representatives only. Fixes the chain-dup over-delete that "
         "pairwise dedup alone causes (a~b, b~c ⇒ keep only min(a,b,c)); "
         "the oracle is a recursive-CTE transitive closure over the same "
-        "pair set",
+        "pair set plus the same expansion",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -630,12 +768,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_simhash(spark, sf_dir)
     lab = connected_components(pairs, src="doc_a", dst="doc_b")
+    # expansion: rep labels → every member of the rep's exact-dup text
+    # group (cluster_id stays the min doc_id over the full membership —
+    # each rep is the min of its own group). Unpaired groups of >= 2
+    # byte-identical docs cluster on their rep id.
+    d = _spread(load(spark, sf_dir, "documents"))
+    key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+    grp = d.groupBy(key.alias("_k")).agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    memb = (
+        d.select("doc_id", key.alias("_k"))
+        .join(grp, "_k")
+        .join(
+            lab.select(F.col("id").alias("rep_id"), "cluster_id"),
+            "rep_id",
+            "left",
+        )
+        .where(F.col("cluster_id").isNotNull() | (F.col("n_copies") >= 2))
+        .select(
+            "doc_id", F.coalesce("cluster_id", "rep_id").alias("cluster_id")
+        )
+    )
     w = Window.partitionBy("cluster_id")
-    return lab.select(
-        F.col("id").alias("doc_id"),
+    return memb.select(
+        "doc_id",
         "cluster_id",
         F.count("*").over(w).cast("long").alias("cluster_size"),
-        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 
@@ -1116,43 +1277,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-bucketed embedding dedup (the scale path) -------------------------
 
-_EMB_LSH_DUP_ORACLE = f"""
-WITH sigs AS (
-  SELECT vec_id, embedding,
-         {', '.join(f"{_lsh_band_sql('embedding', b)} AS band{b}" for b in range(LSH_BANDS))}
-  FROM embeddings
-), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.embedding AS a_emb, b.embedding AS b_emb
-  FROM sigs a JOIN sigs b
-    ON b.vec_id > a.vec_id
-   AND ({' OR '.join(f'a.band{b} = b.band{b}' for b in range(LSH_BANDS))})
-)
-SELECT vec_a, vec_b, round({_cos_sql('a_emb', 'b_emb')}, 6) AS cosine
-FROM cand WHERE {_cos_sql('a_emb', 'b_emb')} >= {EMB_COS_DUP_T}
-ORDER BY vec_a, vec_b
-"""
-
-
-@query(
-    "dedup_embedding_lsh",
-    _EMB_LSH_DUP_ORACLE,
-    doc="embedding near-dup at scale: random-hyperplane signatures exploded "
-        "to (vec_id, band_id, band_val) and self-equi-joined on the band "
-        "keys — candidate volume is per-bucket, never all-pairs — then "
-        "exact cosine ≥ 0.9 verification of candidates only. The oracle "
-        "restates the same bands with an OR-join (fine for DuckDB at test "
-        "scale; the engine shape hash-partitions at 10^12 rows). "
-        "dedup_embedding_cosine is the exact pairwise verification oracle "
-        "for recall spot-checks",
-)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _spread(load(spark, sf_dir, "embeddings"))
-    # signatures materialized ONCE (localCheckpoint, like dedup_minhash_lsh):
-    # the self-join would otherwise recompute the signature kernel on BOTH
-    # sides — doubling the most expensive stage at any scale
-    sigs = _lsh_sigs(e).localCheckpoint()
-    bands = sigs.select(
+def _emb_bands(sigs: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_val) rows from a wide (vec_id, band0..bandN)
+    signature frame — shared by dedup_embedding_lsh and dedup_band_guard."""
+    return sigs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1169,6 +1297,72 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_val").alias("band_val"),
     )
+
+
+# WITH-less fragment: composed by _EMB_LSH_DUP_ORACLE and _BAND_GUARD_ORACLE
+_EMB_BAND_CTES = f"""erep AS (
+  SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding
+), esigs AS (
+  SELECT vec_id, embedding,
+         {', '.join(f"{_lsh_band_sql('embedding', b)} AS band{b}" for b in range(LSH_BANDS))}
+  FROM erep
+), eb AS (
+  SELECT vec_id, b.b AS band_id,
+         CASE b.b {' '.join(f'WHEN {b} THEN band{b}' for b in range(LSH_BANDS))} END AS band_val
+  FROM esigs, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b) b
+), efreq AS (
+  SELECT band_id, band_val, count(*) AS nb FROM eb GROUP BY 1, 2
+)"""
+
+_EMB_LSH_DUP_ORACLE = f"""
+WITH {_EMB_BAND_CTES}, cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM eb a
+  JOIN efreq f ON f.band_id = a.band_id AND f.band_val = a.band_val
+              AND f.nb <= {EMB_BAND_CAP}
+  JOIN eb c ON c.band_id = a.band_id AND c.band_val = a.band_val
+           AND c.vec_id > a.vec_id
+), withemb AS (
+  SELECT cand.vec_a, cand.vec_b, ra.embedding AS a_emb, rb.embedding AS b_emb
+  FROM cand
+  JOIN erep ra ON ra.vec_id = cand.vec_a
+  JOIN erep rb ON rb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, round({_cos_sql('a_emb', 'b_emb')}, 6) AS cosine
+FROM withemb WHERE {_cos_sql('a_emb', 'b_emb')} >= {EMB_COS_DUP_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    _EMB_LSH_DUP_ORACLE,
+    doc="embedding near-dup at scale: random-hyperplane signatures exploded "
+        "to (vec_id, band_id, band_val) and self-equi-joined on the band "
+        "keys — candidate volume is per-bucket, never all-pairs — then "
+        "exact cosine ≥ 0.9 verification of candidates only. The oracle "
+        "restates the same exploded (vec_id, band_id, band_val) shape that "
+        "hash-partitions at 10^12 rows. Flood-guarded (VERDICT r4): "
+        "byte-identical vectors collapse to one representative before "
+        f"signatures, and band buckets larger than {EMB_BAND_CAP} reps are "
+        "dropped from candidate generation. dedup_embedding_cosine is the "
+        "exact pairwise verification oracle for recall spot-checks",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-dup pre-collapse: identical vectors (a re-crawled page embeds
+    # identically) group to min vec_id — group key is the raw float array,
+    # exact equality in both engines on the same parquet values
+    e = (
+        _spread(load(spark, sf_dir, "embeddings"))
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    # signatures materialized ONCE (localCheckpoint, like dedup_minhash_lsh):
+    # the self-join would otherwise recompute the signature kernel on BOTH
+    # sides — doubling the most expensive stage at any scale
+    sigs = _lsh_sigs(e).localCheckpoint()
+    bands = _emb_bands(sigs)
+    bands = _cap_band_buckets(bands, ["band_id", "band_val"], EMB_BAND_CAP)
     lo = bands.select(
         F.col("vec_id").alias("vec_a"), "band_id", "band_val"
     )
@@ -1224,6 +1418,100 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_c") >= EMB_COS_DUP_T)
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
+    )
+
+
+# --- flood-guard observability ---------------------------------------------
+
+def _guard_stanza(family: str, freq_cte: str, cap: int, items_tbl: str, reps_cte: str) -> str:
+    return f"""
+  SELECT '{family}' AS family,
+         (SELECT count(*) FROM {items_tbl})::BIGINT AS n_items,
+         (SELECT count(*) FROM {reps_cte})::BIGINT AS n_reps,
+         count(*)::BIGINT AS n_buckets,
+         coalesce(max(nb), 0)::BIGINT AS max_bucket,
+         coalesce(sum(CASE WHEN nb > {cap} THEN 1 ELSE 0 END), 0)::BIGINT AS capped_buckets,
+         coalesce(sum(CASE WHEN nb > {cap} THEN nb ELSE 0 END), 0)::BIGINT AS capped_items
+  FROM {freq_cte}"""
+
+
+_BAND_GUARD_ORACLE = f"""
+WITH {_MINHASH_BAND_CTES},
+{_SIMHASH_BAND_CTES},
+{_EMB_BAND_CTES}
+SELECT * FROM ({_guard_stanza('minhash', 'mfreq', MINHASH_BAND_CAP, 'documents', 'rep')}
+) UNION ALL SELECT * FROM ({_guard_stanza('simhash', 'sfreq', SIMHASH_BAND_CAP, 'documents', 'srep')}
+) UNION ALL SELECT * FROM ({_guard_stanza('embedding', 'efreq', EMB_BAND_CAP, 'embeddings', 'erep')}
+) ORDER BY family
+"""
+
+
+@query(
+    "dedup_band_guard",
+    _BAND_GUARD_ORACLE,
+    doc="flood-guard observability for the three banded near-dup paths: per "
+        "family the exact-dup collapse ratio (n_items vs n_reps) and the "
+        "band-bucket size distribution — bucket count, max bucket, and the "
+        "DROPPED MASS (buckets over the cap and the reps inside them) that "
+        "the frequency cap excluded from candidate generation. This is the "
+        "run report a 100-TB dedup job logs alongside its pair output; a "
+        "nonzero capped_items row is the signal that a boilerplate flood "
+        "was contained (and what its recall cost was)",
+)
+def dedup_band_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load(spark, sf_dir, "documents"))
+    reps = _collapse_exact_docs(d)
+    msh = reps.select(
+        "doc_id", X.shingles_udf()(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    mb = _minhash_bands_from_sig(
+        msh.select("doc_id", _minhash_from_shingles(F.col("sh")).alias("sig"))
+    )
+    sb = _simhash_bands(
+        reps.select(
+            "doc_id",
+            X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
+        )
+    )
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    erep = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    ebands = _emb_bands(_lsh_sigs(erep))
+
+    def stanza(family, bands, keys, cap, items, rep_frame):
+        freq = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+        agg = freq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.coalesce(F.max("nb"), F.lit(0)).cast("long").alias("max_bucket"),
+            F.coalesce(
+                F.sum(F.when(F.col("nb") > cap, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("capped_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.col("nb") > cap, F.col("nb")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("capped_items"),
+        )
+        # 1-row broadcast totals (house crossJoin pattern) — no driver collect
+        n_items = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        n_reps = rep_frame.agg(F.count(F.lit(1)).cast("long").alias("n_reps"))
+        return (
+            agg.crossJoin(F.broadcast(n_items))
+            .crossJoin(F.broadcast(n_reps))
+            .select(
+                F.lit(family).alias("family"),
+                "n_items", "n_reps", "n_buckets", "max_bucket",
+                "capped_buckets", "capped_items",
+            )
+        )
+
+    return (
+        stanza("minhash", mb, ["band_id", "band_key"], MINHASH_BAND_CAP, d, reps)
+        .unionByName(
+            stanza("simhash", sb, ["band_id", "band_val"], SIMHASH_BAND_CAP, d, reps)
+        )
+        .unionByName(
+            stanza("embedding", ebands, ["band_id", "band_val"], EMB_BAND_CAP, emb, erep)
+        )
+        .orderBy("family")
     )
 
 
