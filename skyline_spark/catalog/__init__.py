@@ -111,6 +111,8 @@ PRIORITY_WINDOW: list[str] = [
     # caps — so they hold these refresh slots AND the guard needs its
     # first-ever row)
     "dedup_band_guard",
+    # round-5 new: the Ionosphere profile-training write path's oracled twin
+    "ionosphere_train_profile",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -128,7 +130,6 @@ PRIORITY_WINDOW: list[str] = [
     "hll_daily_users",
     "winsorize_doclen",
     "text_normalize_nfc",
-    "bpe_char_coverage",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -141,8 +142,10 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # the in-repo sweep each round (tests/test_catalog.py pins the rotation
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
-    # r4-green, displaced by round-5's dedup_band_guard
+    # r4-green, displaced by round-5's dedup_band_guard +
+    # ionosphere_train_profile
     "shard_rendezvous_stability",
+    "bpe_char_coverage",
     "replay_full_ensemble",
     "boundary_autoaggregate",
     "events_daily_stats",

@@ -459,6 +459,197 @@ def ionosphere_tsfresh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ionosphere profile TRAINING (the operator-feedback write path, SURVEY §2.9;
+# VERDICT r4 item 2) — the oracled twin of plans/ionosphere.train_profiles
+# ---------------------------------------------------------------------------
+
+# Three matrix variants ride ONE instantiation of the 101-calculator body by
+# keying the series frame on STRUCT(et, variant): 'p' = approved-history
+# half (first 70% of the span), 'a' = anomalous half raw, 's' = anomalous
+# half min-max-scaled by its own range (the second-chance sums the
+# reference recomputes from the stored fp timeseries at match time,
+# ionosphere.py:2269-2455, precomputed here at train time). A series is
+# FLAGGED — and therefore trained — when its raw anomalous-half sum misses
+# the history sum by more than IONOSPHERE_FEATURES_PERCENT_SIMILAR
+# (settings.py:1750), the same rule ionosphere_tsfresh_match reports; the
+# output rows are exactly what train_profiles persists (features_profile.py
+# :466-503: features_count, features_sum, window metadata).
+_TSF_TRAIN_SQL = f"""
+WITH matrix AS (
+  WITH span AS (
+    SELECT {PROFILE_CUT_EXPR_SQL} AS cut
+    FROM events
+  ), b AS (
+    SELECT event_type AS et, ts, value, event_id,
+           epoch_ms(ts) < (SELECT cut FROM span) AS is_profile
+    FROM events
+    WHERE ts IS NOT NULL
+  ), rng AS (
+    SELECT et, min(value) AS mn, max(value) AS mx
+    FROM b WHERE NOT is_profile GROUP BY et
+  ), h AS (
+    SELECT {{{{'et': et,
+             'variant': CASE WHEN is_profile THEN 'p' ELSE 'a' END}}}} AS event_type,
+           ts, value, event_id
+    FROM b
+    UNION ALL
+    SELECT {{{{'et': b.et, 'variant': 's'}}}} AS event_type, b.ts,
+           CASE WHEN r.mx = r.mn THEN 0e0
+                ELSE (b.value - r.mn) / (r.mx - r.mn) END AS value,
+           b.event_id
+    FROM b JOIN rng r ON r.et IS NOT DISTINCT FROM b.et
+    WHERE NOT b.is_profile
+  ), e AS (
+    SELECT event_type, ts, value, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+           count(*)    OVER (PARTITION BY event_type) AS n
+    FROM h
+  )
+  {{body}}
+), p AS (
+  SELECT event_type.et AS event_type, features_sum AS p_sum
+  FROM matrix WHERE event_type.variant = 'p'
+), a AS (
+  SELECT event_type.et AS event_type, features_sum AS c_sum,
+         series_length AS n_points, features_count,
+         minimum AS mn, maximum AS mx
+  FROM matrix WHERE event_type.variant = 'a'
+), sc AS (
+  SELECT event_type.et AS event_type, features_sum AS s_sum
+  FROM matrix WHERE event_type.variant = 's'
+), k AS (
+  SELECT a.event_type, a.c_sum, a.n_points, a.features_count, a.mn, a.mx,
+         p.p_sum, sc.s_sum,
+         abs((a.c_sum - p.p_sum) / nullif(p.p_sum, 0) * 100) AS pct
+  FROM a
+  LEFT JOIN p ON p.event_type IS NOT DISTINCT FROM a.event_type
+  LEFT JOIN sc ON sc.event_type IS NOT DISTINCT FROM a.event_type
+)
+SELECT event_type,
+       n_points, features_count,
+       round(c_sum, 6) AS features_sum,
+       round(mn, 6) AS value_min,
+       round(mx, 6) AS value_max,
+       round(s_sum, 6) AS features_sum_scaled,
+       round(p_sum, 6) AS baseline_sum,
+       round(pct, 6) AS percent_different
+FROM k
+WHERE NOT coalesce(pct <= {PROFILE_PERCENT_SIMILAR},
+                   p_sum = 0 AND c_sum = 0, FALSE)
+ORDER BY event_type
+"""
+
+
+@query(
+    "ionosphere_train_profile",
+    lambda: _TSF_TRAIN_SQL.format(body=tsfresh_oracle_body()),
+    doc="Ionosphere profile TRAINING over the full tsfresh matrix — for "
+        "every series whose anomalous window (last 30% of the span) misses "
+        "the approved history's features_sum by more than IONOSPHERE_"
+        "FEATURES_PERCENT_SIMILAR, emit the profile row that "
+        "plans/ionosphere.train_profiles persists (features_profile.py:"
+        "466-503): n_points, features_count, raw features_sum, the window "
+        "range, and the min-max-scaled features_sum that powers the "
+        "second-chance match (ionosphere.py:2269-2455). Three matrix "
+        "variants (history / anomalous-raw / anomalous-scaled) ride one "
+        "pass of the production 101-calculator pipeline via a "
+        "STRUCT(et, variant) series key",
+)
+def ionosphere_train_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    span = profile_cut(ev)
+    b = ev.crossJoin(F.broadcast(span)).select(
+        F.col("event_type").alias("et"),
+        "ts",
+        "value",
+        "event_id",
+        (_ms("ts") < F.col("cut")).alias("is_profile"),
+    )
+    rng = (
+        b.where(~F.col("is_profile"))
+        .groupBy("et")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    raw = b.select(
+        F.struct(
+            F.col("et"),
+            F.when(F.col("is_profile"), F.lit("p"))
+            .otherwise(F.lit("a"))
+            .alias("variant"),
+        ).alias("event_type"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    sv = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    scaled = (
+        b.where(~F.col("is_profile"))
+        .join(rng, b["et"].eqNullSafe(rng["et"]))
+        .drop(rng["et"])
+        .select(
+            F.struct(F.col("et"), F.lit("s").alias("variant")).alias("event_type"),
+            "ts",
+            sv.alias("value"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    e = raw.unionByName(scaled).select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        "value",
+    )
+    feats = tsfresh_feature_frame(e).select(
+        "event_type", "features_sum", "features_count", "series_length",
+        "minimum", "maximum",
+    )
+    p = feats.where(F.col("event_type.variant") == "p").select(
+        F.col("event_type.et").alias("p_et"), F.col("features_sum").alias("p_sum")
+    )
+    a = feats.where(F.col("event_type.variant") == "a").select(
+        F.col("event_type.et").alias("event_type"),
+        F.col("features_sum").alias("c_sum"),
+        F.col("series_length").alias("n_points"),
+        "features_count",
+        F.col("minimum").alias("mn"),
+        F.col("maximum").alias("mx"),
+    )
+    sc = feats.where(F.col("event_type.variant") == "s").select(
+        F.col("event_type.et").alias("s_et"),
+        F.col("features_sum").alias("s_sum"),
+    )
+    k = (
+        a.join(p, a["event_type"].eqNullSafe(p["p_et"]), "left")
+        .join(sc, a["event_type"].eqNullSafe(sc["s_et"]), "left")
+    )
+    pct = F.abs(
+        (F.col("c_sum") - F.col("p_sum"))
+        / F.nullif(F.col("p_sum"), F.lit(0.0))
+        * 100
+    )
+    flagged = ~F.coalesce(
+        pct <= PROFILE_PERCENT_SIMILAR,
+        (F.col("p_sum") == 0) & (F.col("c_sum") == 0),
+        F.lit(False),
+    )
+    return k.where(flagged).select(
+        "event_type",
+        "n_points",
+        "features_count",
+        F.round("c_sum", 6).alias("features_sum"),
+        F.round("mn", 6).alias("value_min"),
+        F.round("mx", 6).alias("value_max"),
+        F.round("s_sum", 6).alias("features_sum_scaled"),
+        F.round("p_sum", 6).alias("baseline_sum"),
+        F.round(pct, 6).alias("percent_different"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sessionize_events — gaps-and-islands user sessions (30-min inactivity)
 # ---------------------------------------------------------------------------
 
