@@ -113,6 +113,8 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_band_guard",
     # round-5 new: the Ionosphere profile-training write path's oracled twin
     "ionosphere_train_profile",
+    # round-5 new: the persisted per-run metrics row in long form
+    "validate_run_metrics",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -129,7 +131,6 @@ PRIORITY_WINDOW: list[str] = [
     "boilerplate_line_dedup",
     "hll_daily_users",
     "winsorize_doclen",
-    "text_normalize_nfc",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -142,10 +143,11 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # the in-repo sweep each round (tests/test_catalog.py pins the rotation
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
-    # r4-green, displaced by round-5's dedup_band_guard +
-    # ionosphere_train_profile
+    # r4-green, displaced by round-5's new queries (dedup_band_guard,
+    # ionosphere_train_profile, validate_run_metrics)
     "shard_rendezvous_stability",
     "bpe_char_coverage",
+    "text_normalize_nfc",
     "replay_full_ensemble",
     "boundary_autoaggregate",
     "events_daily_stats",

@@ -523,7 +523,11 @@ _VERDICT_SQL = f"""
   LEFT JOIN dupv d   ON d.pd = w.pd AND d.g = w.g
   LEFT JOIN langv lv ON lv.pd = w.pd AND lv.g = w.g
   LEFT JOIN tsv tv2  ON tv2.pd = w.pd AND tv2.g = w.g
-)
+)"""
+
+# final verdict projection, split from the CTE chain so validate_run_metrics
+# can re-aggregate the SAME verdict rows without a second pipeline pass
+_VERDICT_FINAL = f"""
 SELECT strftime(w.pd, '%Y-%m-%d') AS partition_date, w.g AS lang,
   CASE WHEN w.row_count < {_MIN_PARTITION_ROWS} THEN 'TOO_SHORT'
        WHEN v.constraint_failed > 0 THEN 'FAIL'
@@ -535,10 +539,46 @@ SELECT strftime(w.pd, '%Y-%m-%d') AS partition_date, w.g AS lang,
 FROM wide w
 JOIN viol v ON v.pd = w.pd AND v.g = w.g
 LEFT JOIN drift_agg a ON a.g = w.g AND a.pd = w.pd
-ORDER BY 1, 2
 """
 
-_VALIDATE_SQL = _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL
+_VALIDATE_SQL = (
+    _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL + _VERDICT_FINAL
+    + "ORDER BY 1, 2\n"
+)
+
+#: the twin run's fixed clock — 2024-01-30; inert with staleness disabled
+_TWIN_RUN_TS = 1_706_572_800.0
+
+
+def _twin_validate(spark: SparkSession, sf_dir: str):
+    """The REAL validate() run behind validate_pages_relational and
+    validate_run_metrics — one configuration, two oracled projections."""
+    from ..plans.validate import validate
+
+    pages = _derived_pages(spark, sf_dir)
+    cfg = ValidationConfig(
+        min_history=_MIN_HISTORY,
+        lookback_partitions=_LOOKBACK,
+        min_partition_rows=_MIN_PARTITION_ROWS,
+        stale_after_partitions=None,  # staleness is wall-clock-anchored and
+        # covered by e2e tests; disabled here so the oracle is sf-independent
+        ensemble=EnsembleConfig(consensus=FLAGSHIP_CONSENSUS_K),
+    )
+    return validate(
+        pages,
+        cfg,
+        run_ts=_TWIN_RUN_TS,
+        lang_allowlist=_ALLOWED_LANGS,
+        drift_stats=[
+            "row_count",
+            "null_rate_text",
+            "text_len_avg",
+            "text_len_p50",
+            "text_len_p95",
+        ],  # url_distinct_ratio excluded: HLL-backed, not exactly oracle-able
+        sample_backed=set(),
+        algorithms=_twin_algos(),
+    )
 
 
 @query(
@@ -556,32 +596,7 @@ _VALIDATE_SQL = _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL
         "(full 9-kernel form on the synth fixture, rows-only + e2e pytest)",
 )
 def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.validate import validate
-
-    pages = _derived_pages(spark, sf_dir)
-    cfg = ValidationConfig(
-        min_history=_MIN_HISTORY,
-        lookback_partitions=_LOOKBACK,
-        min_partition_rows=_MIN_PARTITION_ROWS,
-        stale_after_partitions=None,  # staleness is wall-clock-anchored and
-        # covered by e2e tests; disabled here so the oracle is sf-independent
-        ensemble=EnsembleConfig(consensus=FLAGSHIP_CONSENSUS_K),
-    )
-    res = validate(
-        pages,
-        cfg,
-        run_ts=1_706_572_800.0,  # 2024-01-30; inert with staleness disabled
-        lang_allowlist=_ALLOWED_LANGS,
-        drift_stats=[
-            "row_count",
-            "null_rate_text",
-            "text_len_avg",
-            "text_len_p50",
-            "text_len_p95",
-        ],  # url_distinct_ratio excluded: HLL-backed, not exactly oracle-able
-        sample_backed=set(),
-        algorithms=_twin_algos(),
-    )
+    res = _twin_validate(spark, sf_dir)
     return res.verdicts.select(
         F.date_format("partition_date", "yyyy-MM-dd").alias("partition_date"),
         "lang",
@@ -589,6 +604,87 @@ def validate_pages_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checks_run",
         "checks_failed",
     )
+
+
+# ---------------------------------------------------------------------------
+# per-run metrics twin (VERDICT r4 item 3): the RUN_METRICS_SCHEMA row the
+# engine persists next to the checkpoint (plans/checkpoint.run_metrics_rows,
+# analyzer.py:2343-2413 analog), oracled in LONG (metric, value) form — the
+# driver canonicalizer cannot hash map columns, so the maps explode to
+# 'exceptions.<status>' / 'breakdown.<detector>' rows
+# ---------------------------------------------------------------------------
+
+_RUN_METRICS_SQL = (
+    _PAGES_SQL + prefix_consensus_sql() + _VERDICT_SQL + f"""
+, verd AS ({_VERDICT_FINAL})
+, trig AS (
+  -- the reference increments anomaly_breakdown once per triggered algorithm
+  -- of each anomalous metric (analyzer.py:2391-2413); here: per recorded
+  -- trigger of each consensus-anomalous TARGET stat series
+  SELECT unnest(string_split(dr.triggered, ',')) AS algo
+  FROM drift dr JOIN targets t ON t.g = dr.g AND t.pd = dr.pd
+  WHERE dr.anomalous AND dr.triggered <> ''
+), bd AS (SELECT algo, count(*)::BIGINT AS c FROM trig GROUP BY algo)
+SELECT metric, value FROM (
+  SELECT 'total_partitions' AS metric, count(*)::BIGINT AS value FROM verd
+  UNION ALL SELECT 'total_analyzed',
+    (count(*) FILTER (WHERE status NOT IN ('TOO_SHORT','STALE','BORING')))::BIGINT
+    FROM verd
+  UNION ALL SELECT 'total_anomalies',
+    (count(*) FILTER (WHERE status = 'FAIL'))::BIGINT FROM verd
+  UNION ALL SELECT 'exceptions.TOO_SHORT',
+    (count(*) FILTER (WHERE status = 'TOO_SHORT'))::BIGINT FROM verd
+  UNION ALL SELECT 'exceptions.STALE',
+    (count(*) FILTER (WHERE status = 'STALE'))::BIGINT FROM verd
+  UNION ALL SELECT 'exceptions.BORING',
+    (count(*) FILTER (WHERE status = 'BORING'))::BIGINT FROM verd
+  UNION ALL SELECT 'breakdown.' || n.name, coalesce(b.c, 0)::BIGINT
+    FROM (VALUES {', '.join(f"('{n}')" for n in TWIN_DETECTORS)}) n(name)
+    LEFT JOIN bd b ON b.algo = n.name
+) ORDER BY metric
+"""
+)
+
+
+@query(
+    "validate_run_metrics",
+    _RUN_METRICS_SQL,
+    doc="per-run lineage metrics — the reference Analyzer's end-of-run "
+        "accounting (run totals, exception stats, per-detector anomaly "
+        "breakdown; analyzer.py:2343-2413) computed by the REAL validate() "
+        "run (same configuration as validate_pages_relational) through "
+        "plans/checkpoint.run_metrics_rows — the exact row the engine "
+        "appends next to the checkpoint per run — exploded to long "
+        "(metric, value) rows for the driver canonicalizer; the oracle "
+        "re-aggregates the same relational verdict pipeline and counts "
+        "recorded triggers of consensus-anomalous stat series",
+)
+def validate_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.checkpoint import run_metrics_rows
+
+    res = _twin_validate(spark, sf_dir)
+    rm = run_metrics_rows(
+        res.verdicts,
+        "twin",
+        _TWIN_RUN_TS,
+        algorithm_names=TWIN_DETECTORS,
+    )
+    scalars = rm.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_partitions"), F.col("total_partitions"),
+                F.lit("total_analyzed"), F.col("total_analyzed"),
+                F.lit("total_anomalies"), F.col("total_anomalies"),
+            )
+        ).alias("metric", "value")
+    )
+    exc = rm.select(F.explode("exceptions").alias("k", "value")).select(
+        F.concat(F.lit("exceptions."), "k").alias("metric"), "value"
+    )
+    bd = rm.select(F.explode("anomaly_breakdown").alias("k", "value")).select(
+        F.concat(F.lit("breakdown."), "k").alias("metric"), "value"
+    )
+    return scalars.unionByName(exc).unionByName(bd).orderBy("metric")
 
 
 # ---------------------------------------------------------------------------

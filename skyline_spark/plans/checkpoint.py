@@ -29,11 +29,15 @@ from .stats import PARTITION_COLS
 
 __all__ = [
     "CHECKPOINT_SCHEMA",
+    "RUN_METRICS_SCHEMA",
     "detector_version_hash",
     "load_checkpoint",
     "append_checkpoint",
     "pending_partitions",
     "checkpoint_history",
+    "run_metrics_rows",
+    "append_run_metrics",
+    "load_run_metrics",
 ]
 
 CHECKPOINT_SCHEMA = T.StructType(
@@ -58,6 +62,38 @@ CHECKPOINT_SCHEMA = T.StructType(
         # baselines.
         T.StructField("stat_values", T.MapType(T.StringType(), T.DoubleType())),
         T.StructField("sample", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+#: per-run lineage metrics — the Spark restatement of the Analyzer's
+#: end-of-run accounting (`analyzer/analyzer.py:2343-2413`: run_time,
+#: total metrics / analyzed / anomalies, the exceptions dict and the
+#: per-algorithm anomaly_breakdown it logs and ships to Graphite), persisted
+#: as ONE row per run_id next to the checkpoint instead of log lines, so
+#: production-run forensics live in the lineage table (VERDICT r4 item 3).
+RUN_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("validated_at", T.TimestampType()),
+        # wall seconds, supplied by the writer once actions finished (the
+        # frame itself is lazy, so build time cannot know it); NULL when the
+        # caller did not measure
+        T.StructField("run_time_s", T.DoubleType()),
+        T.StructField("total_partitions", T.LongType()),
+        T.StructField("total_analyzed", T.LongType()),
+        T.StructField("total_anomalies", T.LongType()),
+        # skip statuses, keyed TOO_SHORT / STALE / BORING (always all three
+        # keys — stable map shape, zero-filled)
+        T.StructField(
+            "exceptions", T.MapType(T.StringType(), T.LongType(), False)
+        ),
+        # per-detector trigger counts over consensus-anomalous stat series
+        # (always every detector key, zero-filled)
+        T.StructField(
+            "anomaly_breakdown", T.MapType(T.StringType(), T.LongType(), False)
+        ),
+        T.StructField("detector_version_hash", T.StringType()),
     ]
 )
 
@@ -181,3 +217,109 @@ def checkpoint_history(checkpoint: DataFrame):
         F.col("sample"),
     ).where(F.col("sample").isNotNull())
     return stats_long, samples, latest
+
+
+def run_metrics_rows(
+    verdicts: DataFrame,
+    run_id: str,
+    run_ts: float,
+    run_time_s: float | None = None,
+    version_hash: str | None = None,
+    algorithm_names: list[str] | None = None,
+) -> DataFrame:
+    """ONE RUN_METRICS_SCHEMA row from a run's verdict table.
+
+    Mirrors the reference's end-of-run accounting exactly
+    (`analyzer/analyzer.py:2343-2413`):
+      total_analyzed  = total − Σ exceptions (TooShort/Stale/Boring skips),
+      total_anomalies = partitions whose verdict is FAIL,
+      anomaly_breakdown[algo] = over every consensus-anomalous stat series,
+        how many recorded ensembles show that detector triggered (the
+        reference increments per triggered_algorithms entry of each
+        anomalous metric).
+    Pure DataFrame aggregation over the checkpoint-sized verdict frame; the
+    three 1-row legs meet in broadcast crossJoins (house pattern)."""
+    import datetime as _dt
+
+    from ..config import STATUS_BORING, STATUS_FAIL, STATUS_STALE, STATUS_TOO_SHORT
+
+    names = list(algorithm_names or DETECTOR_VERSIONS)
+    skip = [STATUS_TOO_SHORT, STATUS_STALE, STATUS_BORING]
+
+    def _n(status):
+        return F.coalesce(
+            F.sum(F.when(F.col("status") == status, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    totals = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("total_partitions"),
+        (
+            F.count(F.lit(1))
+            - sum(_n(s) for s in skip)  # noqa: B905 — column sum
+        ).cast("long").alias("total_analyzed"),
+        _n(STATUS_FAIL).alias("total_anomalies"),
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in skip]),
+            F.array(*[_n(s) for s in skip]),
+        ).alias("exceptions"),
+    )
+    # consensus-anomalous stats → their recorded ensemble arrays → per-slot
+    # trigger counts (slot order = the run's algorithm dict order)
+    fired = (
+        verdicts.select(
+            F.explode_outer("consensus").alias("stat", "anom"), "ensemble"
+        )
+        .where(F.col("anom"))
+        .select(F.element_at("ensemble", F.col("stat")).alias("arr"))
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.element_at("arr", i + 1), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("long").alias(f"_t{i}")
+                for i in range(len(names))
+            ]
+        )
+    )
+    breakdown = fired.select(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.array(*[F.col(f"_t{i}") for i in range(len(names))]),
+        ).alias("anomaly_breakdown")
+    )
+    validated_at = _dt.datetime.utcfromtimestamp(run_ts)
+    return (
+        totals.crossJoin(F.broadcast(breakdown))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(validated_at).alias("validated_at"),
+            F.lit(run_time_s).cast("double").alias("run_time_s"),
+            "total_partitions",
+            "total_analyzed",
+            "total_anomalies",
+            "exceptions",
+            "anomaly_breakdown",
+            F.lit(version_hash or detector_version_hash()).alias(
+                "detector_version_hash"
+            ),
+        )
+    )
+
+
+def append_run_metrics(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def load_run_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Empty frame iff the run-metrics table does not exist yet; any other
+    read failure raises (same loud-failure contract as load_checkpoint)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(RUN_METRICS_SCHEMA).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], RUN_METRICS_SCHEMA)
+        raise

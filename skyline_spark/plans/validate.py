@@ -42,6 +42,7 @@ from .checkpoint import (
     detector_version_hash,
     load_checkpoint,
     pending_partitions,
+    run_metrics_rows,
 )
 from .constraints import (
     DEFAULT_LANG_ALLOWLIST,
@@ -112,6 +113,12 @@ class ValidationResult:
     checkpoint: DataFrame
     stats: DataFrame
     samples: DataFrame
+    #: ONE RUN_METRICS_SCHEMA row (plans/checkpoint.py) — the reference's
+    #: end-of-run accounting (run totals, exception stats, per-detector
+    #: anomaly breakdown; analyzer.py:2343-2413) as persisted lineage.
+    #: ``run_time_s`` is NULL in the lazy frame; stamp wall time before
+    #: appending: ``res.run_metrics.withColumn("run_time_s", F.lit(t))``.
+    run_metrics: DataFrame | None = None
     run_id: str = ""
     config: ValidationConfig = field(default_factory=ValidationConfig)
     # storage-backed state created by this run: cached DataFrames plus the
@@ -670,12 +677,24 @@ def _validate_body(
         )
     )
 
+    # ---- stage 8: per-run metrics row (analyzer.py:2343-2413 analog) ------
+    # lazy like everything else; run_time_s is NULL here — the writer stamps
+    # wall time once its actions finish (ValidationResult.run_metrics docs)
+    run_metrics = run_metrics_rows(
+        verdicts,
+        run_id,
+        run_ts,
+        version_hash=vhash,
+        algorithm_names=list(algorithms) if algorithms else list(ALGORITHMS),
+    )
+
     return ValidationResult(
         verdicts=verdicts,
         violations=violations,
         checkpoint=checkpoint,
         stats=stats,
         samples=samples,
+        run_metrics=run_metrics,
         run_id=run_id,
         config=cfg,
         _cached=[targets, drift, violations, verdicts, len_hist]

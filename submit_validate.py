@@ -60,7 +60,10 @@ def main() -> None:
     spark = SparkSession.builder.appName("skyline-spark-validate").getOrCreate()
     from skyline_spark.config import ValidationConfig
     from skyline_spark.packaging import attach_package
-    from skyline_spark.plans.checkpoint import append_checkpoint
+    from skyline_spark.plans.checkpoint import (
+        append_checkpoint,
+        append_run_metrics,
+    )
     from skyline_spark.plans.validate import validate
 
     attach_package(spark)
@@ -77,6 +80,7 @@ def main() -> None:
         pruned_resume=args.pruned_resume,
     )
     ckpt_path = f"{args.output}/checkpoint"
+    t0 = time.time()
     res = validate(
         pages,
         cfg,
@@ -99,6 +103,17 @@ def main() -> None:
             "verdicts": res.verdicts.count(),
             "failed": res.verdicts.where("status = 'FAIL'").count(),
         }
+        # per-run lineage metrics, stamped with the measured wall time now
+        # that every action above has finished (analyzer.py:2343-2413
+        # analog; plans/checkpoint.py RUN_METRICS_SCHEMA)
+        from pyspark.sql import functions as F
+
+        append_run_metrics(
+            res.run_metrics.withColumn(
+                "run_time_s", F.lit(time.time() - t0)
+            ),
+            f"{args.output}/runs",
+        )
     finally:
         # release even when an output write raises — otherwise a failed run
         # strands the scratch tables / checkpoint blocks until session exit

@@ -544,3 +544,60 @@ def test_pruned_resume_audits_native_layout(spark, tmp_path):
     assert verd_p == _canon_rows(res_full.verdicts)
     res_full.release()
     res_pruned.release()
+
+
+def test_run_metrics_persist_and_readback(spark, tmp_path):
+    """Per-run lineage metrics (VERDICT r4 item 3 — analyzer.py:2343-2413
+    analog): one RUN_METRICS_SCHEMA row per run, append-only next to the
+    checkpoint, readable back after two runs, and arithmetically consistent
+    with the verdict table (totals, exception stats, per-detector anomaly
+    breakdown)."""
+    from skyline_spark.operators.detectors import ALGORITHMS
+    from skyline_spark.plans.checkpoint import (
+        RUN_METRICS_SCHEMA,
+        append_run_metrics,
+        load_run_metrics,
+    )
+
+    pages = synth_pages(spark, 20_000, N_DAYS)
+    path = str(tmp_path / "runs")
+    r1 = validate(pages, run_ts=RUN_TS, run_id="m-1")
+    assert [(f.name, f.dataType) for f in r1.run_metrics.schema] == [
+        (f.name, f.dataType) for f in RUN_METRICS_SCHEMA
+    ]
+    verd = r1.verdicts.collect()
+    append_run_metrics(
+        r1.run_metrics.withColumn("run_time_s", F.lit(1.5)), path
+    )
+    r2 = validate(pages, run_ts=RUN_TS + 60.0, run_id="m-2")
+    append_run_metrics(r2.run_metrics, path)
+
+    rows = {r["run_id"]: r for r in load_run_metrics(spark, path).collect()}
+    assert set(rows) == {"m-1", "m-2"}
+    m = rows["m-1"]
+    total = len(verd)
+    fails = sum(1 for v in verd if v["status"] == "FAIL")
+    skips = sum(1 for v in verd if v["status"] in ("TOO_SHORT", "STALE", "BORING"))
+    assert m["total_partitions"] == total
+    assert m["total_anomalies"] == fails > 0
+    assert m["total_analyzed"] == total - skips
+    assert set(m["exceptions"]) == {"TOO_SHORT", "STALE", "BORING"}
+    assert sum(m["exceptions"].values()) == skips
+    # breakdown == recount from the recorded ensembles of consensus-anomalous
+    # stats (the reference increments per triggered algorithm of each
+    # anomalous metric)
+    names = list(ALGORITHMS)
+    expect = dict.fromkeys(names, 0)
+    for v in verd:
+        for stat, anom in (v["consensus"] or {}).items():
+            if anom:
+                for i, fired in enumerate(v["ensemble"][stat]):
+                    if fired:
+                        expect[names[i]] += 1
+    assert dict(m["anomaly_breakdown"]) == expect
+    assert sum(expect.values()) > 0
+    assert m["run_time_s"] == 1.5
+    assert rows["m-2"]["run_time_s"] is None
+    assert m["detector_version_hash"] == rows["m-2"]["detector_version_hash"]
+    r1.release()
+    r2.release()
