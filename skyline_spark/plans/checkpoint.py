@@ -107,23 +107,22 @@ def detector_version_hash(versions: dict[str, str] | None = None) -> str:
 def load_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     """Empty frame iff the checkpoint does not exist yet (first run).
 
-    ONLY the missing-path case maps to "no checkpoint": a permission error,
-    corrupted footer, or transient store failure must raise — swallowing it
-    would silently mark every partition pending and re-validate the whole
-    10^12-row table with no signal that anything went wrong.
-    """
-    from pyspark.errors import AnalysisException
+    ONLY the missing-table case maps to "no checkpoint": a permission
+    error, corrupted footer, or transient store failure must raise —
+    swallowing it would silently mark every partition pending and
+    re-validate the whole 10^12-row table with no signal that anything
+    went wrong. Routed through the table-format seam
+    (sources/table_format.py): parquet in-sandbox, Iceberg by swapping
+    DEFAULT_FORMAT."""
+    from ..sources.table_format import DEFAULT_FORMAT
 
-    try:
-        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        raise
+    return DEFAULT_FORMAT.read_or_empty(spark, path, CHECKPOINT_SCHEMA)
 
 
 def append_checkpoint(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    from ..sources.table_format import DEFAULT_FORMAT
+
+    DEFAULT_FORMAT.append(df, path)
 
 
 def pending_partitions(
@@ -309,17 +308,14 @@ def run_metrics_rows(
 
 
 def append_run_metrics(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    from ..sources.table_format import DEFAULT_FORMAT
+
+    DEFAULT_FORMAT.append(df, path)
 
 
 def load_run_metrics(spark: SparkSession, path: str) -> DataFrame:
     """Empty frame iff the run-metrics table does not exist yet; any other
     read failure raises (same loud-failure contract as load_checkpoint)."""
-    from pyspark.errors import AnalysisException
+    from ..sources.table_format import DEFAULT_FORMAT
 
-    try:
-        return spark.read.schema(RUN_METRICS_SCHEMA).parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], RUN_METRICS_SCHEMA)
-        raise
+    return DEFAULT_FORMAT.read_or_empty(spark, path, RUN_METRICS_SCHEMA)

@@ -195,20 +195,17 @@ def train_profiles(
 
 
 def append_profiles(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    from ..sources.table_format import DEFAULT_FORMAT
+
+    DEFAULT_FORMAT.append(df, path)
 
 
 def load_profiles(spark: SparkSession, path: str) -> DataFrame:
     """Empty frame iff the profile table does not exist yet; any other read
     failure raises (same loud-failure contract as load_checkpoint)."""
-    from pyspark.errors import AnalysisException
+    from ..sources.table_format import DEFAULT_FORMAT
 
-    try:
-        return spark.read.schema(PROFILE_SCHEMA).parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], PROFILE_SCHEMA)
-        raise
+    return DEFAULT_FORMAT.read_or_empty(spark, path, PROFILE_SCHEMA)
 
 
 def match_profiles(window: DataFrame, profiles: DataFrame) -> DataFrame:
