@@ -2709,10 +2709,15 @@ _INCR_ORACLE = (
   SELECT doc_id, sh, in_index, b.b AS band_id,
          CASE b.b {' '.join(f"WHEN {b} THEN {_band_key_sql('sig', b, _MINHASH_ROWS)}" for b in range(MINHASH_BANDS))} END AS band_key
   FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b) b
+), bfreq AS (
+  SELECT band_id, band_key, count(*) AS nb FROM bands GROUP BY 1, 2
 ), cand AS (
   SELECT DISTINCT i.doc_id AS idx_id, q.doc_id AS new_id,
          i.sh AS sh_i, q.sh AS sh_q
-  FROM bands i JOIN bands q
+  FROM bands i
+  JOIN bfreq f ON f.band_id = i.band_id AND f.band_key = i.band_key
+              AND f.nb <= {MINHASH_BAND_CAP}
+  JOIN bands q
     ON i.band_id = q.band_id AND i.band_key = q.band_key
    AND i.in_index AND NOT q.in_index
 ), verified AS (
@@ -2749,7 +2754,10 @@ ORDER BY d.doc_id
         "verification by id fetch, per incoming doc the best index match "
         "(max jaccard, tie -> min index id); at scale the index side IS "
         "the materialized signature table and the incoming side's "
-        "signatures are what gets appended for tomorrow",
+        "signatures are what gets appended for tomorrow. Band buckets "
+        f"larger than {MINHASH_BAND_CAP} rows (both sides counted) are "
+        "dropped — the flood guard, sans exact pre-collapse: a batch doc "
+        "byte-identical to an index doc must still surface as its dup",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2793,6 +2801,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "in_index", "band.band_id", "band.band_key")
         .localCheckpoint(eager=False)
     )
+    # flood guard: cap counts BOTH sides of a bucket — a boilerplate flood
+    # split across index and batch still floods the same band keys (exact
+    # pre-collapse is NOT applied here: a batch doc byte-identical to an
+    # index doc must still surface as its dup, and cross-side collapse
+    # would hide exactly that pair)
+    bands = _cap_band_buckets(bands, ["band_id", "band_key"], MINHASH_BAND_CAP)
     i = bands.where(F.col("in_index")).alias("i")
     q = bands.where(~F.col("in_index")).alias("q")
     cand = (
