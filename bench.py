@@ -419,13 +419,13 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
     # time/throughput ratios; NOT re-measured per bench run, see the file
     # for reps and methodology)
     probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "SCALE_PROBE_r04.json")
+                              "SCALE_PROBE_r05.json")
     if os.path.exists(probe_path):
         with open(probe_path) as f:
             probe = json.load(f)
         result["sf1_probe"] = {
             "measured_by": "tools/scale_probe.py",
-            "file": "SCALE_PROBE_r04.json",
+            "file": "SCALE_PROBE_r05.json",
             "queries": {
                 k: {
                     "sf01_sec": v.get("sf01"),
@@ -437,6 +437,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
                 for k, v in probe.get("queries", {}).items()
             },
         }
+        if "flood" in probe:
+            # planted-duplicate-flood containment evidence (round 5): the
+            # guarded dedup paths on a 40k-copy boilerplate flood at sf1
+            # scale, plus the dropped-mass report from dedup_band_guard
+            result["sf1_probe"]["flood"] = probe["flood"]
     spark.stop()
     if not quiet:
         print(json.dumps(result))

@@ -14,7 +14,7 @@ time ratio ≈ the data ratio (10×) or better and a throughput ratio near
 validate_pages is probed through its own generator (2M → 20M pages,
 30 days, hive layout — the bench.py shape scaled 10×).
 
-Writes SCALE_PROBE_r04.json; bench.py attaches the committed file to its
+Writes SCALE_PROBE_r{N}.json; bench.py attaches the committed file to its
 output under ``sf1_probe`` (clearly labeled as measured by this tool, not
 re-measured per bench run).
 
@@ -87,7 +87,75 @@ def _build_sf1(spark, out_dir: str) -> dict[str, int]:
     return counts
 
 
-def main(out_path: str = "SCALE_PROBE_r04.json") -> None:
+def _build_flood(spark, sf1_dir: str, out_dir: str) -> dict[str, int]:
+    """Planted-duplicate-flood input at sf1 scale (VERDICT r4 item 1 'Done'
+    criterion): the 50k-doc corpus plus 20k byte-identical copies of one
+    page (the exact-collapse path) and 20k one-token variants of a
+    boilerplate page (the band-cap path); embeddings get 10k epsilon-
+    perturbed copies of one vector (same hyperplane signs -> one 10k-deep
+    bucket per band) plus 10k byte-identical copies. Un-guarded, the
+    variants alone are ~2x10^8 candidate pairs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") == 0).select("text").first()["text"]
+    boiler = " ".join(
+        "breaking news widget gadget portal home about contact privacy "
+        "terms subscribe newsletter login register search trending popular "
+        "latest sports business technology science health entertainment "
+        "weather copyright all rights reserved follow us on social media "
+        "cookie policy".split()
+    )
+    exact = spark.range(20_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(base).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("flood").alias("source"),
+        F.length(F.lit(base)).cast("long").alias("n_chars"),
+    )
+    near = spark.range(20_000).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " article"), F.lpad(F.col("id").cast("string"), 6, "0")
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("flood").alias("source"),
+        F.lit(len(boiler) + 14).cast("long").alias("n_chars"),
+    )
+    docs.unionByName(exact).unionByName(near).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    bvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    dim = len(bvec)
+    near_e = spark.range(10_000).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.lit(float(bvec[j]))
+                    + F.when(F.col("id") % dim == j,
+                             (F.col("id") % 97 + 1).cast("double") * 1e-6)
+                    .otherwise(F.lit(0.0))
+                ).cast("float")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    exact_e = spark.range(10_000).select(
+        (F.col("id") + 20_000_000).alias("vec_id"),
+        F.array(*[F.lit(float(v)).cast("float") for v in bvec]).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.unionByName(near_e).unionByName(exact_e).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return {"documents": 90_000, "embeddings": 40_000}
+
+
+def main(out_path: str = "SCALE_PROBE_r05.json") -> None:
     t_all = time.time()
     from pyspark.sql import functions as F
 
@@ -155,6 +223,39 @@ def main(out_path: str = "SCALE_PROBE_r04.json") -> None:
         results["queries"][name] = per
         print(name, per, flush=True)
 
+    # planted-flood probe: the guarded dedup paths must complete on a
+    # 40k-doc flood at sf1 scale without candidate blow-up, and the guard
+    # query must report the dropped mass
+    flood_dir = os.path.join(tmp, "flood")
+    os.makedirs(flood_dir, exist_ok=True)
+    print("building flood inputs...", flush=True)
+    flood_counts = _build_flood(spark, sf1_dir, flood_dir)
+    flood: dict = {"rows": flood_counts, "queries": {}}
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"):
+        t0 = time.time()
+        n_out = QUERIES[name].build(spark, flood_dir).count()
+        flood["queries"][name] = {
+            "wall_s": round(time.time() - t0, 3),
+            "out_rows": n_out,
+        }
+        gc.collect()
+        print("flood", name, flood["queries"][name], flush=True)
+    t0 = time.time()
+    guard_rows = QUERIES["dedup_band_guard"].build(spark, flood_dir).collect()
+    flood["band_guard"] = {
+        r["family"]: {
+            "n_items": r["n_items"],
+            "n_reps": r["n_reps"],
+            "max_bucket": r["max_bucket"],
+            "capped_buckets": r["capped_buckets"],
+            "capped_items": r["capped_items"],
+        }
+        for r in guard_rows
+    }
+    flood["band_guard_wall_s"] = round(time.time() - t0, 3)
+    results["flood"] = flood
+    print("flood band_guard", flood["band_guard"], flush=True)
+
     # validate_pages through its own generator, 2M -> 20M pages
     vp = {}
     for label, n_rows in (("sf01", 2_000_000), ("sf1", 20_000_000)):
@@ -197,4 +298,4 @@ def main(out_path: str = "SCALE_PROBE_r04.json") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r04.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r05.json")
