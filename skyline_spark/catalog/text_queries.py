@@ -485,7 +485,12 @@ def _collapse_exact_docs(d: DataFrame) -> DataFrame:
     texts keep a sentinel key (md5(NULL) is NULL, and a NULL groupBy key
     would silently drop members at the expansion join)."""
     key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
-    return (
+    # re-_spread the aggregate output: AQE coalesces the tiny post-groupBy
+    # shuffle to ~1 partition, which would run the downstream shingle /
+    # signature kernels single-task (measured 2x on the whole minhash
+    # stanza at sf0.1; at real scale the aggregate output is large enough
+    # that AQE keeps it wide and this is a no-op cost)
+    return _spread(
         d.groupBy(key.alias("_k"))
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -497,13 +502,19 @@ def _collapse_exact_docs(d: DataFrame) -> DataFrame:
 
 def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop (band) buckets holding more than ``cap`` members — the
-    duplicate-flood guard (see MINHASH_BAND_CAP block comment). The
-    semi-join shuffles only the key columns + a count; the band self-join
-    downstream already shuffles on the same keys, so AQE coalesces the
-    exchange. Dropped mass is surfaced by dedup_band_guard."""
+    duplicate-flood guard (see MINHASH_BAND_CAP block comment).
+
+    Shape: the OVER-cap key list is tiny by construction (pathological
+    boilerplate buckets only — zero rows on clean corpora), so it
+    broadcasts and the band rows take a broadcast ANTI-join: no extra
+    shuffle of the band table, just one narrow-key count aggregation
+    (map-side partial) to find the hot keys. The first cut semi-joined
+    against the KEPT key list — that re-shuffled the whole band table and
+    cost 1.5-2.7x on the three dedup stanzas (measured, BENCH r5 notes).
+    Dropped mass is surfaced by dedup_band_guard."""
     freq = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
-    ok = freq.where(F.col("nb") <= cap).select(*keys)
-    return bands.join(ok, keys)
+    hot = freq.where(F.col("nb") > cap).select(*keys)
+    return bands.join(F.broadcast(hot), keys, "left_anti")
 
 
 @query(
@@ -537,8 +548,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sig = sh.select("doc_id", _minhash_from_shingles(F.col("sh")).alias("sig"))
-    bands = _minhash_bands_from_sig(sig).localCheckpoint(eager=False)
-    bands = _cap_band_buckets(bands, ["band_id", "band_key"], MINHASH_BAND_CAP)
+    # barrier sits AFTER the cap: the capped frame feeds BOTH self-join
+    # sides, so a pre-cap barrier recomputes the freq-agg + anti-join per
+    # side (measured 3x on this stanza); the shingle kernel itself is
+    # already materialized at sh
+    bands = _cap_band_buckets(
+        _minhash_bands_from_sig(sig), ["band_id", "band_key"], MINHASH_BAND_CAP
+    ).localCheckpoint(eager=False)
 
     a = bands.alias("a")
     c = bands.alias("c")
@@ -681,12 +697,16 @@ ORDER BY doc_a, doc_b
         f"{SIMHASH_BAND_CAP} reps are dropped from candidate generation",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash kernel materialized once (the collapse shuffle + UDF would
+    # otherwise run per consumer below); capped bands materialized once
+    # more since they feed BOTH self-join sides
     d = _collapse_exact_docs(_spread(load(spark, sf_dir, "documents"))).select(
         "doc_id",
         X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
-    )
-    bands = _simhash_bands(d)
-    bands = _cap_band_buckets(bands, ["band_id", "band_val"], SIMHASH_BAND_CAP)
+    ).localCheckpoint(eager=False)
+    bands = _cap_band_buckets(
+        _simhash_bands(d), ["band_id", "band_val"], SIMHASH_BAND_CAP
+    ).localCheckpoint(eager=False)
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
         a.join(
@@ -1351,8 +1371,10 @@ ORDER BY vec_a, vec_b
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-dup pre-collapse: identical vectors (a re-crawled page embeds
     # identically) group to min vec_id — group key is the raw float array,
-    # exact equality in both engines on the same parquet values
-    e = (
+    # exact equality in both engines on the same parquet values.
+    # Re-_spread after the groupBy: AQE coalesces the tiny aggregate
+    # output to ~1 partition, which would single-task the signature kernel
+    e = _spread(
         _spread(load(spark, sf_dir, "embeddings"))
         .groupBy("embedding")
         .agg(F.min("vec_id").alias("vec_id"))
@@ -1361,8 +1383,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join would otherwise recompute the signature kernel on BOTH
     # sides — doubling the most expensive stage at any scale
     sigs = _lsh_sigs(e).localCheckpoint()
-    bands = _emb_bands(sigs)
-    bands = _cap_band_buckets(bands, ["band_id", "band_val"], EMB_BAND_CAP)
+    # capped bands feed both join sides below — barrier after the cap
+    bands = _cap_band_buckets(
+        _emb_bands(sigs), ["band_id", "band_val"], EMB_BAND_CAP
+    ).localCheckpoint(eager=False)
     lo = bands.select(
         F.col("vec_id").alias("vec_a"), "band_id", "band_val"
     )
@@ -1474,7 +1498,9 @@ def dedup_band_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     emb = _spread(load(spark, sf_dir, "embeddings"))
-    erep = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    erep = _spread(
+        emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    )
     ebands = _emb_bands(_lsh_sigs(erep))
 
     def stanza(family, bands, keys, cap, items, rep_frame):

@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-QUERY_REPS = ["dedup_embedding_lsh", "dedup_clusters", "dedup_minhash_lsh"]
+QUERY_REPS = [
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",  # round 5: flood-guard cost A/B
+]
 
 
 def _noop(df):
