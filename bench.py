@@ -369,6 +369,11 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "text_normalize_nfc",
         "bpe_char_coverage",
         "shard_rendezvous_stability",
+        # round-5 additions: flood-guard observability, the Ionosphere
+        # profile-training twin, the persisted per-run metrics twin
+        "dedup_band_guard",
+        "ionosphere_train_profile",
+        "validate_run_metrics",
     ]
     # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
     # intermediate frames; across ~80 stanzas the accumulated blocks pressure
