@@ -447,6 +447,33 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
             # guarded dedup paths on a 40k-copy boilerplate flood at sf1
             # scale, plus the dropped-mass report from dedup_band_guard
             result["sf1_probe"]["flood"] = probe["flood"]
+    # attach the committed two-cluster-size scaling evidence (north rule:
+    # throughput at N and 4N executors + efficiency; measured separately by
+    # bench_scaling.py on real multi-JVM local-cluster topologies — NOT
+    # re-measured per bench run, full reps + methodology in the file)
+    scal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scaling_results.json")
+    if os.path.exists(scal_path):
+        with open(scal_path) as f:
+            scal = json.load(f)
+        per = {
+            n: {
+                "kernel_ensembles_per_sec": r.get("kernel_ensembles_per_sec"),
+                "partitions_per_hour": r.get("partitions_per_hour"),
+                "dedup_docs_per_sec": r.get("dedup_docs_per_sec"),
+            }
+            for n, r in scal.get("results", {}).items()
+        }
+        result["scaling"] = {
+            "measured_by": "bench_scaling.py",
+            "file": "scaling_results.json",
+            "mode": scal.get("mode"),
+            "executors": scal.get("executors"),
+            "throughput": per,
+            "kernel_scaling_efficiency": scal.get("kernel_scaling_efficiency"),
+            "validate_scaling_efficiency": scal.get("validate_scaling_efficiency"),
+            "dedup_scaling_efficiency": scal.get("dedup_scaling_efficiency"),
+        }
     spark.stop()
     if not quiet:
         print(json.dumps(result))
