@@ -374,6 +374,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "dedup_band_guard",
         "ionosphere_train_profile",
         "validate_run_metrics",
+        "luminosity_related_metrics",
     ]
     # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
     # intermediate frames; across ~80 stanzas the accumulated blocks pressure

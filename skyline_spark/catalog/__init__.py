@@ -115,6 +115,9 @@ PRIORITY_WINDOW: list[str] = [
     "ionosphere_train_profile",
     # round-5 new: the persisted per-run metrics row in long form
     "validate_run_metrics",
+    # round-5 new: the Luminosity driver's correlation store / related-
+    # metrics grouping
+    "luminosity_related_metrics",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -130,7 +133,6 @@ PRIORITY_WINDOW: list[str] = [
     "gopher_quality_rules",
     "boilerplate_line_dedup",
     "hll_daily_users",
-    "winsorize_doclen",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -148,6 +150,7 @@ PRIORITY_ROTATED: list[str] = [
     "shard_rendezvous_stability",
     "bpe_char_coverage",
     "text_normalize_nfc",
+    "winsorize_doclen",
     "replay_full_ensemble",
     "boundary_autoaggregate",
     "events_daily_stats",

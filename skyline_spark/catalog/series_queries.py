@@ -1131,6 +1131,76 @@ def luminosity_shift_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# luminosity: the driver's correlation store + related-metrics grouping
+# (luminosity/luminosity.py:311-400)
+# ---------------------------------------------------------------------------
+
+
+def _luminosity_store_oracle() -> str:
+    """Lazy: wraps the shift-correlation oracle registered above."""
+    from .registry import QUERIES as _Q
+
+    base = _Q["luminosity_shift_correlation"].oracle.replace(
+        "ORDER BY metric_a, metric_b", ""
+    )
+    return f"""
+WITH base AS ({base}), store AS (
+  SELECT metric_a AS metric, metric_b AS related_metric,
+         round(coefficient, 5) AS coefficient,
+         abs(shift)::BIGINT AS shifted,
+         round(shifted_coefficient, 5) AS shifted_coefficient,
+         correlated
+  FROM base
+  WHERE abs(shift) < 2 AND coefficient IS NOT NULL AND coefficient <> 0
+)
+SELECT *,
+       row_number() OVER (PARTITION BY metric
+                          ORDER BY abs(shifted_coefficient) DESC,
+                                   related_metric) AS rank
+FROM store ORDER BY metric, rank
+"""
+
+
+@query(
+    "luminosity_related_metrics",
+    _luminosity_store_oracle,
+    doc="the Luminosity driver's persisted correlation store + related-"
+        "metrics grouping (luminosity/luminosity.py:311-400): every "
+        "computed correlation row with a present coefficient and "
+        "|shift| < 2 is INSERTed keyed by the anomaly's metric "
+        "(shifted-too-far rows are dropped and counted, :340-344; "
+        "coefficients rounded to 5 dp exactly as the INSERT does, "
+        ":374-376) — the 0.9 threshold gates the correlated REPORT, not "
+        "the store. Per metric the stored rows rank by |shifted_"
+        "coefficient| — the related-metrics group an operator pivots to "
+        "when triaging an alert",
+)
+def luminosity_related_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = luminosity_shift_correlation(spark, sf_dir)
+    store = (
+        base.where(
+            (F.abs(F.col("shift")) < 2)
+            & F.col("coefficient").isNotNull()
+            & (F.col("coefficient") != 0)
+        )
+        .select(
+            F.col("metric_a").alias("metric"),
+            F.col("metric_b").alias("related_metric"),
+            F.round("coefficient", 5).alias("coefficient"),
+            F.abs("shift").cast("long").alias("shifted"),
+            F.round("shifted_coefficient", 5).alias("shifted_coefficient"),
+            "correlated",
+        )
+    )
+    w = Window.partitionBy("metric").orderBy(
+        F.abs(F.col("shifted_coefficient")).desc(), F.col("related_metric")
+    )
+    return store.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).orderBy("metric", "rank")
+
+
+# ---------------------------------------------------------------------------
 # alert dedup  (analyzer.py:1871,2057-2064 — EXPIRATION_TIME TTL keys)
 # ---------------------------------------------------------------------------
 
