@@ -614,3 +614,71 @@ def test_round4_small_sides_broadcast(spark, name):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_flood_guard_cap_is_broadcast_anti_join(spark):
+    # round-5 guard shape: the over-cap key list is tiny by construction, so
+    # the cap must plan a BroadcastHashJoin LeftAnti — never a shuffled
+    # (SortMerge) join of the band table against its own bucket counts (the
+    # first cut's semi-join shape, measured 1.5-2.7x on the dedup stanzas)
+    from pyspark.sql import functions as F
+
+    from skyline_spark.catalog.registry import load
+    from skyline_spark.catalog.text_queries import (
+        SIMHASH_BAND_CAP,
+        _cap_band_buckets,
+        _simhash_bands,
+    )
+    from skyline_spark.functions import text as X
+
+    d = load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        X.text_hashes_udf()(F.col("text")).getField("simhash").alias("sh"),
+    )
+    p = plan_of(
+        _cap_band_buckets(
+            _simhash_bands(d), ["band_id", "band_val"], SIMHASH_BAND_CAP
+        )
+    )
+    tree = p.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_exact_collapse_is_partial_agg_and_respread(spark):
+    # the exact-dup pre-collapse must (a) partially aggregate map-side
+    # before its shuffle (k copies of one page never cross the wire) and
+    # (b) re-spread the aggregate output so AQE's post-shuffle coalescing
+    # cannot single-task the downstream signature kernels
+    from skyline_spark.catalog.registry import load
+    from skyline_spark.catalog.text_queries import _collapse_exact_docs
+
+    p = plan_of(_collapse_exact_docs(load(spark, SF_DIR, "documents")))
+    # partial (map-side) min/min_by before the key exchange — min_by with a
+    # string payload plans as SortAggregate, so assert the partial FUNCTIONS
+    # rather than an aggregate-operator name
+    assert "partial_min" in p
+    assert "RoundRobinPartitioning" in p
+
+
+def test_run_metrics_row_is_broadcast_assembly(spark):
+    # the per-run metrics row meets its three 1-row legs via broadcast —
+    # no sort-merge join, no row-wise Python
+    from skyline_spark.plans.checkpoint import run_metrics_rows
+    from skyline_spark.plans.validate import VERDICT_SCHEMA
+
+    verd = spark.createDataFrame([], VERDICT_SCHEMA)
+    p = plan_of(run_metrics_rows(verd, "r", 1_700_000_000.0))
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_train_profile_stays_arrow_free_and_equi_joined(spark):
+    # the profile-training twin runs the 101-calculator relational matrix
+    # (pure Catalyst aggregates) over three struct-keyed variants: no
+    # row-wise Python anywhere, no cartesian explosion (the only sanctioned
+    # nested-loop is the 1-row span broadcast)
+    p = plan_of(build(spark, "ionosphere_train_profile"))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
