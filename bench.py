@@ -18,8 +18,10 @@ Times the engine's headline work at ``$SPARK_GRAFT_SF_DIR`` (default
 Output: {"metric": "...", "value": total_sec, "unit": "sec",
          "queries": {name: sec, ...}, "sf": ..., plus throughput extras}.
 
-Run ``python bench_scaling.py`` for the N-vs-4N-parallelism scaling
-evidence (local[8] vs local[32]) recorded in BENCH.md.
+Run ``python bench_scaling.py`` for the N-vs-4N scaling evidence (2 vs 8
+real executor JVMs under ``local-cluster``), recorded in
+``scaling_results.json`` / BASELINE.md and attached to this harness's
+output under ``scaling``.
 """
 
 from __future__ import annotations

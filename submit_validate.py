@@ -89,12 +89,12 @@ def main() -> None:
         scratch_dir=args.scratch_dir,
     )
 
+    from skyline_spark.sources.table_format import DEFAULT_FORMAT
+
     try:
-        res.verdicts.write.mode("overwrite").parquet(
-            f"{args.output}/verdicts/{run_id}"
-        )
-        res.violations.write.mode("overwrite").parquet(
-            f"{args.output}/violations/{run_id}"
+        DEFAULT_FORMAT.overwrite(res.verdicts, f"{args.output}/verdicts/{run_id}")
+        DEFAULT_FORMAT.overwrite(
+            res.violations, f"{args.output}/violations/{run_id}"
         )
         append_checkpoint(res.checkpoint, ckpt_path)
 
