@@ -387,8 +387,31 @@ ALERT_STREAK_OUTPUT = "lang string, warc_ts timestamp, value double, streak inte
 ALERT_STREAK_STATE = "streak integer"
 
 
+def _require_healthy_kernels(op_name: str) -> None:
+    """Stream-startup analog of ``validate()``'s agent self-test gate
+    (reference: every long-running agent self-tests its algorithm set before
+    touching work, `analyzer/agent.py:86-104`): refuse to build a streaming
+    query while the detector registry holds a kernel that errors — or fires —
+    on the flat reference series. The streaming twins' alerts feed the same
+    downstream consumers as the batch ensemble (Mirage re-checks re-run the
+    full registry on whatever the stream surfaces), so a poisoned registry
+    must stop the stream at construction, not at the first micro-batch.
+    ~100 ms of driver-side numpy; no Spark job is launched. Re-runs fresh on
+    every call so a re-registered kernel under an unchanged name re-tests
+    (same contract as the batch gate, `plans/validate.py`)."""
+    from ..operators.ensemble import kernel_self_test
+
+    bad = kernel_self_test()
+    if bad:
+        raise RuntimeError(
+            f"kernel self-test failed for {bad!r}: a registered detector "
+            f"errors or fires on a flat series; fix or unregister it before "
+            f"starting {op_name} (reference: analyzer/agent.py:86-104)"
+        )
+
+
 def alert_streaks(
-    pages: DataFrame, limit: float, alert_threshold: int = 3
+    pages: DataFrame, limit: float, alert_threshold: int = 3, self_test: bool = True
 ) -> DataFrame:
     """Boundary's ALERT_THRESHOLD k-consecutive-triggers rule
     (`boundary/boundary_algorithms.py:287-383`) as a custom *stateful*
@@ -411,6 +434,9 @@ def alert_streaks(
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if self_test:
+        _require_healthy_kernels("alert_streaks")
 
     def update(key, pdfs, state):
         carry = state.get[0] if state.exists else 0
@@ -470,6 +496,7 @@ def rolling_drift_alerts(
     pages: DataFrame,
     lookback_days: int = 7,
     sigma_t: float = 3.0,
+    self_test: bool = True,
 ) -> DataFrame:
     """The analyzer's continuously-running ``stddev_from_average`` detector
     (`analyzer/algorithms.py:118-135` semantics, `analyzer/analyzer.py`'s
@@ -496,6 +523,9 @@ def rolling_drift_alerts(
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if self_test:
+        _require_healthy_kernels("rolling_drift_alerts")
 
     def update(key, pdfs, state):
         if state.exists:

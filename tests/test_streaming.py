@@ -482,3 +482,42 @@ def test_stream_expectations_gate_matches_batch(spark, tmp_path):
     run_enforced_to_sinks(stream2, kept_dir, viol_dir, ledger_dir, ckpt)
     assert spark.read.parquet(kept_dir).count() == kept.count()
     assert spark.read.parquet(viol_dir).count() == viol.count()
+
+
+def test_streaming_startup_self_test_gate(spark, tmp_path):
+    """Stream-startup analog of the batch agent self-test (VERDICT r4 item 8):
+    a poisoned detector registry must stop alert_streaks /
+    rolling_drift_alerts at construction time — and must re-test on every
+    build, so an unregister immediately unblocks the stream."""
+    from skyline_spark.operators.detectors import (
+        register_detector,
+        unregister_detector,
+    )
+    from skyline_spark.sources.synth import PAGE_SCHEMA
+    from skyline_spark.streaming.ingest import (
+        alert_streaks,
+        read_page_stream,
+        rolling_drift_alerts,
+    )
+
+    src = str(tmp_path / "src")
+    synth_pages(spark, n_rows=50).write.mode("overwrite").parquet(src)
+    stream = read_page_stream(spark, src)
+
+    def broken(ts, values, now, params):
+        raise ValueError("boom")
+
+    register_detector("broken_gate_probe", broken)
+    try:
+        with pytest.raises(RuntimeError, match="broken_gate_probe"):
+            alert_streaks(stream, limit=100.0)
+        with pytest.raises(RuntimeError, match="broken_gate_probe"):
+            rolling_drift_alerts(stream)
+        # explicit opt-out still builds (the batch gate has no such escape;
+        # streams need one for kernel-free smoke tests)
+        alert_streaks(stream, limit=100.0, self_test=False)
+    finally:
+        unregister_detector("broken_gate_probe")
+    # registry healthy again -> both build without raising
+    alert_streaks(stream, limit=100.0)
+    rolling_drift_alerts(stream)
