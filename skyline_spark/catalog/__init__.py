@@ -118,6 +118,9 @@ PRIORITY_WINDOW: list[str] = [
     # round-5 new: the Luminosity driver's correlation store / related-
     # metrics grouping
     "luminosity_related_metrics",
+    # round-5 new: the skew-immune two-phase exact-quantile shape (VERDICT
+    # r4 ask #5), probe-backed by SCALE_PROBE_r05.json's 'skew' section
+    "salted_host_quantiles",
     # round-4-new queries displace eight refresh slots (bottom-up:
     # alert_dedup, luminosity_shift_correlation, text_token_count,
     # text_lang_id, text_quality, ann_lsh_topk, then — when the NFC and
@@ -132,7 +135,6 @@ PRIORITY_WINDOW: list[str] = [
     "detector_adf_tau",
     "gopher_quality_rules",
     "boilerplate_line_dedup",
-    "hll_daily_users",
 ]
 assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
     f"curated driver window must be exactly {DRIVER_WINDOW} entries, "
@@ -146,7 +148,8 @@ assert len(PRIORITY_WINDOW) == DRIVER_WINDOW, (
 # invariant) ---
 PRIORITY_ROTATED: list[str] = [
     # r4-green, displaced by round-5's new queries (dedup_band_guard,
-    # ionosphere_train_profile, validate_run_metrics)
+    # ionosphere_train_profile, validate_run_metrics, salted_host_quantiles)
+    "hll_daily_users",
     "shard_rendezvous_stability",
     "bpe_char_coverage",
     "text_normalize_nfc",

@@ -56,6 +56,75 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact type-1 quantiles emitted by salted_host_quantiles, as (name, pct)
+HOST_QUANTILES = (("p50", 50), ("p90", 90), ("p99", 99))
+
+
+@query(
+    "salted_host_quantiles",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS cc,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM counts
+)
+SELECT source,
+       max(n)::BIGINT AS n_docs,
+       min(CASE WHEN cc >= (50 * n + 99) // 100 THEN v END)::BIGINT AS p50,
+       min(CASE WHEN cc >= (90 * n + 99) // 100 THEN v END)::BIGINT AS p90,
+       min(CASE WHEN cc >= (99 * n + 99) // 100 THEN v END)::BIGINT AS p99
+FROM cum GROUP BY source ORDER BY source
+""",
+    doc="EXACT per-host quantiles via the skew-immune two-phase value-"
+        "histogram shape: phase 1 groups by (host, value) — map-side partial "
+        "aggregation spreads a hot host's rows across every input task, so a "
+        "host holding 50% of the corpus costs no straggler — phase 2 runs a "
+        "cumulative window over the per-host COUNT VECTOR (bounded by "
+        "distinct values, not rows) and picks the type-1 (inverted-CDF) "
+        "order statistic min{v : cum(v) >= ceil(p*n)}; the ceil is integer "
+        "arithmetic ((k*n+99) div 100) so both engines agree bit-exactly. "
+        "This is the naive groupBy(host).collect-then-numpy kernel's "
+        "scale-safe replacement — the same two-level shape the stats pass "
+        "uses for its length histogram (plans/stats.py) — and the salted "
+        "counterpart of salted_group_count for a NON-algebraic statistic "
+        "(VERDICT r4 ask #5; probe evidence vs the naive grouped-map plan "
+        "on a planted 50%-hot host: SCALE_PROBE_r05.json 'skew' section)",
+)
+def salted_host_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    cum = counts.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    qs = [
+        F.min(
+            F.when(
+                F.col("cc") >= F.expr(f"({pct} * n + 99) div 100"), F.col("v")
+            )
+        )
+        .cast("long")
+        .alias(name)
+        for name, pct in HOST_QUANTILES
+    ]
+    return cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"), *qs
+    )
+
+
 # ---------------------------------------------------------------------------
 # crucible: full-ensemble sliding replay (rows-only; kernels not SQL-able)
 # ---------------------------------------------------------------------------

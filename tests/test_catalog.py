@@ -346,3 +346,21 @@ def test_completeness_grid_flags_planted_dropoff(spark):
     assert flagged and all(r.lang == "signup" for r in flagged)
     assert all(str(r.partition_date) >= "2024-01-25" for r in flagged)
     assert all(r.status == "SPARSE" for r in flagged)
+
+
+def test_salted_host_quantiles_match_naive_kernel(spark):
+    """The two-phase value-histogram quantiles must equal the naive
+    sort-the-raw-rows type-1 order statistic exactly — the probe's
+    'identical results, no straggler' claim (SCALE_PROBE_r05 'skew'),
+    pinned here on the fixture corpus."""
+    import pandas as pd
+
+    rows = QUERIES["salted_host_quantiles"].build(spark, SF_DIR).collect()
+    got = {r.source: (r.n_docs, r.p50, r.p90, r.p99) for r in rows}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["source", "n_chars"])
+    want = {}
+    for src, g in docs.groupby("source"):
+        v = g["n_chars"].sort_values().to_numpy()
+        n = len(v)
+        want[src] = (n, *(int(v[(p * n + 99) // 100 - 1]) for p in (50, 90, 99)))
+    assert got == want

@@ -289,6 +289,121 @@ def main(out_path: str = "SCALE_PROBE_r05.json") -> None:
     results["queries"]["validate_pages"] = vp
     print("validate_pages", vp, flush=True)
 
+    # ---- planted-skewed-host probe (VERDICT r4 ask #5) --------------------
+    # One host owns 50% of a 20M-row corpus, concentrated on one
+    # (partition_date, lang) partition. Two claims need committed numbers:
+    # (a) validate() on the skewed table costs about the same as on the
+    #     uniform table at identical row count — the engine's stats pass is
+    #     two-level/map-side-combined everywhere, so a hot partition never
+    #     lands on one reducer as raw rows;
+    # (b) for a NON-algebraic per-host statistic (exact quantiles), the
+    #     naive groupBy(host).applyInPandas plan stalls on a 10M-row hot
+    #     group while the engine's two-phase value-histogram shape
+    #     (salted_host_quantiles) spreads it — identical results, no
+    #     straggler (max phase-2 group = distinct values, not rows).
+    skew: dict = {"rows": 20_000_000, "hot_fraction": 0.5}
+    pages_skew_path = os.path.join(tmp, "pages_skew")
+    t0 = time.time()
+    base = synth_pages(spark, n_rows=20_000_000, n_days=30)
+    hot = F.pmod(F.xxhash64("url", F.lit("hot")), F.lit(2)) == 0
+    skewed = base.select(
+        F.when(
+            hot,
+            F.regexp_replace("url", "^https://[^/]+/", "https://hot-host.example.com/"),
+        )
+        .otherwise(F.col("url"))
+        .alias("url"),
+        F.when(
+            hot,
+            F.to_timestamp(F.lit("2026-08-01"))
+            + F.make_dt_interval(secs=F.unix_timestamp("warc_ts").cast("double") % 86_400),
+        )
+        .otherwise(F.col("warc_ts"))
+        .alias("warc_ts"),
+        "html",
+        "text",
+        F.when(hot, F.lit("en")).otherwise(F.col("lang")).alias("lang"),
+    )
+    with_partition(skewed).write.mode("overwrite").partitionBy(
+        "partition_date"
+    ).parquet(pages_skew_path)
+    skew["synth_s"] = round(time.time() - t0, 3)
+    pages_sk = spark.read.parquet(pages_skew_path)
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        res = validate(
+            pages_sk, ValidationConfig(min_history=4), run_ts=1_700_000_000.0
+        )
+        res.verdicts.count()
+        _noop(res.violations)
+        times.append(round(time.time() - t0, 3))
+        res.release()
+        gc.collect()
+    skew["validate_skewed_s"] = min(times)
+    skew["validate_skewed_reps"] = times
+    skew["validate_uniform_s"] = vp["sf1"]
+    skew["validate_skew_ratio"] = round(min(times) / vp["sf1"], 3)
+
+    # host-quantile A/B: derived documents table (source = url host)
+    docs_skew_dir = os.path.join(tmp, "docs_skew")
+    t0 = time.time()
+    pages_sk.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.regexp_extract("url", "^https://([^/]+)/", 1).alias("source"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(docs_skew_dir, "documents.parquet"))
+    skew["derive_docs_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    two_phase = {
+        r["source"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["salted_host_quantiles"].build(spark, docs_skew_dir).collect()
+    }
+    skew["two_phase_s"] = round(time.time() - t0, 3)
+    gc.collect()
+
+    import pandas as pd
+
+    def _naive(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].sort_values().to_numpy()
+        n = len(v)
+        row = [pdf["source"].iat[0], n] + [
+            int(v[(p * n + 99) // 100 - 1]) for p in (50, 90, 99)
+        ]
+        return pd.DataFrame(
+            [row], columns=["source", "n_docs", "p50", "p90", "p99"]
+        )
+
+    docs_sk = spark.read.parquet(os.path.join(docs_skew_dir, "documents.parquet"))
+    t0 = time.time()
+    naive = {
+        r["source"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+        for r in docs_sk.select("source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(
+            _naive, "source string, n_docs long, p50 long, p90 long, p99 long"
+        )
+        .collect()
+    }
+    skew["naive_grouped_map_s"] = round(time.time() - t0, 3)
+    skew["speedup"] = round(skew["naive_grouped_map_s"] / skew["two_phase_s"], 2)
+    skew["results_equal"] = naive == two_phase
+    grp = (
+        docs_sk.groupBy("source")
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("n_chars").alias("distinct_vals"),
+        )
+        .agg(F.max("rows"), F.max("distinct_vals"))
+        .first()
+    )
+    skew["max_group_rows_naive"] = int(grp[0])
+    skew["max_group_rows_two_phase"] = int(grp[1])
+    results["skew"] = skew
+    print("skew", skew, flush=True)
+
     results["wall_total"] = round(time.time() - t_all, 1)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
