@@ -377,6 +377,7 @@ def run_bench(cores: int | None = None, sf_dir: str | None = None, quiet: bool =
         "ionosphere_train_profile",
         "validate_run_metrics",
         "luminosity_related_metrics",
+        "salted_host_quantiles",
     ]
     # Per-stanza cleanup (round-4 fix): several catalog queries localCheckpoint
     # intermediate frames; across ~80 stanzas the accumulated blocks pressure
