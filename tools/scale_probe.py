@@ -348,7 +348,9 @@ def main(out_path: str = "SCALE_PROBE_r05.json") -> None:
     # host-quantile A/B: derived documents table (source = url host)
     docs_skew_dir = os.path.join(tmp, "docs_skew")
     t0 = time.time()
-    pages_sk.select(
+    # NULL-text rows (the synth fixture's planted null_rate defect) carry no
+    # length; the quantile probe measures skew behavior, not null handling
+    pages_sk.where(F.col("text").isNotNull()).select(
         F.monotonically_increasing_id().alias("doc_id"),
         F.regexp_extract("url", "^https://([^/]+)/", 1).alias("source"),
         "lang",
