@@ -660,15 +660,12 @@ SELECT metric, value FROM (
         "recorded triggers of consensus-anomalous stat series",
 )
 def validate_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.checkpoint import run_metrics_rows
-
     res = _twin_validate(spark, sf_dir)
-    rm = run_metrics_rows(
-        res.verdicts,
-        "twin",
-        _TWIN_RUN_TS,
-        algorithm_names=TWIN_DETECTORS,
-    )
+    # the engine's own stage-8 row (validate() builds it from the same
+    # verdicts with algorithm_names = the twin's detector set) — NOT a
+    # re-assembly here, so the oracle certifies the exact row the engine
+    # persists even if stage-8 semantics evolve
+    rm = res.run_metrics
     scalars = rm.select(
         F.explode(
             F.create_map(

@@ -65,7 +65,7 @@ HOST_QUANTILES = (("p50", 50), ("p90", 90), ("p99", 99))
     """
 WITH counts AS (
   SELECT source, n_chars AS v, count(*)::BIGINT AS c
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT source, v, c,
          sum(c) OVER (PARTITION BY source ORDER BY v) AS cc,
@@ -97,7 +97,11 @@ FROM cum GROUP BY source ORDER BY source
 def salted_host_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    # NULL values are excluded in BOTH engines (quantiles of known lengths,
+    # n = non-null count): leaving them in would diverge — Spark's ASC
+    # window default is NULLS FIRST, DuckDB's is NULLS LAST, so a NULL
+    # group would inflate every non-null cum count on the Spark side only
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
     counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").alias("c")
     )

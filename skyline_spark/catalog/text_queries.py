@@ -476,15 +476,25 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _exact_group_key():
+    """The exact-dup text-group key — the ONE definition shared by
+    ``_collapse_exact_docs`` (pair generation runs on its reps) and
+    ``dedup_clusters``'s member-expansion join. The two sides must agree
+    bit-for-bit: if they ever derived different keys, expansion would join
+    members to rep ids that don't exist and silently drop whole clusters.
+    Full 128-bit md5 (same collision posture as dedup_exact), with a
+    sentinel for NULL text (md5(NULL) is NULL, and a NULL groupBy key
+    would silently drop members at the expansion join)."""
+    return F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+
+
 def _collapse_exact_docs(d: DataFrame) -> DataFrame:
     """Exact-dup pre-collapse: one representative row (min doc_id) per
-    distinct text, feeding every banded near-dup path. Keyed on the full
-    128-bit md5 (same collision posture as dedup_exact) so the shuffle key
-    is 16 bytes; the text itself rides in the min_by buffer — one value per
-    key per map task thanks to partial aggregation, never k copies. NULL
-    texts keep a sentinel key (md5(NULL) is NULL, and a NULL groupBy key
-    would silently drop members at the expansion join)."""
-    key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+    distinct text, feeding every banded near-dup path. Keyed on
+    ``_exact_group_key()`` so the shuffle key is 16 bytes; the text itself
+    rides in the min_by buffer — one value per key per map task thanks to
+    partial aggregation, never k copies."""
+    key = _exact_group_key()
     # re-_spread the aggregate output: AQE coalesces the tiny post-groupBy
     # shuffle to ~1 partition, which would run the downstream shingle /
     # signature kernels single-task (measured 2x on the whole minhash
@@ -793,7 +803,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each rep is the min of its own group). Unpaired groups of >= 2
     # byte-identical docs cluster on their rep id.
     d = _spread(load(spark, sf_dir, "documents"))
-    key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+    key = _exact_group_key()
     grp = d.groupBy(key.alias("_k")).agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -870,8 +880,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RECALL_ORACLE = f"""
-WITH exact AS (
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), exact AS (
   SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE.replace("ORDER BY doc_a, doc_b", "")})
+  WHERE doc_a IN (SELECT doc_id FROM reps)
+    AND doc_b IN (SELECT doc_id FROM reps)
 ), lsh AS (
   SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")})
 )
@@ -888,13 +902,26 @@ FROM exact e LEFT JOIN lsh l USING (doc_a, doc_b)
     _RECALL_ORACLE,
     doc="measures MinHash-LSH candidate recall against the exact pairwise "
         "Jaccard pair set — the number that justifies shipping the LSH plan "
-        "at scale. The exact side is O(n²) within lang blocks, so this is a "
-        "sampled-scale QUALITY GAUGE (run at test sf, or on a corpus "
-        "sample), not a production operator; the LSH side is the production "
-        "path",
+        "at scale. Both sides are restricted to the same collapsed corpus: "
+        "the LSH path runs on exact-dup representatives (the r5 flood "
+        "guard), so the exact pair set keeps only rep–rep pairs too — "
+        "otherwise pairs to collapsed-away copies would deflate recall for "
+        "reasons unrelated to banding quality (exact-dup pairs are the "
+        "collapse stage's catch, not LSH's). The exact side is O(n²) "
+        "within lang blocks, so this is a sampled-scale QUALITY GAUGE (run "
+        "at test sf, or on a corpus sample), not a production operator; "
+        "the LSH side is the production path",
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    reps = _collapse_exact_docs(
+        _spread(load(spark, sf_dir, "documents"))
+    ).select("doc_id")
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(reps.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(reps.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     joined = exact.join(
         lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"

@@ -88,7 +88,14 @@ def _variant_frames(window: DataFrame):
     sv = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
         (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
     )
-    scaled = ev.join(F.broadcast(rng), "event_type").select(
+    # null-safe key: the rest of this module (and the oracled twin) keeps
+    # NULL-keyed series alive via eqNullSafe / IS NOT DISTINCT FROM; a plain
+    # equi-join here would drop a NULL event_type's scaled variant and with
+    # it the whole series from train/match
+    scaled = ev.join(
+        F.broadcast(rng.withColumnRenamed("event_type", "_rng_et")),
+        F.col("event_type").eqNullSafe(F.col("_rng_et")),
+    ).select(
         F.struct(
             F.col("event_type").alias("et"), F.lit("s").alias("variant")
         ).alias("event_type"),
@@ -133,7 +140,10 @@ def _feature_sums(window: DataFrame) -> DataFrame:
     return (
         a.join(s, a["event_type"].eqNullSafe(s["event_type"]))
         .drop(s["event_type"])
-        .join(F.broadcast(rng), "event_type")
+        .join(
+            F.broadcast(rng.withColumnRenamed("event_type", "_rng_et")),
+            F.col("event_type").eqNullSafe(F.col("_rng_et")),
+        )
         .select(
             "event_type",
             "n_points",
@@ -177,7 +187,11 @@ def train_profiles(
         )
     )
     return (
-        sums.join(span, "event_type", "left")
+        sums.join(
+            span.withColumnRenamed("event_type", "_span_et"),
+            F.col("event_type").eqNullSafe(F.col("_span_et")),
+            "left",
+        )
         .select(
             pid.alias("profile_id"),
             "event_type",

@@ -193,9 +193,13 @@ class IcebergFormat(TableFormat):
         when = _dt.datetime.utcfromtimestamp(older_than_ts).strftime(
             "%Y-%m-%d %H:%M:%S"
         )
+        # explicit +00:00 zone: a zone-less literal would be read in the
+        # Spark session timezone, shifting the expiry boundary by the
+        # session's UTC offset — up to hours of snapshots deleted (or
+        # retained) beyond the epoch cutoff the caller passed
         return (
             f"CALL {cat}.system.expire_snapshots(table => '{tbl}', "
-            f"older_than => TIMESTAMP '{when}')"
+            f"older_than => TIMESTAMP '{when}+00:00')"
         )
 
     def compaction_sql(self, location: str) -> str:

@@ -97,9 +97,11 @@ def test_parquet_maintenance_is_explicit_noop(spark, fmt, tmp_path):
 
 def test_iceberg_maintenance_sql_pinned():
     f = IcebergFormat()
+    # the +00:00 zone suffix is load-bearing: a zone-less literal is read in
+    # the Spark session timezone, shifting the expiry cutoff by its offset
     assert f.snapshot_expiry_sql("lake.validation.checkpoint", 1_706_572_800.0) == (
         "CALL lake.system.expire_snapshots(table => 'validation.checkpoint', "
-        "older_than => TIMESTAMP '2024-01-30 00:00:00')"
+        "older_than => TIMESTAMP '2024-01-30 00:00:00+00:00')"
     )
     assert f.compaction_sql("lake.validation.checkpoint") == (
         "CALL lake.system.rewrite_data_files(table => 'validation.checkpoint')"
