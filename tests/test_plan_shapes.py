@@ -682,3 +682,25 @@ def test_train_profile_stays_arrow_free_and_equi_joined(spark):
     p = plan_of(build(spark, "ionosphere_train_profile"))
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_salted_host_quantiles_is_two_phase_no_python(spark):
+    # the skew-immune quantile shape: phase 1 is a PARTIAL (map-side)
+    # count aggregate keyed (host, value) — a 50%-hot host never lands on
+    # one reducer as raw rows — and phase 2's window runs over the per-host
+    # count VECTOR; no Python anywhere, no nested-loop join
+    p = plan_of(build(spark, "salted_host_quantiles"))
+    assert "partial_count" in p
+    assert "Window" in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_lsh_recall_exact_side_restricted_to_reps(spark):
+    # the recall gauge's exact side meets the rep id set via LeftSemi
+    # (hash/broadcast) joins — the comparison corpus is the SAME collapsed
+    # corpus the LSH side runs on, and no nested-loop sneaks in
+    p = plan_of(build(spark, "dedup_lsh_recall"))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
