@@ -514,17 +514,24 @@ def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop (band) buckets holding more than ``cap`` members — the
     duplicate-flood guard (see MINHASH_BAND_CAP block comment).
 
-    Shape: the OVER-cap key list is tiny by construction (pathological
-    boilerplate buckets only — zero rows on clean corpora), so it
-    broadcasts and the band rows take a broadcast ANTI-join: no extra
-    shuffle of the band table, just one narrow-key count aggregation
-    (map-side partial) to find the hot keys. The first cut semi-joined
-    against the KEPT key list — that re-shuffled the whole band table and
-    cost 1.5-2.7x on the three dedup stanzas (measured, BENCH r5 notes).
-    Dropped mass is surfaced by dedup_band_guard."""
+    Shape: the OVER-cap key list is tiny on every corpus probed
+    (pathological boilerplate buckets only — zero rows on clean corpora),
+    so AQE resolves the anti-join to a runtime broadcast: no extra shuffle
+    of the band table, just one narrow-key count aggregation (map-side
+    partial) to find the hot keys. The join hint is deliberately left to
+    AQE rather than a static ``F.broadcast``: the hot-list size is
+    data-dependent and unbounded (a crawl with millions of distinct
+    over-cap template families), and a forced broadcast would collect that
+    list to the driver at exactly the flood scale the guard exists for —
+    AQE keeps the broadcast when the list is small and degrades to a
+    shuffled anti-join instead of a driver OOM when it is not. The first
+    cut semi-joined against the KEPT key list — that re-shuffled the whole
+    band table unconditionally and cost 1.5-2.7x on the three dedup
+    stanzas (measured, BENCH r5 notes). Dropped mass is surfaced by
+    dedup_band_guard."""
     freq = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
     hot = freq.where(F.col("nb") > cap).select(*keys)
-    return bands.join(F.broadcast(hot), keys, "left_anti")
+    return bands.join(hot, keys, "left_anti")
 
 
 @query(
@@ -802,6 +809,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group (cluster_id stays the min doc_id over the full membership —
     # each rep is the min of its own group). Unpaired groups of >= 2
     # byte-identical docs cluster on their rep id.
+    # NOTE: this re-scans documents and re-aggregates the exact-dup groups
+    # that _collapse_exact_docs (inside the dedup_simhash call above) also
+    # computed — the collapse there is fused into the simhash plan behind a
+    # localCheckpoint barrier and only exposes (doc_id, text), so the
+    # (rep_id, n_copies) rollup cannot be read back across the function
+    # boundary. One extra md5+groupBy pass over the corpus; both sides key
+    # on _exact_group_key() so they can never disagree.
     d = _spread(load(spark, sf_dir, "documents"))
     key = _exact_group_key()
     grp = d.groupBy(key.alias("_k")).agg(
@@ -2852,14 +2866,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
         .select("doc_id", "in_index", "band.band_id", "band.band_key")
-        .localCheckpoint(eager=False)
     )
     # flood guard: cap counts BOTH sides of a bucket — a boilerplate flood
     # split across index and batch still floods the same band keys (exact
     # pre-collapse is NOT applied here: a batch doc byte-identical to an
     # index doc must still surface as its dup, and cross-side collapse
-    # would hide exactly that pair)
-    bands = _cap_band_buckets(bands, ["band_id", "band_key"], MINHASH_BAND_CAP)
+    # would hide exactly that pair). Barrier AFTER the cap, like the other
+    # banded paths: the capped frame feeds both join sides, and a pre-cap
+    # barrier would recompute the freq-agg + anti-join per side (measured
+    # 3x on dedup_minhash_lsh)
+    bands = _cap_band_buckets(
+        bands, ["band_id", "band_key"], MINHASH_BAND_CAP
+    ).localCheckpoint(eager=False)
     i = bands.where(F.col("in_index")).alias("i")
     q = bands.where(~F.col("in_index")).alias("q")
     cand = (

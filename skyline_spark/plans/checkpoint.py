@@ -238,8 +238,6 @@ def run_metrics_rows(
         anomalous metric).
     Pure DataFrame aggregation over the checkpoint-sized verdict frame; the
     three 1-row legs meet in broadcast crossJoins (house pattern)."""
-    import datetime as _dt
-
     from ..config import STATUS_BORING, STATUS_FAIL, STATUS_STALE, STATUS_TOO_SHORT
 
     names = list(algorithm_names or DETECTOR_VERSIONS)
@@ -288,12 +286,13 @@ def run_metrics_rows(
             F.array(*[F.col(f"_t{i}") for i in range(len(names))]),
         ).alias("anomaly_breakdown")
     )
-    validated_at = _dt.datetime.utcfromtimestamp(run_ts)
+    # session-TZ-independent instant (see plans/validate.py stage 7 note)
+    validated_at = F.timestamp_seconds(F.lit(float(run_ts)))
     return (
         totals.crossJoin(F.broadcast(breakdown))
         .select(
             F.lit(run_id).alias("run_id"),
-            F.lit(validated_at).alias("validated_at"),
+            validated_at.alias("validated_at"),
             F.lit(run_time_s).cast("double").alias("run_time_s"),
             "total_partitions",
             "total_analyzed",

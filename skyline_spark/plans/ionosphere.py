@@ -29,8 +29,6 @@ corpus-sized, so every frame here is checkpoint-scale.
 
 from __future__ import annotations
 
-import datetime as _dt
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -177,7 +175,8 @@ def train_profiles(
             ).cast("long").alias("full_duration")
         )
     )
-    created = _dt.datetime.utcfromtimestamp(run_ts)
+    # session-TZ-independent instant (see plans/validate.py stage 7 note)
+    created = F.timestamp_seconds(F.lit(float(run_ts)))
     pid = F.md5(
         F.concat_ws(
             "|",
@@ -202,7 +201,7 @@ def train_profiles(
             "value_max",
             "features_sum_scaled",
             F.coalesce("full_duration", F.lit(0)).cast("long").alias("full_duration"),
-            F.lit(created).alias("created_ts"),
+            created.alias("created_ts"),
             F.lit(run_id).alias("run_id"),
         )
     )

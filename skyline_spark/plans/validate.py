@@ -629,7 +629,10 @@ def _validate_body(
     # checkpoint rows below
 
     # ---- stage 7: checkpoint rows ------------------------------------------
-    validated_at = _dt.datetime.utcfromtimestamp(run_ts)
+    # timestamp_seconds: the stored INSTANT is the epoch run_ts regardless
+    # of spark.sql.session.timeZone — a naive datetime literal would be
+    # read in the session zone, shifting lineage by its UTC offset
+    validated_at = F.timestamp_seconds(F.lit(float(run_ts)))
     # both digest legs derive from ONE histogram scan of slim: the
     # log-histogram re-bins it, the GK sketch folds it — the page table is
     # not re-touched for either. Cached (tiny: distinct lengths per
@@ -667,7 +670,7 @@ def _validate_body(
             F.col("stat_digests"),
             F.coalesce(F.col("row_count"), F.lit(0)).cast("long").alias("row_count"),
             F.lit(run_id).alias("run_id"),
-            F.lit(validated_at).alias("validated_at"),
+            validated_at.alias("validated_at"),
             F.map_from_arrays(
                 F.array(F.lit("checks_run"), F.lit("checks_failed")),
                 F.array(F.col("checks_run").cast("double"), F.col("checks_failed").cast("double")),
@@ -685,7 +688,12 @@ def _validate_body(
         run_id,
         run_ts,
         version_hash=vhash,
-        algorithm_names=list(algorithms) if algorithms else list(ALGORITHMS),
+        # `is None`, not truthiness — drift_verdicts treats an explicit {}
+        # as "run no kernels", and the lineage row must record that same
+        # (empty) detector set, not the full mutable registry
+        algorithm_names=(
+            list(algorithms) if algorithms is not None else list(ALGORITHMS)
+        ),
     )
 
     return ValidationResult(

@@ -32,7 +32,7 @@ import datetime as _dt
 import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["TableFormat", "ParquetFormat", "IcebergFormat", "DEFAULT_FORMAT"]
@@ -164,11 +164,25 @@ class IcebergFormat(TableFormat):
 
         self._check_ident(location)
         try:
-            return spark.read.table(location)
+            df = spark.read.table(location)
         except AnalysisException as e:
-            if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+            # both the modern error class and the legacy message text —
+            # older Spark builds phrase the same condition differently
+            msg = str(e)
+            if (
+                "TABLE_OR_VIEW_NOT_FOUND" in msg
+                or "Table or view not found" in msg
+            ):
                 return spark.createDataFrame([], schema)
             raise
+        # conform to the contract schema like the parquet impl does
+        # (spark.read.schema() is not honored for catalog tables): an
+        # evolved/widened live table must still hand callers the exact
+        # column set and types the engine's lineage readers select on —
+        # a missing contract column fails loudly here, not deep in a plan
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     def append(self, df: DataFrame, location: str) -> None:
         # v2 writeTo: snapshot-isolated append (the WATCH/retry replacement)

@@ -127,3 +127,41 @@ def test_retrain_is_idempotent_by_profile_id(spark, profile_path):
     w2 = _window(spark, {"cpu": SPIKE}, day_offset=4)
     m = match_profiles(w2, profiles).collect()[0]
     assert m["matched"] is True
+
+
+def test_twin_scaled_sums_match_engine_train_path(spark):
+    """The catalog twin (ionosphere_train_profile) re-states the engine's
+    variant machinery as a three-variant single pass; its anomalous-window
+    arithmetic (raw/scaled features_sum, range, n_points) must stay
+    bit-consistent with what plans.ionosphere.train_profiles persists for
+    the SAME window — the guard against the two definitions drifting
+    (review finding, round 5)."""
+    from skyline_spark.catalog import QUERIES
+    from skyline_spark.catalog.registry import load
+    from skyline_spark.catalog.series_queries import _ms, profile_cut
+
+    sf = "/root/testdata/sf0.001"
+    twin = {
+        r.event_type: r
+        for r in QUERIES["ionosphere_train_profile"].build(spark, sf).collect()
+    }
+    assert twin, "fixture must flag at least one series"
+
+    ev = load(spark, sf, "events").where(F.col("ts").isNotNull())
+    cut = profile_cut(ev).first()["cut"]
+    anom = ev.where(_ms("ts") >= F.lit(cut)).select(
+        "event_type", "ts", "value", "event_id"
+    )
+    prof = {
+        r.event_type: r
+        for r in train_profiles(anom, RUN_TS).collect()
+        if r.event_type in twin
+    }
+    assert set(prof) == set(twin)
+    for et, t in twin.items():
+        p = prof[et]
+        assert p.n_points == t.n_points, et
+        assert round(p.features_sum, 6) == t.features_sum, et
+        assert round(p.features_sum_scaled, 6) == t.features_sum_scaled, et
+        assert round(p.value_min, 6) == t.value_min, et
+        assert round(p.value_max, 6) == t.value_max, et

@@ -617,10 +617,15 @@ def test_round4_small_sides_broadcast(spark, name):
 
 
 def test_flood_guard_cap_is_broadcast_anti_join(spark):
-    # round-5 guard shape: the over-cap key list is tiny by construction, so
-    # the cap must plan a BroadcastHashJoin LeftAnti — never a shuffled
+    # round-5 guard shape: the over-cap key list is tiny on probed corpora,
+    # so the cap plans a BroadcastHashJoin LeftAnti — never a shuffled
     # (SortMerge) join of the band table against its own bucket counts (the
-    # first cut's semi-join shape, measured 1.5-2.7x on the dedup stanzas)
+    # first cut's semi-join shape, measured 1.5-2.7x on the dedup stanzas).
+    # NOTE the broadcast comes from Catalyst's own estimate, NOT a static
+    # F.broadcast hint: the hot-list size is data-dependent and unbounded,
+    # and under AQE the final join strategy is re-decided from the ACTUAL
+    # aggregate size — a pathological corpus degrades to a shuffled
+    # anti-join instead of a driver OOM (_cap_band_buckets docstring)
     from pyspark.sql import functions as F
 
     from skyline_spark.catalog.registry import load
